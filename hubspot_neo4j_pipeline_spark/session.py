@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+One place to own the configs that matter for both local correctness
+runs and a real multi-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting, broadcast demotion)
+- UTC session timezone (oracle comparisons against DuckDB's naive UTC)
+- Arrow for pandas interchange (Pandas UDFs, toPandas)
+- shuffle partitions sized to the local core count; on a real cluster
+  AQE coalesces the 2048 initial partitions down to what the data needs
+- ``nanosAsLong`` because the synthetic events table stores
+  TIMESTAMP(NANOS), which Spark's parquet reader refuses otherwise
+  (sources/tpch.py converts the long back to a timestamp column).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "hubspot-neo4j-pipeline-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    In local mode ``spark.driver.memory`` is the whole JVM; keep the
+    default unless the caller overrides via extra_conf (tests run fine
+    with the default, bench sets it up).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

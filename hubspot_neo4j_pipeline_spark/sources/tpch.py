@@ -1,0 +1,62 @@
+"""Readers for the driver's synthetic star-schema test tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``{sf_dir}/{name}.parquet``.
+
+Scale notes:
+- Plain ``spark.read.parquet`` keeps predicate pushdown / column
+  pruning intact; never materialize through pandas.
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) it
+  arrives as a nanos-since-epoch LongType which we convert with
+  ``timestamp_micros(ts div 1000)`` — a codegen'd expression, no UDF,
+  and partition-pruning on other columns is unaffected.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic SF —
+# used by plans/ to pick join strategies.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # nanos-as-long -> microsecond timestamp (UTC, matches DuckDB's view)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
