@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All computation is JVM-side (array expressions + xxhash64) — no Python
+UDFs in any hot path. Reference analog: the reference dedups only by
+key/set membership (graph_transformer.py:27-28,477-493); these
+generalize that to content-level dedup for training-data pipelines.
+
+Scale design:
+- exact_dedup: one shuffle on sha256(content) — uniform keys, no skew.
+- MinHash-LSH: per-doc signature (narrow), explode to (band, band_hash)
+  buckets, self-join on the bucket key. Candidate volume is controlled
+  by bands×rows, NEVER an all-pairs crossJoin. Verified Jaccard is
+  computed only for candidate pairs.
+- SimHash: explode tokens → 64 bit-vote partial aggregates (map-side
+  combinable) → one shuffle on doc id.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 5
+DEFAULT_PERMS = 32
+DEFAULT_BANDS = 8  # bands × rows_per_band == n_perms
+
+
+def _words(text_col: str | Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def shingle_set(text_col: str | Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct k-word shingles of a document (empty array if < k words)."""
+    words = _words(text_col)
+    return F.when(
+        F.size(words) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id row per identical content hash."""
+    hashed = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    canonical = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )
+    return hashed.drop("n_copies").join(canonical, [id_col, "content_hash"], "inner")
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_perms: int = DEFAULT_PERMS
+) -> DataFrame:
+    """(id, shingles, sig: array<long>) — n_perms seeded-xxhash64 minima.
+
+    One pass over the shingle array per permutation; all codegen'd.
+    """
+    with_sh = df.select(id_col, shingle_set(text_col).alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(n_perms)
+        ]
+    )
+    return with_sh.withColumn("sig", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perms: int = DEFAULT_PERMS,
+    n_bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with verified shingle-Jaccard.
+
+    LSH banding: signature split into n_bands bands; docs sharing any
+    band hash become candidates (equi-join on the band key). Exact
+    Jaccard is then computed from the shingle sets of candidates only.
+    """
+    rows = n_perms // n_bands
+    sigs = minhash_signature(df, id_col, text_col, n_perms)
+    bands = sigs.select(
+        id_col,
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(
+                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "shingles", "band.band_id", "band.band_hash")
+
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_id",
+        "band_hash",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_id",
+        "band_hash",
+    )
+    candidates = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jaccard = inter.cast("double") / union
+    return (
+        candidates.select("id_a", "id_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Candidate pairs sharing ≥ min_shared distinct shingles (exact
+    inverted-index join — the non-probabilistic sibling of LSH)."""
+    sh = df.select(
+        id_col, F.explode(shingle_set(text_col)).alias("shingle")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_shared)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document via token-hash bit voting.
+
+    explode(tokens) → xxhash64 → per-bit ±1 votes aggregated per doc
+    (map-side combinable) → sign bits packed into one BIGINT.
+    """
+    toks = df.select(id_col, F.explode(_words(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    packed = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0),
+        range(63),
+        F.lit(0).cast("long"),
+    )
+    # bit 63 would overflow signed long via (1 << 63); fold it in as the sign bit
+    packed = packed + F.when(
+        F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
+    ).otherwise(0)
+    return votes.select(id_col, packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidate-bucketed
+    on 16-bit chunks (a pair within Hamming≤3 of 4 chunks must share
+    at least one exact chunk — pigeonhole)."""
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_id", "chunk"
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; LSH bucketing is
+the scale path (bucket equi-join, bounded candidates per query). All
+vector math is JVM-side array expressions (zip_with/aggregate folds in
+double precision) — no UDFs.
+
+Scale design: at 100 TB the corpus is the big side; queries broadcast.
+LSH signatures cost one pass over the corpus; the candidate join
+shuffles on (bucket) — 2^n_planes uniform keys. Increase n_planes to
+shrink buckets; union multiple independent plane-sets to raise recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Sequential in-order double fold — deterministic across runs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set over the
+    corpus, rank per query. corpus/queries carry (id, vec)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("e")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qe")
+    )
+    pairs = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", cosine("qe", "e").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector.
+
+    Hyperplanes are the first n_planes vectors by id — deterministic,
+    data-derived, no RNG (reproducible across runs/partitions). Bucket
+    = packed sign bits of dot(v, plane_j).
+    """
+    v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("e"))
+    planes = (
+        v.orderBy("_id")
+        .limit(n_planes)
+        .select(F.col("_id").alias("plane_rank"), F.col("e").alias("pe"))
+    )
+    # rank planes 0..n-1 by id so bit positions are stable
+    wp = Window.orderBy("plane_rank")
+    planes = planes.withColumn("bit", F.row_number().over(wp) - 1).select("bit", "pe")
+    scored = v.join(F.broadcast(planes)).select(
+        "_id",
+        "e",
+        "bit",
+        F.when(dot("e", "pe") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("sign"),
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.sum(F.col("sign") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias(
+                "bucket"
+            ),
+            F.first("e").alias("e"),
+        )
+        .select(F.col("_id").alias(id_col), "bucket", "e")
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_queries: int = 100,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to same-LSH-bucket
+    vectors (equi-join on bucket key). Queries = first n_queries ids."""
+    bucketed = lsh_buckets(df, id_col, vec_col, n_planes)
+    queries = bucketed.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket"),
+        F.col("e").alias("qe"),
+    )
+    cands = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), "bucket", "e"
+    )
+    pairs = (
+        cands.join(F.broadcast(queries), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("qe", "e").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

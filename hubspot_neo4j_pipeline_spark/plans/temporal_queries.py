@@ -1,0 +1,324 @@
+"""Temporal / SCD2 / CDC query analogs (SURVEY.md §2.8).
+
+The reference's temporal layer (change detection, SCD2 history, CDC
+relationship log — utils/change_detector.py, loaders/temporal_loader.py,
+query_temporal.py) is re-expressed here as declarative queries over the
+synthetic tables: two date-sliced "snapshots" of `orders` stand in for
+consecutive pipeline runs, `events` per-user streams stand in for entity
+version chains.
+
+The stateful merge itself (scd2_merge) lives in ``operators/scd2.py``
+with its golden pytest scenarios; these registry entries cover the
+query shapes with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import register
+
+# Snapshot cut points over orders.o_orderdate (range 1995-01..2001-08).
+_OLD_END = "1999-01-01"  # "previous run" saw orders before this date
+_NEW_START = "1996-01-01"  # "current run" sees orders from this date on
+
+
+def _old_snapshot(orders: DataFrame) -> DataFrame:
+    return orders.where(F.col("o_orderdate") < _OLD_END).select(
+        F.col("o_orderkey").alias("entity_key"),
+        F.col("o_totalprice").alias("old_amount"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+
+
+def _new_snapshot(orders: DataFrame) -> DataFrame:
+    # Simulated re-extract: pending deals got a 10% price bump → 'updated'.
+    return orders.where(F.col("o_orderdate") >= _NEW_START).select(
+        F.col("o_orderkey").alias("entity_key"),
+        F.when(
+            F.col("o_orderstatus") == "P", F.col("o_totalprice") * F.lit(1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_amount"),
+        F.col("o_orderstatus").alias("new_status"),
+    )
+
+
+@register(
+    "change_classification",
+    oracle=f"""
+        WITH old_snap AS (
+            SELECT o_orderkey AS entity_key, o_totalprice AS old_amount,
+                   o_orderstatus AS old_status
+            FROM orders WHERE o_orderdate < TIMESTAMP '{_OLD_END}'
+        ), new_snap AS (
+            SELECT o_orderkey AS entity_key,
+                   CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS new_amount,
+                   o_orderstatus AS new_status
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{_NEW_START}'
+        )
+        SELECT coalesce(n.entity_key, o.entity_key) AS entity_key,
+               CASE WHEN o.entity_key IS NULL THEN 'new'
+                    WHEN n.entity_key IS NULL THEN 'deleted'
+                    WHEN n.new_amount <> o.old_amount
+                         OR n.new_status <> o.old_status THEN 'updated'
+                    ELSE 'unchanged' END AS change_type
+        FROM new_snap n FULL OUTER JOIN old_snap o ON n.entity_key = o.entity_key
+    """,
+    covers=("J4", "T2", "T1"),
+    doc="Full-outer snapshot compare → new/updated/unchanged/deleted. Ref change_detector.py:65-128.",
+)
+def change_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = _old_snapshot(orders)
+    new = _new_snapshot(orders)
+    j = new.join(old, "entity_key", "full_outer")
+    return j.select(
+        "entity_key",
+        F.when(F.col("old_status").isNull() & F.col("old_amount").isNull(), "new")
+        .when(F.col("new_status").isNull() & F.col("new_amount").isNull(), "deleted")
+        .when(
+            (F.col("new_amount") != F.col("old_amount"))
+            | (F.col("new_status") != F.col("old_status")),
+            "updated",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+
+
+@register(
+    "change_summary",
+    oracle=f"""
+        WITH old_snap AS (
+            SELECT o_orderkey AS entity_key, o_totalprice AS old_amount,
+                   o_orderstatus AS old_status
+            FROM orders WHERE o_orderdate < TIMESTAMP '{_OLD_END}'
+        ), new_snap AS (
+            SELECT o_orderkey AS entity_key,
+                   CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS new_amount,
+                   o_orderstatus AS new_status
+            FROM orders WHERE o_orderdate >= TIMESTAMP '{_NEW_START}'
+        ), classified AS (
+            SELECT CASE WHEN o.entity_key IS NULL THEN 'new'
+                        WHEN n.entity_key IS NULL THEN 'deleted'
+                        WHEN n.new_amount <> o.old_amount
+                             OR n.new_status <> o.old_status THEN 'updated'
+                        ELSE 'unchanged' END AS change_type
+            FROM new_snap n FULL OUTER JOIN old_snap o ON n.entity_key = o.entity_key
+        )
+        SELECT change_type, count(*) AS n FROM classified GROUP BY change_type
+    """,
+    covers=("T2", "A10"),
+    doc="Change-type distribution (load statistics). Ref temporal_loader.py:464-515.",
+)
+def change_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        change_classification(spark, sf_dir)
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "relationship_diff",
+    oracle="""
+        WITH old_edges AS (
+            SELECT DISTINCT l_orderkey AS from_key, l_partkey AS to_key
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        ), new_edges AS (
+            SELECT DISTINCT l_orderkey AS from_key, l_partkey AS to_key
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        )
+        SELECT from_key, to_key, 'added' AS change_type
+        FROM (SELECT * FROM new_edges EXCEPT SELECT * FROM old_edges)
+        UNION ALL
+        SELECT from_key, to_key, 'removed' AS change_type
+        FROM (SELECT * FROM old_edges EXCEPT SELECT * FROM new_edges)
+    """,
+    covers=("J5", "U3", "T6", "D3"),
+    doc="Two-way anti-join edge diff → CDC change log. Ref change_detector.py:153-244, temporal_loader.py:313-462.",
+)
+def relationship_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    old_e = (
+        li.where(F.col("l_shipdate") < "1998-01-01")
+        .select(F.col("l_orderkey").alias("from_key"), F.col("l_partkey").alias("to_key"))
+        .distinct()
+    )
+    new_e = (
+        li.where(F.col("l_shipdate") >= "1996-01-01")
+        .select(F.col("l_orderkey").alias("from_key"), F.col("l_partkey").alias("to_key"))
+        .distinct()
+    )
+    added = new_e.join(old_e, ["from_key", "to_key"], "left_anti").withColumn(
+        "change_type", F.lit("added")
+    )
+    removed = old_e.join(new_e, ["from_key", "to_key"], "left_anti").withColumn(
+        "change_type", F.lit("removed")
+    )
+    return added.unionByName(removed)
+
+
+@register(
+    "scd2_version_chain",
+    oracle="""
+        SELECT user_id, event_id AS version_id, event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   AS is_current
+        FROM events
+    """,
+    covers=("T3", "T9", "W1"),
+    doc="Per-entity version chain: valid_from/valid_to via lead window. Ref temporal_loader.py:157-225.",
+)
+def scd2_version_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "current_state",
+    oracle="""
+        SELECT user_id, event_id AS version_id, event_type AS state, ts AS valid_from
+        FROM (SELECT user_id, event_id, event_type, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    covers=("T9", "W1", "W4"),
+    doc="Current-state view (is_current head of each version chain). Ref query_temporal.py:31-48.",
+)
+def current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+
+
+@register(
+    "point_in_time_state",
+    oracle="""
+        SELECT user_id, event_id AS version_id, event_type AS state, ts AS valid_from
+        FROM (SELECT user_id, event_id, event_type, ts,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1
+    """,
+    covers=("T9",),
+    doc="Point-in-time audit: entity state as of a timestamp. Ref query_temporal.py:208-280.",
+)
+def point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts") <= "2024-01-15 00:00:00")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+
+
+@register(
+    "ownership_change_history",
+    oracle="""
+        SELECT user_id, ts AS changed_at,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_change,
+               (epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id)))
+                   / 1000.0 AS gap_seconds
+        FROM events WHERE event_type = 'signup'
+    """,
+    covers=("T10", "F10"),
+    doc="Per-entity ordered change timeline with inter-change gaps. Ref query_temporal.py:159-189.",
+)
+def ownership_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("changed_at"),
+            prev.alias("prev_change"),
+            ((F.unix_millis("ts") - F.unix_millis(prev)) / 1000.0).alias("gap_seconds"),
+        )
+    )
+
+
+@register(
+    "recent_changes",
+    oracle="""
+        SELECT event_id AS change_id, user_id, event_type AS change_type, ts AS changed_at
+        FROM events
+        WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 3 DAY
+        ORDER BY changed_at DESC, change_id DESC
+        LIMIT 50
+    """,
+    covers=("T9", "W4", "F10"),
+    doc="Recent-changes audit feed (window filter + ordered LIMIT). Ref query_temporal.py:71-110.",
+)
+def recent_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("now_ts"))
+    return (
+        events.join(F.broadcast(anchor))
+        .where(F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 3 DAYS"))
+        .select(
+            F.col("event_id").alias("change_id"),
+            "user_id",
+            F.col("event_type").alias("change_type"),
+            F.col("ts").alias("changed_at"),
+        )
+        .orderBy(F.desc("changed_at"), F.desc("change_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "soft_delete_candidates",
+    oracle=f"""
+        SELECT o.o_orderkey AS entity_key, o.o_totalprice AS amount
+        FROM orders o
+        WHERE o.o_orderdate < TIMESTAMP '{_OLD_END}'
+          AND o.o_orderdate < TIMESTAMP '{_NEW_START}'
+    """,
+    covers=("T4", "T5"),
+    doc="Entities present in previous run but missing from current feed → soft-delete set. Ref temporal_loader.py:227-266.",
+)
+def soft_delete_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = _old_snapshot(orders)
+    new = _new_snapshot(orders)
+    return (
+        old.join(new, "entity_key", "left_anti")
+        .select("entity_key", F.col("old_amount").alias("amount"))
+    )

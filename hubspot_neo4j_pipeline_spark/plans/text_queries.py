@@ -1,0 +1,271 @@
+"""Text-analysis / deduplication operators over the `documents` table.
+
+These are the training-data-pipeline operators (exact dedup, near-dup,
+token stats, quality scoring, language ID, fingerprinting). All hot-path
+logic is JVM-side built-ins (split/filter/transform/sha2/xxhash64) —
+no Python UDFs. MinHash/SimHash are registered rows-only (the hash
+functions are engine-specific); their fidelity is pytest-verified
+against exact Jaccard in tests/.
+
+Cross-engine determinism: ratios use floor(x*10000)/10000 (identical
+double ops in both engines) instead of round(), whose tie-breaking
+differs between engines.
+
+Scale notes: every dedup/near-dup below is bucket-structured (hash
+groupBy or LSH band join) — never an all-pairs crossJoin; at 100 TB the
+shuffle key is the content hash / band hash, which is uniformly
+distributed by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import register
+
+
+def _rate4(col):
+    """Deterministic 4-decimal truncation (identical in Spark & DuckDB)."""
+    return F.floor(col * 10000) / 10000
+
+
+@register(
+    "doc_exact_dedup",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, sha256(text) AS content_hash FROM documents
+        ), groups AS (
+            SELECT content_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
+            FROM hashed GROUP BY content_hash
+        )
+        SELECT count(*) AS n_groups,
+               sum(n_copies) AS n_docs,
+               sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_duplicates
+        FROM groups
+    """,
+    covers=("D1", "D2", "D3"),
+    doc="Exact dedup via content-hash groupBy: canonical id per group, duplicate counts. Scale: shuffle on sha256 — uniform.",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+    )
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)
+        ).alias("n_duplicates"),
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+               floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) * 10000) / 10000 AS ttr
+        FROM documents
+    """,
+    covers=("P1", "F4"),
+    doc="Token counting + type-token ratio per document (whitespace tokenizer, JVM-side).",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_unique = F.size(F.array_distinct(words))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        n_unique.alias("n_unique_tokens"),
+        _rate4(n_unique.cast("double") / n_tokens).alias("ttr"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents
+        )
+        SELECT doc_id,
+               len(words) AS n_tokens,
+               len(list_filter(words, w -> w = 'the' OR w = 'a')) AS n_stopwords,
+               floor(CAST(len(list_filter(words, w -> w = 'the' OR w = 'a')) AS DOUBLE)
+                     / len(words) * 10000) / 10000 AS stopword_ratio,
+               CAST(n_chars AS DOUBLE) / len(words) AS avg_token_len,
+               CASE WHEN len(words) >= 20
+                         AND len(list_filter(words, w -> w = 'the' OR w = 'a')) > 0
+                    THEN 'keep' ELSE 'flag' END AS quality_verdict
+        FROM toks
+    """,
+    covers=("P5", "A8"),
+    doc="Heuristic quality scoring: length / stopword-density gates (C4-style filters, JVM array exprs).",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.size(F.filter(words, lambda w: (w == "the") | (w == "a")))
+    n = F.size(words)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop.alias("n_stopwords"),
+        _rate4(stop.cast("double") / n).alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / n).alias("avg_token_len"),
+        F.when((n >= 20) & (stop > 0), "keep").otherwise("flag").alias("quality_verdict"),
+    )
+
+
+@register(
+    "doc_language_id",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w = 'the' OR w = 'a' OR w = 'of'))
+                       AS en_hits,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT labeled_lang,
+               CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens > 0.05
+                    THEN 'en' ELSE 'other' END AS predicted_lang,
+               count(*) AS n_docs
+        FROM scored GROUP BY labeled_lang, predicted_lang
+    """,
+    covers=("P5", "A9"),
+    doc="N-gram/stopword-density language ID vs labeled lang (confusion counts).",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    en_hits = F.size(
+        F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of"))
+    )
+    pred = F.when(
+        en_hits.cast("double") / F.size(words) > 0.05, "en"
+    ).otherwise("other")
+    return (
+        docs.select(F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+                   AS head_fingerprint,
+               sha256(lower(trim(text))) AS normalized_hash
+        FROM documents
+    """,
+    covers=("F9", "D1"),
+    doc="Document fingerprinting: head-shingle md5 + normalized full hash.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(words, 1, 8), " ")).alias("head_fingerprint"),
+        F.sha2(F.lower(F.trim("text")), 256).alias("normalized_hash"),
+    )
+
+
+@register(
+    "doc_shingle_candidates",
+    oracle="""
+        WITH shingled AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))
+                   ))) AS shingle
+            FROM documents
+        ), buckets AS (
+            SELECT shingle, list_sort(list(doc_id)) AS docs, count(*) AS n
+            FROM shingled GROUP BY shingle
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_shingles
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 3
+    """,
+    covers=("D1", "J1"),
+    doc="Near-dup candidate pairs via shared 5-gram shingles (bucket join on shingle hash, never crossJoin).",
+)
+def doc_shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    # 5-gram shingles, md5-hashed, distinct per doc; bucket-join on shingle.
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 4),
+                    lambda i: F.md5(F.array_join(F.slice(words, i, 5), " ")),
+                )
+            )
+        ).alias("shingle"),
+    )
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH and SimHash near-dup: Spark-only (engine-specific hashes) —
+# registered rows-only; accuracy is pytest-verified vs exact Jaccard.
+# Implementations live in operators/dedup.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_minhash_lsh_pairs",
+    oracle=None,
+    covers=("D1",),
+    doc="MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup pairs with verified Jaccard ≥ 0.5. Rows-only check; pytest verifies vs exact Jaccard.",
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "doc_simhash",
+    oracle=None,
+    covers=("D1",),
+    doc="64-bit SimHash per document (token-hash bit voting, JVM-side). Rows-only check.",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, id_col="doc_id", text_col="text")

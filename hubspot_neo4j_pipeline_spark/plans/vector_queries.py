@@ -1,0 +1,194 @@
+"""Vector similarity-search operators over the `embeddings` table
+(64-dim float vectors).
+
+Cross-engine float determinism: dot products / norms are computed as
+**sequential left folds over the array in element order, in double
+precision** in BOTH engines (Spark ``aggregate``/``zip_with``, DuckDB
+``list_reduce``/``list_transform``). Identical op order ⇒ bit-identical
+doubles ⇒ hash-stable results without rounding fudge.
+
+Scale notes: brute-force top-k is the correctness baseline (query-side
+broadcast, fact side streamed — at 100 TB you bound the query set, not
+the corpus). The scale path is LSH bucketing (`ann_lsh_topk`): random-
+hyperplane signatures shrink the candidate set to same-bucket vectors,
+a bucket-key equi-join — never an all-pairs crossJoin. IVF-style
+assignment (`ivf_assignment`) partitions the corpus by nearest seed so
+per-partition search is local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import register
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+@register(
+    "vector_norms",
+    oracle="""
+        SELECT vec_id, label,
+               sqrt(list_reduce(list_transform(embedding,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                (a, b) -> a + b)) AS l2_norm
+        FROM embeddings
+    """,
+    covers=("F4",),
+    doc="L2 norm per embedding via in-order double fold (bit-identical across engines).",
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", _norm(_as_double("embedding")).alias("l2_norm"))
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, e AS qe,
+                   sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS qn
+            FROM v WHERE vec_id < 5
+        ), pairs AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> qe[i] * e[i]), (a,b) -> a+b)
+                   / (qn * sqrt(list_reduce(list_transform(e, x -> x*x),
+                                            (a,b) -> a+b))) AS cosine
+            FROM q JOIN v ON v.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pairs)
+        WHERE rank <= 10
+    """,
+    covers=("J1", "W2"),
+    doc="Brute-force cosine top-10 for 5 query vectors: broadcast query side, stream corpus, TakeOrdered per query.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        _norm("e").alias("qn"),
+    )
+    pairs = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("qe", "e") / (F.col("qn") * _norm("e"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    "ivf_assignment",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), seeds AS (
+            SELECT label AS seed_label, e AS se FROM v
+            WHERE vec_id IN (SELECT min(vec_id) FROM v GROUP BY label)
+        ), dists AS (
+            SELECT v.vec_id, v.label, s.seed_label,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> (v.e[i] - s.se[i]) * (v.e[i] - s.se[i])),
+                               (a,b) -> a+b) AS d2
+            FROM v CROSS JOIN seeds s
+        ), assigned AS (
+            SELECT vec_id, label, seed_label FROM (
+                SELECT vec_id, label, seed_label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, seed_label) AS rn
+                FROM dists)
+            WHERE rn = 1
+        )
+        SELECT label, seed_label AS assigned_partition, count(*) AS n_vectors
+        FROM assigned GROUP BY label, seed_label
+    """,
+    covers=("J1", "A9"),
+    doc="IVF-style partition assignment: nearest deterministic seed (min vec_id per label) by L2; corpus partitions locally for per-cell ANN search.",
+)
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    seed_ids = v.groupBy("label").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
+    seeds = v.join(seed_ids, "vec_id", "left_semi").select(
+        F.col("label").alias("seed_label"), F.col("e").alias("se")
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "se", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    dists = v.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "label", "seed_label", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "seed_label")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return assigned.groupBy(
+        "label", F.col("seed_label").alias("assigned_partition")
+    ).agg(F.count("*").alias("n_vectors"))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,
+    covers=("J1", "W2"),
+    doc="LSH-bucketed ANN: 8 random-hyperplane sign bits (hyperplanes = vectors 0-7) → bucket equi-join → per-query cosine top-k within bucket. Rows-only check; pytest verifies recall vs brute force.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=10, n_planes=8)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,
+    covers=("P6",),
+    doc="Multimodal plumbing demo: text → opaque binary payload + typed metadata → Arrow-batched mapInPandas feature extraction (decode step stubbed deterministically). Rows-only check.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(docs)

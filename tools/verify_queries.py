@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered Spark query and its DuckDB oracle at a given SF
+and compares: row count, sorted column names, and exact cell values
+(rows sorted by all columns). Stricter than a hash compare — if this
+passes, any order-insensitive value hash matches too.
+
+Usage: python tools/verify_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _cells_equal(a, b) -> bool:
+    an, bn = pd.isna(a), pd.isna(b)
+    if an or bn:
+        return bool(an) == bool(bn)
+    if isinstance(a, float) or isinstance(b, float):
+        return float(a) == float(b) or (math.isnan(float(a)) and math.isnan(float(b)))
+    return a == b
+
+
+def compare(name: str, spark_df, oracle_df) -> list[str]:
+    problems: list[str] = []
+    s, o = _normalize(spark_df), _normalize(oracle_df)
+    if list(s.columns) != list(o.columns):
+        return [f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"]
+    if len(s) != len(o):
+        return [f"row count differs: spark={len(s)} oracle={len(o)}"]
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(sv, ov)) if not _cells_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(
+                f"col {c}: {len(bad)}/{len(sv)} cells differ; first at row {i}: "
+                f"spark={x!r} oracle={y!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from hubspot_neo4j_pipeline_spark.plans import get_oracles, get_queries
+    from hubspot_neo4j_pipeline_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = get_queries(), get_oracles()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name} ({len(sdf)} rows):")
+            for p in problems:
+                print(f"    {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sdf)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
