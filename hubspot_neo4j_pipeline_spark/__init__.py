@@ -4,11 +4,12 @@ capabilities of the reference CRM graph pipeline
 
 Layout:
     session     -- SparkSession factory (AQE, UTC, arrow, shuffle sizing)
-    schemas     -- StructType definitions for raw feeds + node/edge tables
-    sources/    -- readers (parquet test tables, JSON entity feeds) + sinks
-    functions/  -- scalar/column function library (cleaning, text, vectors)
-    operators/  -- transforms (bronze->silver), SCD2/CDC, dedup, similarity
-    plans/      -- the reporting query library (the judged surface)
+    sources/    -- readers: parquet test tables (tpch), JSON entity
+                   feeds + StructType schemas (feeds)
+    functions/  -- scalar/column function library (cleaning F1-F10)
+    operators/  -- transforms (bronze->silver P1-P8), SCD2/CDC, entity
+                   matching, dedup, similarity, multimodal, sinks
+    plans/      -- the registered query library (the judged surface)
     streaming/  -- structured-streaming variants of the event analytics
 """
 

@@ -64,14 +64,13 @@ def minhash_signature(
     with_sh = df.select(id_col, shingle_set(text_col).alias("shingles")).where(
         F.size("shingles") > 0
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(n_perms)
-        ]
-    )
+
+    def _perm_min(i: int):
+        # NOTE: arity-1 lambda required — a two-param lambda would be
+        # interpreted by Spark as (element, index) and drop the seed.
+        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(i))))
+
+    sig = F.array(*[_perm_min(i) for i in range(n_perms)])
     return with_sh.withColumn("sig", sig)
 
 

@@ -69,38 +69,48 @@ def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector.
+    """Multi-table random-hyperplane LSH: one (table_id, bucket) row per
+    vector per table (OR-construction).
 
-    Hyperplanes are the first n_planes vectors by id — deterministic,
-    data-derived, no RNG (reproducible across runs/partitions). Bucket
-    = packed sign bits of dot(v, plane_j).
+    A single b-plane table recalls a cos≈0.4 neighbor with prob
+    (1-θ/π)^b ≈ 0.63^b — hopeless for b=8. AND over `planes_per_table`
+    bits × OR over `n_tables` tables gives 1-(1-0.63^4)^8 ≈ 0.75 recall
+    with bounded candidate sets. Hyperplanes are the first
+    n_tables×planes_per_table vectors by id — deterministic,
+    data-derived, no RNG.
     """
+    n_planes = n_tables * planes_per_table
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("e"))
     planes = (
         v.orderBy("_id")
         .limit(n_planes)
         .select(F.col("_id").alias("plane_rank"), F.col("e").alias("pe"))
     )
-    # rank planes 0..n-1 by id so bit positions are stable
     wp = Window.orderBy("plane_rank")
-    planes = planes.withColumn("bit", F.row_number().over(wp) - 1).select("bit", "pe")
+    planes = (
+        planes.withColumn("idx", F.row_number().over(wp) - 1)
+        .select(
+            (F.col("idx") / planes_per_table).cast("int").alias("table_id"),
+            (F.col("idx") % planes_per_table).alias("bit"),
+            "pe",
+        )
+    )
     scored = v.join(F.broadcast(planes)).select(
         "_id",
         "e",
-        "bit",
-        F.when(dot("e", "pe") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("sign"),
+        "table_id",
+        (
+            F.when(dot("e", "pe") >= 0, F.lit(1)).otherwise(F.lit(0))
+            * F.pow(F.lit(2.0), F.col("bit")).cast("long")
+        ).alias("bit_val"),
     )
     return (
-        scored.groupBy("_id")
-        .agg(
-            F.sum(F.col("sign") * F.pow(F.lit(2.0), F.col("bit")).cast("long")).alias(
-                "bucket"
-            ),
-            F.first("e").alias("e"),
-        )
-        .select(F.col("_id").alias(id_col), "bucket", "e")
+        scored.groupBy("_id", "table_id")
+        .agg(F.sum("bit_val").alias("bucket"), F.first("e").alias("e"))
+        .select(F.col("_id").alias(id_col), "table_id", "bucket", "e")
     )
 
 
@@ -109,23 +119,22 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
     n_queries: int = 100,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to same-LSH-bucket
-    vectors (equi-join on bucket key). Queries = first n_queries ids."""
-    bucketed = lsh_buckets(df, id_col, vec_col, n_planes)
+    """Approximate top-k: candidates = vectors sharing any table's
+    bucket with the query (equi-join on (table_id, bucket), dedup,
+    rank by exact cosine). Queries = first n_queries ids."""
+    bucketed = lsh_buckets(df, id_col, vec_col, n_tables, planes_per_table)
     queries = bucketed.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col("bucket"),
-        F.col("e").alias("qe"),
+        F.col(id_col).alias("query_id"), "table_id", "bucket", F.col("e").alias("qe")
     )
-    cands = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), "bucket", "e"
-    )
+    cands = bucketed.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket", "e")
     pairs = (
-        cands.join(F.broadcast(queries), "bucket")
+        cands.join(F.broadcast(queries), ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", cosine("qe", "e").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -852,7 +852,7 @@ def clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lower(F.trim("c_mktsegment")), F.lit("@example.com")).alias("email"),
         F.concat_ws(" ", "c_name", "c_mktsegment").alias("full_name"),
         F.coalesce(
-            F.regexp_extract("c_name", "([0-9]+)", 1).cast("int"), F.lit(0)
+            F.regexp_extract("c_name", "([0-9]+)", 1).try_cast("int"), F.lit(0)
         ).alias("contact_num"),
         F.coalesce("c_acctbal", F.lit(0.0)).alias("balance"),
     )

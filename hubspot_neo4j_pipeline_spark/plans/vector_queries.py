@@ -172,13 +172,13 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     oracle=None,
     covers=("J1", "W2"),
-    doc="LSH-bucketed ANN: 8 random-hyperplane sign bits (hyperplanes = vectors 0-7) → bucket equi-join → per-query cosine top-k within bucket. Rows-only check; pytest verifies recall vs brute force.",
+    doc="Multi-table LSH ANN (8 tables × 4 hyperplane bits, OR-construction): bucket equi-join shrinks candidates, exact cosine ranks them. Rows-only check; pytest verifies recall vs brute force.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=10, n_planes=8)
+    return lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=10)
 
 
 @register(

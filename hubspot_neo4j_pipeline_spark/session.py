@@ -30,9 +30,13 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the singleton SparkSession.
 
+    NOTE: getOrCreate() semantics — if a session already exists in
+    this process, it is returned as-is and cpus/shuffle_partitions/
+    extra_conf are IGNORED. Callers that need specific configs (bench)
+    must be the first to create the session in their process.
+
     In local mode ``spark.driver.memory`` is the whole JVM; keep the
-    default unless the caller overrides via extra_conf (tests run fine
-    with the default, bench sets it up).
+    default unless the caller overrides via extra_conf.
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)

