@@ -23,7 +23,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SHINGLE = 5
-DEFAULT_PERMS = 32
+# 8 bands × 2 rows: band-collision prob J^2 per band → recall at the
+# 0.5-Jaccard threshold is 1-(1-0.25)^8 ≈ 0.90 (4-row bands would give
+# only 0.40); false candidates are removed by exact verification.
+DEFAULT_PERMS = 16
 DEFAULT_BANDS = 8  # bands × rows_per_band == n_perms
 
 
@@ -64,14 +67,25 @@ def minhash_signature(
     with_sh = df.select(id_col, shingle_set(text_col).alias("shingles")).where(
         F.size("shingles") > 0
     )
+    # One string hash per shingle, then n_perms universal-hash
+    # permutations (a·h+b mod p) over the 31-bit base hash — tiny
+    # arithmetic expressions instead of n_perms inlined xxhash64
+    # routines (which dominate whole-stage-codegen compile time).
+    # The mod is essential: without it a·h+b is monotone in h and every
+    # permutation would pick the same argmin shingle.
+    base = F.transform("shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)))
+    MERSENNE = 2147483647  # 2^31 - 1
 
     def _perm_min(i: int):
-        # NOTE: arity-1 lambda required — a two-param lambda would be
-        # interpreted by Spark as (element, index) and drop the seed.
-        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(i))))
+        a, b = 2 * i + 1, (i * 40503) % MERSENNE + 7
+        # NOTE: arity-1 lambda — a two-param lambda would be read by
+        # Spark as (element, index) and drop the closure seed.
+        return F.array_min(
+            F.transform("hs", lambda h: (h * a + b) % MERSENNE)
+        )
 
     sig = F.array(*[_perm_min(i) for i in range(n_perms)])
-    return with_sh.withColumn("sig", sig)
+    return with_sh.withColumn("hs", base).withColumn("sig", sig).drop("hs")
 
 
 def minhash_lsh_pairs(
@@ -89,10 +103,15 @@ def minhash_lsh_pairs(
     Jaccard is then computed from the shingle sets of candidates only.
     """
     rows = n_perms // n_bands
-    sigs = minhash_signature(df, id_col, text_col, n_perms)
+    # cache: the signature plan (n_perms array transforms) feeds three
+    # downstream joins; caching cuts the expression tree so Catalyst
+    # analyzes the big plan once, not once per consumer.
+    sigs = minhash_signature(df, id_col, text_col, n_perms).cache()
+    # Bands carry ONLY (id, band_id, band_hash) into the self-join —
+    # shingle arrays would multiply the shuffle volume by the band
+    # count; they re-attach after candidate pairs are deduped.
     bands = sigs.select(
         id_col,
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -106,31 +125,27 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "shingles", "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_hash")
 
-    a = bands.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_id",
-        "band_hash",
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_id",
-        "band_hash",
-    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     candidates = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = candidates.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jaccard = inter.cast("double") / union
     return (
-        candidates.select("id_a", "id_b", jaccard.alias("jaccard"))
+        pairs.select("id_a", "id_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
