@@ -770,23 +770,26 @@ def edge_endpoint_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def staged_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
+    # Pre-aggregate the match target per join key BEFORE broadcasting:
+    # min-per-group then join ≡ join then min-per-customer, but the
+    # broadcast side is bounded (≤25 / ≤10 rows) at any SF.
+    s_by_nation = supplier.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.min("s_suppkey").alias("matched_key")
+    )
+    s_by_mod = supplier.groupBy((F.col("s_suppkey") % 10).alias("k")).agg(
+        F.min("s_suppkey").alias("matched_key")
+    )
     primary = (
         customer.where(F.col("c_acctbal") > 0)
-        .join(F.broadcast(supplier), customer.c_nationkey == supplier.s_nationkey)
-        .groupBy(F.col("c_custkey").alias("contact_key"))
-        .agg(F.min("s_suppkey").alias("matched_key"))
+        .join(F.broadcast(s_by_nation), customer.c_nationkey == s_by_nation.k)
+        .select(F.col("c_custkey").alias("contact_key"), "matched_key")
     )
     unmatched = customer.join(
         primary, customer.c_custkey == primary.contact_key, "left_anti"
     )
-    fallback = (
-        unmatched.join(
-            F.broadcast(supplier),
-            unmatched.c_custkey % 10 == supplier.s_suppkey % 10,
-        )
-        .groupBy(F.col("c_custkey").alias("contact_key"))
-        .agg(F.min("s_suppkey").alias("matched_key"))
-    )
+    fallback = unmatched.join(
+        F.broadcast(s_by_mod), unmatched.c_custkey % 10 == s_by_mod.k
+    ).select(F.col("c_custkey").alias("contact_key"), "matched_key")
     return primary.withColumn("match_type", F.lit("primary")).unionByName(
         fallback.withColumn("match_type", F.lit("fallback"))
     )

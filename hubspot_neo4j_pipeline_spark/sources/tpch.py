@@ -37,9 +37,10 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Dimension tables small enough to broadcast at any realistic SF —
-# used by plans/ to pick join strategies.
-BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
+# Constant-size dimensions (5 / 25 rows at every SF) — always safe to
+# broadcast. supplier/part/customer GROW with SF: broadcast them only
+# as pre-aggregated partials, or let AQE's size threshold decide.
+BROADCAST_DIMS = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
