@@ -62,3 +62,45 @@ def test_sessionize_batch_sanity(events):
         rs.sort(key=lambda r: r["session_start"])
         for a, b in zip(rs, rs[1:]):
             assert a["session_end"] < b["session_start"]
+
+
+def test_stateful_running_stats_stream_equals_batch(spark, events, tmp_path_factory):
+    """applyInPandasWithState: after the stream drains, per-key state
+    must equal the batch aggregate (update-mode emits one row per key
+    per batch; the LAST row per key is the final state)."""
+    from pyspark.sql import Window
+    from hubspot_neo4j_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+        running_user_stats_batch,
+    )
+
+    src = str(tmp_path_factory.mktemp("stateful_src"))
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = running_user_stats(read_event_stream(spark, src))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # final state = last emitted row per user (monotone n_events)
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, total_value, last_seen FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+            FROM stateful_test) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["user_id"]: r for r in out}
+    expected = {r["user_id"]: r for r in running_user_stats_batch(events).collect()}
+    assert set(got) == set(expected)
+    for uid, exp in expected.items():
+        assert got[uid]["n_events"] == exp["n_events"]
+        assert abs(got[uid]["total_value"] - exp["total_value"]) < 1e-6
+        assert got[uid]["last_seen"] == exp["last_seen"]
