@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the invariants the golden
+tests check pointwise:
+
+- SCD2 merge: changelog partitions the key space correctly, re-run is
+  always a fixed point, live-row count equals the incoming snapshot
+  size, history rows always close with valid_to = now.
+- MinHash-verified Jaccard always equals exact shingle Jaccard.
+- Edge diff: added ∪ removed is consistent with set difference and a
+  re-diff of the result is empty.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hubspot_neo4j_pipeline_spark.operators.dedup import shingle_set
+from hubspot_neo4j_pipeline_spark.operators.scd2 import (
+    diff_edges,
+    scd2_merge,
+    with_temporal_fields,
+)
+
+T0, T1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+# entity snapshots: key → (name, stage) over a small closed key space
+snapshot = st.dictionaries(
+    st.sampled_from([f"k{i}" for i in range(8)]),
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.sampled_from(["x", "y"])),
+    max_size=8,
+)
+
+prop_settings = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, snap: dict):
+    rows = [(k, v[0], v[1]) for k, v in sorted(snap.items())]
+    return spark.createDataFrame(rows, "hubspot_id string, name string, stage string")
+
+
+@prop_settings
+@given(old=snapshot, new=snapshot)
+def test_scd2_merge_invariants(spark, old, new):
+    current = with_temporal_fields(_df(spark, old), T0)
+    res = scd2_merge(current, _df(spark, new), key="hubspot_id", now=T1)
+
+    log = {r["hubspot_id"]: r["change_type"] for r in res.changelog.collect()}
+    expected = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expected[k] = "new"
+        elif k not in new:
+            expected[k] = "deleted"
+        elif old[k] != new[k]:
+            expected[k] = "updated"
+    assert log == expected
+
+    cur = res.current.collect()
+    live = [r for r in cur if r["is_current"] and not r["is_deleted"]]
+    assert {r["hubspot_id"] for r in live} == set(new)
+    assert all(str(r["valid_to"]).startswith("2024-02-01") for r in res.history.collect())
+
+    # fixed point: merging the same snapshot again changes nothing
+    rerun = scd2_merge(res.current, _df(spark, new), key="hubspot_id", now="2024-03-01 00:00:00")
+    assert rerun.changelog.count() == 0
+    assert rerun.history.count() == 0
+
+
+edge_set = st.sets(
+    st.tuples(st.sampled_from(["OWNED_BY", "WORKS_AT"]), st.sampled_from("abcd"), st.sampled_from("uvw")),
+    max_size=10,
+)
+
+
+@prop_settings
+@given(old=edge_set, new=edge_set)
+def test_edge_diff_invariants(spark, old, new):
+    schema = "rel_type string, from_id string, to_id string"
+    old_df = spark.createDataFrame(sorted(old) or [("OWNED_BY", "_", "_")], schema)
+    new_df = spark.createDataFrame(sorted(new) or [("OWNED_BY", "_", "_")], schema)
+    old_set = old or {("OWNED_BY", "_", "_")}
+    new_set = new or {("OWNED_BY", "_", "_")}
+
+    res = diff_edges(old_df, new_df, now=T1)
+    log = {
+        (r["rel_type"], r["from_id"], r["to_id"]): r["change_type"]
+        for r in res.changelog.collect()
+    }
+    assert {k for k, v in log.items() if v == "added"} == new_set - old_set
+    assert {k for k, v in log.items() if v == "removed"} == old_set - new_set
+    # re-diff of the produced state against itself is empty
+    assert diff_edges(res.edges, new_df, now=T1).changelog.count() == 0
+
+
+words = st.lists(st.sampled_from("the quick brown fox dog cat runs fast slow".split()), min_size=6, max_size=30)
+
+
+@prop_settings
+@given(a=words, b=words)
+def test_minhash_verified_jaccard_is_exact(spark, a, b):
+    from hubspot_neo4j_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(0, " ".join(a)), (1, " ".join(b))], ["doc_id", "text"])
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in docs.select("doc_id", shingle_set("text").alias("s")).collect()
+    }
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    if pairs:
+        exact = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+        assert abs(pairs[0]["jaccard"] - exact) < 1e-12
