@@ -29,6 +29,15 @@ DEFAULT_SHINGLE = 5
 DEFAULT_PERMS = 16
 DEFAULT_BANDS = 8  # bands × rows_per_band == n_perms
 
+MOD31 = 2147483648  # 2^31 — base-hash range
+MERSENNE = 2147483647  # 2^31 - 1 — universal-hash modulus
+
+
+def _perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation i of the (a·h+b) mod p
+    family — shared with the DuckDB oracle in plans/text_queries.py."""
+    return 2 * i + 1, (i * 40503) % MERSENNE + 7
+
 
 def _words(text_col: str | Column) -> Column:
     return F.split(text_col, " ")
@@ -67,22 +76,27 @@ def minhash_signature(
     with_sh = df.select(id_col, shingle_set(text_col).alias("shingles")).where(
         F.size("shingles") > 0
     )
-    # One string hash per shingle, then n_perms universal-hash
-    # permutations (a·h+b mod p) over the 31-bit base hash — tiny
-    # arithmetic expressions instead of n_perms inlined xxhash64
-    # routines (which dominate whole-stage-codegen compile time).
-    # The mod is essential: without it a·h+b is monotone in h and every
-    # permutation would pick the same argmin shingle.
-    base = F.transform("shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)))
-    MERSENNE = 2147483647  # 2^31 - 1
+    # One base hash per shingle, then n_perms universal-hash
+    # permutations (a·h+b mod p) over the 31-bit base — tiny arithmetic
+    # expressions instead of n_perms inlined hash routines (which
+    # dominate whole-stage-codegen compile time). The mod is essential:
+    # without it a·h+b is monotone in h and every permutation would
+    # pick the same argmin shingle.
+    #
+    # Base = md5-derived integer, NOT xxhash64: md5 is computable
+    # identically in DuckDB (('0x'||substr(md5(s),1,15))::BIGINT), so
+    # the whole MinHash-LSH pipeline is oracle-checkable cross-engine.
+    base = F.transform(
+        "shingles",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MOD31,
+    )
 
     def _perm_min(i: int):
-        a, b = 2 * i + 1, (i * 40503) % MERSENNE + 7
+        a, b = _perm_coeffs(i)
         # NOTE: arity-1 lambda — a two-param lambda would be read by
         # Spark as (element, index) and drop the closure seed.
-        return F.array_min(
-            F.transform("hs", lambda h: (h * a + b) % MERSENNE)
-        )
+        return F.array_min(F.transform("hs", lambda h: (h * a + b) % MERSENNE))
 
     sig = F.array(*[_perm_min(i) for i in range(n_perms)])
     return with_sh.withColumn("hs", base).withColumn("sig", sig).drop("hs")
@@ -117,8 +131,16 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.hash(
-                            *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        # md5 over the joined band values — reproducible
+                        # in the DuckDB oracle (F.hash is Spark-internal)
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * rows + r + 1).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
                         ).alias("band_hash"),
                     )
                     for b in range(n_bands)
@@ -142,7 +164,9 @@ def minhash_lsh_pairs(
         sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # shingle arrays are distinct ⇒ |A∪B| = |A|+|B|-|A∩B| (same
+    # formulation as the DuckDB oracle, which lacks array_union)
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jaccard = inter.cast("double") / union
     return (
         pairs.select("id_a", "id_b", jaccard.alias("jaccard"))

@@ -239,17 +239,79 @@ def doc_shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH and SimHash near-dup: Spark-only (engine-specific hashes) —
-# registered rows-only; accuracy is pytest-verified vs exact Jaccard.
-# Implementations live in operators/dedup.py.
+# MinHash-LSH near-dup — FULLY oracle-checked: the base hash is
+# md5-derived (('0x'||substr(md5(s),1,15))::BIGINT) and permutations /
+# band hashes are plain arithmetic + md5, so DuckDB reproduces the
+# entire pipeline bit-for-bit. SimHash stays rows-only (64 bit-vote
+# aggregates are impractical in one SQL statement).
 # ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    from ..operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_PERMS,
+        MERSENNE,
+        MOD31,
+        _perm_coeffs,
+    )
+
+    rows = DEFAULT_PERMS // DEFAULT_BANDS
+    sig_exprs = ",\n                   ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE})) AS s{i}"
+        for i, (a, b) in ((i, _perm_coeffs(i)) for i in range(DEFAULT_PERMS))
+    )
+    band_rows = "\n            UNION ALL\n".join(
+        "            SELECT doc_id, shingles, {b} AS band_id, "
+        "md5(concat_ws('|', {cols})) AS band_hash FROM sigs".format(
+            b=b,
+            cols=", ".join(f"s{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(DEFAULT_BANDS)
+    )
+    return f"""
+        WITH shingled AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+                   )) AS shingles
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ), hashed AS (
+            SELECT doc_id, shingles,
+                   list_transform(shingles,
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {MOD31})
+                       AS hs
+            FROM shingled
+        ), sigs AS (
+            SELECT doc_id, shingles,
+                   {sig_exprs}
+            FROM hashed
+        ), bands AS (
+{band_rows}
+        ), candidates AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.shingles AS sh_a, b.shingles AS sh_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                   AS jaccard
+        FROM (SELECT DISTINCT id_a, id_b, sh_a, sh_b FROM candidates)
+        WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.5
+    """
 
 
 @register(
     "doc_minhash_lsh_pairs",
-    oracle=None,
+    oracle=_minhash_oracle(),
     covers=("D1",),
-    doc="MinHash(32 perms) + LSH(8 bands × 4 rows) near-dup pairs with verified Jaccard ≥ 0.5. Rows-only check; pytest verifies vs exact Jaccard.",
+    doc="MinHash(16 perms, md5-based universal-hash family) + LSH(8 bands × 2 rows) near-dup pairs with verified Jaccard ≥ 0.5 — full cross-engine oracle.",
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
