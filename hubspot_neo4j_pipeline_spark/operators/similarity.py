@@ -114,6 +114,79 @@ def lsh_buckets(
     )
 
 
+def ivf_seeds(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic IVF cell seeds: the min-id vector per label (no
+    RNG k-means — reproducible across runs; swap in trained centroids
+    at production scale)."""
+    v = df.select(F.col(id_col).alias("_id"), F.col(label_col).alias("cell"), as_double(vec_col).alias("e"))
+    seed_ids = v.groupBy("cell").agg(F.min("_id").alias("_id")).select("_id")
+    return v.join(seed_ids, "_id", "left_semi").select("cell", F.col("e").alias("se"))
+
+
+def ivf_assign(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its n_probe nearest seed cells by L2 —
+    the corpus partitioning step of IVF search."""
+    v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("e"))
+    d2 = F.aggregate(
+        F.zip_with("e", "se", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    dists = v.join(F.broadcast(seeds)).select("_id", "e", "cell", d2.alias("d2"))
+    w = Window.partitionBy("_id").orderBy("d2", "cell")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("_id").alias(id_col), "cell", "e")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    n_probe: int = 3,
+    n_queries: int = 100,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest cell
+    (n_probe=1); queries probe their n_probe nearest cells; candidates
+    are cell-mates only (equi-join on cell). Exact cosine ranks the
+    candidates."""
+    seeds = ivf_seeds(df, id_col, vec_col, label_col)
+    corpus = ivf_assign(df, seeds, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), "cell", "e"
+    )
+    queries = (
+        ivf_assign(df.where(F.col(id_col) < n_queries), seeds, id_col, vec_col, n_probe=n_probe)
+        .select(F.col(id_col).alias("query_id"), "cell", F.col("e").alias("qe"))
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine("qe", "e").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -169,6 +169,55 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), seeds AS (
+            SELECT label AS cell, e AS se FROM v
+            WHERE vec_id IN (SELECT min(vec_id) FROM v GROUP BY label)
+        ), assigned AS (
+            SELECT vec_id, e, cell, rn FROM (
+                SELECT v.vec_id, v.e, s.cell,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           list_reduce(list_transform(generate_series(1, 64),
+                               i -> (v.e[i] - s.se[i]) * (v.e[i] - s.se[i])),
+                               (a,b) -> a+b), s.cell) AS rn
+                FROM v CROSS JOIN seeds s)
+        ), corpus AS (
+            SELECT vec_id AS neighbor_id, cell, e FROM assigned WHERE rn = 1
+        ), queries AS (
+            SELECT vec_id AS query_id, cell, e AS qe FROM assigned
+            WHERE rn <= 3 AND vec_id < 20
+        ), pairs AS (
+            SELECT DISTINCT query_id, neighbor_id,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> qe[i] * e[i]), (a,b) -> a+b)
+                   / (sqrt(list_reduce(list_transform(qe, x -> x*x), (a,b) -> a+b))
+                      * sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)))
+                       AS cosine
+            FROM corpus JOIN queries USING (cell)
+            WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pairs)
+        WHERE rank <= 10
+    """,
+    covers=("J1", "W2", "A9"),
+    doc="IVF ANN search: corpus partitioned by nearest deterministic seed, queries probe 3 cells, exact cosine ranks cell-mates — full cross-engine oracle.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=10, n_probe=3, n_queries=20)
+
+
+@register(
     "ann_lsh_topk",
     oracle=None,
     covers=("J1", "W2"),

@@ -1,0 +1,81 @@
+"""Salted-join / two-phase-distinct equivalence and IVF ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hubspot_neo4j_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_seeds,
+    ivf_topk,
+)
+from hubspot_neo4j_pipeline_spark.operators.skew import (
+    salted_join,
+    two_phase_count_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of fact rows hit key 0 (hot), the rest spread over 1..9
+    rows = [(i % 10 if i % 10 > 0 and i % 3 == 0 else 0, i) for i in range(3000)]
+    fact = spark.createDataFrame(rows, ["k", "payload"])
+    dim = spark.createDataFrame([(i, f"dim{i}") for i in range(10)], ["k", "name"])
+    return fact, dim
+
+
+def test_salted_join_equals_plain_join(skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, "k").groupBy("k", "name").agg(F.count("*").alias("n"))
+    salted = salted_join(fact, dim, "k").groupBy("k", "name").agg(F.count("*").alias("n"))
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_join_left_outer(skewed):
+    fact, dim = skewed
+    dim_partial = dim.where("k < 5")
+    plain = fact.join(dim_partial, "k", "left").where("name IS NULL").count()
+    salted = salted_join(fact, dim_partial, "k", how="left").where("name IS NULL").count()
+    assert plain == salted
+
+
+def test_two_phase_count_distinct(skewed):
+    fact, _ = skewed
+    df = fact.withColumn("v", F.col("payload") % 50)
+    expect = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    got = {r["k"]: r["n_distinct"] for r in two_phase_count_distinct(df, "k", "v").collect()}
+    assert got == expect
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_assignment_covers_corpus(emb):
+    seeds = ivf_seeds(emb)
+    assert seeds.count() == 10  # one per label
+    assigned = ivf_assign(emb, seeds, n_probe=1)
+    assert assigned.count() == emb.count()
+    assert assigned.select("cell").distinct().count() <= 10
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    k = 10
+    q = emb.where("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+    approx = ivf_topk(emb, k=k, n_probe=3, n_queries=20).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & pairs) / len(truth)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    for qid in {r["query_id"] for r in approx}:
+        ranks = sorted(r["rank"] for r in approx if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
