@@ -196,32 +196,33 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document via token-hash bit voting.
+SIMHASH_BITS = 60  # md5-derived 15-hex-digit base → fits signed 64 w/o sign tricks
 
-    explode(tokens) → xxhash64 → per-bit ±1 votes aggregated per doc
-    (map-side combinable) → sign bits packed into one BIGINT.
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document via token-hash bit voting.
+
+    explode(tokens) → md5-derived 60-bit hash → per-bit ±1 votes
+    aggregated per doc (map-side combinable) → sign bits packed into
+    one BIGINT. The md5 base makes the whole computation reproducible
+    in the DuckDB oracle (plans/text_queries.py).
     """
     toks = df.select(id_col, F.explode(_words(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ]
     )
     packed = reduce(
         lambda acc, j: acc
-        + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0),
-        range(63),
+        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0),
+        range(SIMHASH_BITS),
         F.lit(0).cast("long"),
     )
-    # bit 63 would overflow signed long via (1 << 63); fold it in as the sign bit
-    packed = packed + F.when(
-        F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")
-    ).otherwise(0)
     return votes.select(id_col, packed.alias("simhash"))
 
 
@@ -229,7 +230,7 @@ def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-bucketed
-    on 16-bit chunks (a pair within Hamming≤3 of 4 chunks must share
+    on 15-bit chunks (a pair within Hamming≤3 of 4 chunks must share
     at least one exact chunk — pigeonhole)."""
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
@@ -240,8 +241,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", c * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("chunk"),
                     )
                     for c in range(4)

@@ -320,11 +320,38 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
 
 
+def _simhash_oracle() -> str:
+    from ..operators.dedup import SIMHASH_BITS
+
+    vote_cols = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM toks
+        ), votes AS (
+            SELECT doc_id,
+                   {vote_cols}
+            FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, {pack} AS simhash FROM votes
+    """
+
+
 @register(
     "doc_simhash",
-    oracle=None,
+    oracle=_simhash_oracle(),
     covers=("D1",),
-    doc="64-bit SimHash per document (token-hash bit voting, JVM-side). Rows-only check.",
+    doc="60-bit SimHash per document (md5-derived token hashes, bit voting) — full cross-engine oracle.",
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash

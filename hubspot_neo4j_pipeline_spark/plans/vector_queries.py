@@ -219,9 +219,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    oracle=None,
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), planes AS (
+            SELECT CAST((row_number() OVER (ORDER BY vec_id) - 1) // 4 AS INT) AS table_id,
+                   (row_number() OVER (ORDER BY vec_id) - 1) % 4 AS bit,
+                   e AS pe
+            FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 32)
+        ), scored AS (
+            SELECT v.vec_id, v.e, p.table_id,
+                   CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                            i -> v.e[i] * p.pe[i]), (a,b) -> a+b) >= 0
+                        THEN CAST(power(2, p.bit) AS BIGINT) ELSE 0 END AS bit_val
+            FROM v CROSS JOIN planes p
+        ), bucketed AS (
+            SELECT vec_id, table_id, sum(bit_val) AS bucket, any_value(e) AS e
+            FROM scored GROUP BY vec_id, table_id
+        ), pairs AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> q.e[i] * c.e[i]), (a,b) -> a+b)
+                   / (sqrt(list_reduce(list_transform(q.e, x -> x*x), (a,b) -> a+b))
+                      * sqrt(list_reduce(list_transform(c.e, x -> x*x), (a,b) -> a+b)))
+                       AS cosine
+            FROM bucketed q JOIN bucketed c
+              ON q.table_id = c.table_id AND q.bucket = c.bucket
+            WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pairs)
+        WHERE rank <= 10
+    """,
     covers=("J1", "W2"),
-    doc="Multi-table LSH ANN (8 tables × 4 hyperplane bits, OR-construction): bucket equi-join shrinks candidates, exact cosine ranks them. Rows-only check; pytest verifies recall vs brute force.",
+    doc="Multi-table LSH ANN (8 tables × 4 hyperplane bits, OR-construction): bucket equi-join shrinks candidates, exact cosine ranks them — full cross-engine oracle; pytest additionally verifies recall vs brute force.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_topk
