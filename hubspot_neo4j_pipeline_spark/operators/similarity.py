@@ -114,6 +114,38 @@ def lsh_buckets(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold), candidates restricted to shared LSH buckets — the
+    vector-space sibling of MinHash near-dup, never an all-pairs
+    crossJoin. High-cosine pairs collide in some table with near
+    certainty (per-table miss prob (1-θ/π)^b with θ≈18° at 0.95)."""
+    # cache: the bucket plan (n_planes dot-folds) feeds both sides of
+    # the self-join; caching cuts the expression tree so Catalyst
+    # analyzes it once instead of once per join side.
+    bucketed = lsh_buckets(df, id_col, vec_col, n_tables, planes_per_table).cache()
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), "table_id", "bucket", F.col("e").alias("e_a")
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), "table_id", "bucket", F.col("e").alias("e_b")
+    )
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine("e_a", "e_b").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_seeds(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -199,7 +231,9 @@ def lsh_topk(
     """Approximate top-k: candidates = vectors sharing any table's
     bucket with the query (equi-join on (table_id, bucket), dedup,
     rank by exact cosine). Queries = first n_queries ids."""
-    bucketed = lsh_buckets(df, id_col, vec_col, n_tables, planes_per_table)
+    # cache: see embedding_near_dup_pairs — one analysis of the plane
+    # fold tree instead of one per consumer.
+    bucketed = lsh_buckets(df, id_col, vec_col, n_tables, planes_per_table).cache()
     queries = bucketed.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "table_id", "bucket", F.col("e").alias("qe")
     )

@@ -461,6 +461,43 @@ def get_deals_with_owners(g: GraphTables, limit: int = 100) -> DataFrame:
     )
 
 
+def get_contact_owner(g: GraphTables, email: str) -> DataFrame:
+    """Ref query_ownership.py:24-37: who owns this contact?"""
+    return (
+        _owned(g, "HUBSPOT_Contact", g.n("HUBSPOT_User"))
+        .where(F.col("email") == email)
+        .select(
+            F.col("email").alias("contact_email"),
+            name_concat("first_name", "last_name").alias("contact_name"),
+            "owner_name",
+            "owner_email",
+        )
+    )
+
+
+def get_company_owner(g: GraphTables, company_name: str) -> DataFrame:
+    """Ref query_ownership.py:39-52."""
+    return (
+        _owned(g, "HUBSPOT_Company", g.n("HUBSPOT_User"))
+        .where(F.col("name") == company_name)
+        .select(
+            F.col("name").alias("company_name"), "domain", "owner_name", "owner_email"
+        )
+    )
+
+
+def get_deal_owner(g: GraphTables, deal_name: str) -> DataFrame:
+    """Ref query_ownership.py:54-67."""
+    return (
+        _owned(g, "HUBSPOT_Deal", g.n("HUBSPOT_User"))
+        .where(F.col("name") == deal_name)
+        .select(
+            F.col("name").alias("deal_name"), "amount", "stage",
+            "owner_name", "owner_email",
+        )
+    )
+
+
 # -- README.md analytics examples ------------------------------------------
 
 

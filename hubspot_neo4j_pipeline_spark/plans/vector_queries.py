@@ -266,6 +266,49 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_pairs",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), planes AS (
+            SELECT CAST((row_number() OVER (ORDER BY vec_id) - 1) // 4 AS INT) AS table_id,
+                   (row_number() OVER (ORDER BY vec_id) - 1) % 4 AS bit,
+                   e AS pe
+            FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 32)
+        ), scored AS (
+            SELECT v.vec_id, v.e, p.table_id,
+                   CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                            i -> v.e[i] * p.pe[i]), (a,b) -> a+b) >= 0
+                        THEN CAST(power(2, p.bit) AS BIGINT) ELSE 0 END AS bit_val
+            FROM v CROSS JOIN planes p
+        ), bucketed AS (
+            SELECT vec_id, table_id, sum(bit_val) AS bucket, any_value(e) AS e
+            FROM scored GROUP BY vec_id, table_id
+        ), pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> a.e[i] * b.e[i]), (x,y) -> x+y)
+                   / (sqrt(list_reduce(list_transform(a.e, x -> x*x), (x,y) -> x+y))
+                      * sqrt(list_reduce(list_transform(b.e, x -> x*x), (x,y) -> x+y)))
+                       AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.table_id = b.table_id AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+    """,
+    covers=("D1", "J1"),
+    doc="Embedding-cosine near-dup pairs via shared LSH buckets (threshold 0.4 on this synthetic corpus) — full cross-engine oracle.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs as _pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pairs(emb, threshold=0.4)
+
+
+@register(
     "multimodal_features",
     oracle=None,
     covers=("P6",),

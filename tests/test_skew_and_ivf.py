@@ -79,3 +79,18 @@ def test_ivf_recall_vs_brute_force(emb):
     for qid in {r["query_id"] for r in approx}:
         ranks = sorted(r["rank"] for r in approx if r["query_id"] == qid)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_embedding_near_dup_pairs(emb):
+    from hubspot_neo4j_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(r["cosine"] >= 0.4 for r in pairs)
+    # symmetric determinism: re-run produces the identical pair set
+    again = embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (r["id_a"], r["id_b"]) for r in again
+    }
