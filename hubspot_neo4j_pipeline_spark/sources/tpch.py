@@ -43,7 +43,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = {"region", "nation"}
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs deterministic semantics depend on.
+
+    The caller (e.g. the verification driver) may hand us ITS OWN
+    SparkSession built without these:
+    - nanosAsLong: without it, reading events.parquet
+      (TIMESTAMP(NANOS)) throws PARQUET_TYPE_ILLEGAL;
+    - UTC session timezone: date_trunc/window/epoch results must match
+      the DuckDB oracle's naive-UTC timestamps regardless of the host
+      timezone.
+    Both are runtime-settable SQL confs; setting them is idempotent.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos-as-long -> microsecond timestamp (UTC, matches DuckDB's view)
