@@ -46,10 +46,8 @@ EDGE_COLUMNS = (
     "properties",
 )
 
-# Edge types excluded from change tracking (config/settings.py:79-86).
-IMMUTABLE_EDGE_TYPES = frozenset(
-    {"PERFORMED", "SUBMITTED_BY", "ON_PAGE", "FOR_CAMPAIGN", "CLICKED_URL", "VISITED"}
-)
+# Edge types excluded from change tracking live in operators.scd2
+# (IMMUTABLE_EDGE_TYPES) — single source of truth.
 
 
 def _p(name: str) -> Column:
