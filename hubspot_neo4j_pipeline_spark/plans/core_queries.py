@@ -989,7 +989,7 @@ def property_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quarterly_deal_trend",
     oracle="""
-        SELECT date_trunc('quarter', o_orderdate) AS quarter,
+        SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter,
                count(*) AS n_deals,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM orders GROUP BY date_trunc('quarter', o_orderdate)
