@@ -862,6 +862,56 @@ def clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "form_values_email_extraction",
+    oracle="""
+        WITH forms AS (
+            SELECT c_custkey AS contact_key,
+                   [{'name': 'referrer', 'value': c_name},
+                    {'name': CASE WHEN c_custkey % 3 = 0 THEN 'email' ELSE 'phone' END,
+                     'value': CASE WHEN c_custkey % 3 = 0
+                              THEN lower(trim(c_mktsegment)) || '@example.com'
+                              ELSE CAST(c_custkey AS VARCHAR) END}] AS vals
+            FROM customer
+        )
+        SELECT contact_key,
+               CASE WHEN len(list_filter(vals,
+                        v -> lower(v['name']) IN ('email', 'e_mail', 'email_address',
+                                                  'emailaddress', 'work_email')
+                             AND contains(v['value'], '@'))) > 0
+                    THEN lower(trim(list_filter(vals,
+                        v -> lower(v['name']) IN ('email', 'e_mail', 'email_address',
+                                                  'emailaddress', 'work_email')
+                             AND contains(v['value'], '@'))[1]['value']))
+                    ELSE NULL END AS extracted_email
+        FROM forms
+    """,
+    covers=("F5", "S9", "P8"),
+    doc="Email extraction from a form `values` array<struct<name,value>> (field-name synonyms + '@' validation). Ref extractors/form_submissions.py:213-231.",
+)
+def form_values_email_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import extract_email_from_values
+
+    customer = load_table(spark, sf_dir, "customer")
+    # synthesize the form `values` payload shape from customer columns
+    vals = F.array(
+        F.struct(F.lit("referrer").alias("name"), F.col("c_name").alias("value")),
+        F.struct(
+            F.when(F.col("c_custkey") % 3 == 0, "email").otherwise("phone").alias("name"),
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.concat(F.lower(F.trim("c_mktsegment")), F.lit("@example.com")),
+            )
+            .otherwise(F.col("c_custkey").cast("string"))
+            .alias("value"),
+        ),
+    )
+    return customer.select(
+        F.col("c_custkey").alias("contact_key"),
+        extract_email_from_values(vals).alias("extracted_email"),
+    )
+
+
+@register(
     "url_derivation",
     oracle="""
         SELECT DISTINCT
