@@ -554,17 +554,35 @@ def transform_form_submissions(
 # -- J1/J2: email-matched edge resolution -----------------------------------
 
 
-def resolve_email_edges(edges: DataFrame, contacts_node: DataFrame) -> DataFrame:
+def resolve_email_edges(
+    edges: DataFrame, contacts_node: DataFrame, observation=None
+) -> DataFrame:
     """Resolve from_email-keyed edges to contact ids via broadcast
     equi-join; unmatched email edges drop (reference: MATCH fails →
-    no edge). Id-keyed edges pass through untouched."""
+    no edge). Id-keyed edges pass through untouched.
+
+    Pass a ``pyspark.sql.Observation`` to collect matched/unmatched
+    counters in the same job (A11 — the Spark-native form of the
+    reference's in-transform counters, graph_transformer.py:508-509).
+    """
     by_id = edges.where(F.col("from_email").isNull())
     by_email = edges.where(F.col("from_email").isNotNull())
     contact_emails = contacts_node.where(F.col("email") != "").select(
         F.col("email").alias("_ce"), F.col("hubspot_id").alias("_cid")
     )
+    joined = by_email.join(
+        F.broadcast(contact_emails), by_email.from_email == F.col("_ce"), "left"
+    )
+    if observation is not None:
+        joined = joined.observe(
+            observation,
+            F.count(F.lit(1)).alias("email_edges_total"),
+            F.sum(F.when(F.col("_cid").isNotNull(), 1).otherwise(0)).alias(
+                "email_edges_matched"
+            ),
+        )
     resolved = (
-        by_email.join(F.broadcast(contact_emails), by_email.from_email == F.col("_ce"))
+        joined.where(F.col("_cid").isNotNull())
         .withColumn("from_id", F.col("_cid"))
         .withColumn("from_email", F.lit(None).cast("string"))  # resolved → id-keyed
         .drop("_ce", "_cid")

@@ -131,3 +131,23 @@ def test_webpage_derivation(feeds):
     pages = {r["url"]: r for r in nodes["HUBSPOT_WebPage"].collect()}
     p = pages["https://www.site.com/page"]
     assert p["domain"] == "www.site.com" and p["path"] == "/page"
+
+
+def test_resolve_email_edges_observation(feeds):
+    """A11: matched/unmatched counters via the Spark-native Observation
+    API, collected in the same job as the transform."""
+    from pyspark.sql import Observation
+    from hubspot_neo4j_pipeline_spark.operators.transforms import (
+        transform_contacts,
+        transform_email_events,
+        resolve_email_edges,
+    )
+
+    contacts_node, _ = transform_contacts(feeds["contacts"])
+    _, _, _, e_edges = transform_email_events(feeds["email_events"])
+    obs = Observation("email_match")
+    resolved = resolve_email_edges(e_edges, contacts_node, observation=obs)
+    resolved.count()  # trigger the job
+    metrics = obs.get
+    assert metrics["email_edges_total"] == 2
+    assert metrics["email_edges_matched"] == 2
