@@ -69,6 +69,7 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
                length(text) AS n_chars,
                len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
                floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -76,16 +77,19 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     """,
     covers=("P1", "F4"),
-    doc="Token counting + type-token ratio per document (whitespace tokenizer, JVM-side).",
+    doc="Token counting per document: whitespace tokenizer + BPE-ish regex pre-tokenizer (alnum runs | single non-alnum), type-token ratio. All JVM-side.",
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tokens = F.size(words)
     n_unique = F.size(F.array_distinct(words))
+    # GPT-style pre-tokenization skeleton: alnum runs or single symbols
+    bpe = F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0))
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
+        bpe.alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
         n_unique.alias("n_unique_tokens"),
         _rate4(n_unique.cast("double") / n_tokens).alias("ttr"),
@@ -169,19 +173,39 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
                    AS head_fingerprint,
-               sha256(lower(trim(text))) AS normalized_hash
+               sha256(lower(trim(text))) AS normalized_hash,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                                % 2147483648)),
+                   (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_hash
         FROM documents
     """,
     covers=("F9", "D1"),
-    doc="Document fingerprinting: head-shingle md5 + normalized full hash.",
+    doc="Document fingerprinting: head-shingle md5, normalized full hash, and a token-order-sensitive polynomial rolling hash (mod 2^31-1) — all cross-engine exact.",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    # polynomial rolling hash over md5-derived token hashes: order-
+    # sensitive (unlike shingle sets), exact in both engines since the
+    # fold is sequential integer arithmetic mod the Mersenne-31 prime
+    # (intermediates stay under 2^36 — no ANSI overflow in either engine).
+    tok_h = F.transform(
+        words,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % 2147483648,
+    )
+    rolling = F.aggregate(
+        tok_h,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(2147483647),
+    )
     return docs.select(
         "doc_id",
         F.md5(F.array_join(F.slice(words, 1, 8), " ")).alias("head_fingerprint"),
         F.sha2(F.lower(F.trim("text")), 256).alias("normalized_hash"),
+        rolling.alias("rolling_hash"),
     )
 
 
