@@ -28,15 +28,26 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
+    # Per-query MIN over `reps` passes: the host VM shows multi-second
+    # GC/steal stalls that would otherwise dominate single-shot numbers.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name, fn in sorted(get_queries().items()):
-        t0 = time.perf_counter()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the bench line parseable on failure
-            timings[name] = -1.0
-            print(f"bench error {name}: {exc}", file=sys.stderr)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            except Exception as exc:  # keep the bench line parseable on failure
+                print(f"bench error {name}: {exc}", file=sys.stderr)
+                break
+            finally:
+                # operators cache internal frames (LSH buckets, MinHash
+                # sigs); drop them between runs so memory stays bounded
+                spark.catalog.clearCache()
+        timings[name] = round(best, 3) if best is not None else -1.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if v >= 0]

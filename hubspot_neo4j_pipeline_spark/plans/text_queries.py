@@ -2,9 +2,10 @@
 
 These are the training-data-pipeline operators (exact dedup, near-dup,
 token stats, quality scoring, language ID, fingerprinting). All hot-path
-logic is JVM-side built-ins (split/filter/transform/sha2/xxhash64) —
-no Python UDFs. MinHash/SimHash are registered rows-only (the hash
-functions are engine-specific); their fidelity is pytest-verified
+logic is JVM-side built-ins (split/filter/transform/sha2/md5) — no
+Python UDFs. MinHash and SimHash use md5-derived hash families so
+their ENTIRE pipelines are reproduced by the DuckDB oracles
+(cross-engine exact); MinHash accuracy is additionally pytest-verified
 against exact Jaccard in tests/.
 
 Cross-engine determinism: ratios use floor(x*10000)/10000 (identical

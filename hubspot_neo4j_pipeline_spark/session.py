@@ -44,6 +44,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # local mode: the driver JVM is the whole cluster — the 1g
+        # default OOMs under 32 concurrent tasks + cached frames.
+        .config("spark.driver.memory", "16g")
+        # JVM unified-logging warnings (gc,alloc) print to STDOUT and
+        # would corrupt single-JSON-line protocols (bench.py).
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
