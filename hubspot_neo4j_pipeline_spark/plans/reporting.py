@@ -445,6 +445,90 @@ def get_all_ownerships(g: GraphTables) -> DataFrame:
     )
 
 
+def get_user_ownership(g: GraphTables, user_email: str) -> DataFrame:
+    """Ref query_ownership.py:70-89: one owner's full portfolio with
+    collected entity-name lists (capped at 10, ordered — A5/A6) and
+    total pipeline value."""
+    user = g.n("HUBSPOT_User").where(F.col("email") == user_email)
+    out = user.select(
+        "hubspot_id",
+        name_concat("first_name", "last_name").alias("owner"),
+        F.col("email").alias("owner_email"),
+    )
+    for label, name_col, list_alias in [
+        ("HUBSPOT_Contact", F.concat_ws(" ", "first_name", "last_name"), "contacts"),
+        ("HUBSPOT_Company", F.col("name"), "companies"),
+        ("HUBSPOT_Deal", F.col("name"), "deals"),
+    ]:
+        ent = g.n(label).select(
+            F.col("hubspot_id").alias("from_id"), name_col.alias("_n")
+        )
+        per_owner = (
+            g.e("OWNED_BY")
+            .where(F.col("from_type") == label)
+            .join(ent, "from_id")
+            .groupBy(F.col("to_id"))
+            .agg(
+                F.slice(F.sort_array(F.collect_list("_n")), 1, 10).alias(list_alias)
+            )
+        )
+        out = out.join(
+            F.broadcast(per_owner), out.hubspot_id == per_owner.to_id, "left"
+        ).drop("to_id")
+    deal_value = (
+        g.e("OWNED_BY")
+        .where(F.col("from_type") == "HUBSPOT_Deal")
+        .join(
+            g.n("HUBSPOT_Deal").select(
+                F.col("hubspot_id").alias("from_id"),
+                F.col("amount").cast("decimal(18,2)").alias("_amt"),
+            ),
+            "from_id",
+        )
+        .groupBy("to_id")
+        .agg(F.sum("_amt").cast("double").alias("total_pipeline_value"))
+    )
+    return (
+        out.join(F.broadcast(deal_value), out.hubspot_id == deal_value.to_id, "left")
+        .drop("to_id", "hubspot_id")
+        .withColumn(
+            "total_pipeline_value", F.coalesce("total_pipeline_value", F.lit(0.0))
+        )
+    )
+
+
+def get_contacts_with_owners(g: GraphTables, limit: int = 100) -> DataFrame:
+    """Ref query_ownership.py:110-122."""
+    return (
+        _owned(g, "HUBSPOT_Contact", g.n("HUBSPOT_User"))
+        .select(
+            name_concat("first_name", "last_name").alias("contact_name"),
+            F.col("email").alias("contact_email"),
+            "lifecycle_stage",
+            "owner_name",
+            "owner_email",
+        )
+        .orderBy("contact_email")
+        .limit(limit)
+    )
+
+
+def get_companies_with_owners(g: GraphTables, limit: int = 100) -> DataFrame:
+    """Ref query_ownership.py:124-136."""
+    return (
+        _owned(g, "HUBSPOT_Company", g.n("HUBSPOT_User"))
+        .select(
+            F.col("name").alias("company_name"),
+            "domain",
+            "industry",
+            "owner_name",
+            "owner_email",
+        )
+        .orderBy("company_name")
+        .limit(limit)
+    )
+
+
 def get_deals_with_owners(g: GraphTables, limit: int = 100) -> DataFrame:
     """Ref query_ownership.py:138-152 (top deals with owner names)."""
     return (

@@ -125,3 +125,25 @@ def test_readme_analytics(g):
     assert len(camp) == 1
     assert camp[0]["opens"] == 1 and camp[0]["clicks"] == 1
     assert camp[0]["click_rate_pct"] == 100.0
+
+
+def test_user_ownership_portfolio(g):
+    from hubspot_neo4j_pipeline_spark.plans.reporting import (
+        get_companies_with_owners,
+        get_contacts_with_owners,
+        get_user_ownership,
+    )
+
+    p = get_user_ownership(g, "owner@corp.com").collect()
+    assert len(p) == 1
+    row = p[0]
+    assert row["owner"] == "Olivia Owner"
+    assert row["contacts"] == ["John Doe"]
+    assert row["companies"] == ["Acme"]
+    assert row["deals"] is None  # no owned deals in fixtures
+    assert row["total_pipeline_value"] == 0.0
+
+    cw = get_contacts_with_owners(g).collect()
+    assert len(cw) == 1 and cw[0]["owner_name"] == "Olivia Owner"
+    cow = get_companies_with_owners(g).collect()
+    assert len(cow) == 1 and cow[0]["company_name"] == "Acme"
