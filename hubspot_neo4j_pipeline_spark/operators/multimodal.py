@@ -13,7 +13,6 @@ feature extraction.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -80,15 +79,19 @@ def extract_features(docs: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 decode_payload(p, m, fake=True)
                 for p, m in zip(pdf["payload"], pdf["meta"].map(lambda s: s["mime"]))
             ]
+            digests = [hashlib.sha256(b).hexdigest() for b in raw]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "mime": [s["mime"] for s in pdf["meta"]],
                     "n_bytes": pd.Series([len(b) for b in raw], dtype="int64"),
+                    # sha-derived int, NOT crc32: the DuckDB oracle can
+                    # predict it (('0x'||substr(sha256(t),1,15))::BIGINT),
+                    # so even the Python batch path is value-checked.
                     "checksum": pd.Series(
-                        [zlib.crc32(b) for b in raw], dtype="int64"
+                        [int(d[:15], 16) for d in digests], dtype="int64"
                     ),
-                    "content_digest": [hashlib.sha256(b).hexdigest()[:16] for b in raw],
+                    "content_digest": [d[:16] for d in digests],
                     "feature_dim": pd.Series([64] * len(raw), dtype="int32"),
                 }
             )

@@ -310,9 +310,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,
+    oracle="""
+        SELECT doc_id,
+               'text/plain' AS mime,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS checksum,
+               substr(sha256(text), 1, 16) AS content_digest,
+               CAST(64 AS INTEGER) AS feature_dim
+        FROM documents
+    """,
     covers=("P6",),
-    doc="Multimodal plumbing demo: text → opaque binary payload + typed metadata → Arrow-batched mapInPandas feature extraction (decode step stubbed deterministically). Rows-only check.",
+    doc="Multimodal plumbing: text → opaque binary payload + typed metadata → Arrow-batched mapInPandas feature extraction (decode stubbed deterministically). The Python batch path is value-checked against SQL-predicted features.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features
