@@ -104,3 +104,60 @@ def test_stateful_running_stats_stream_equals_batch(spark, events, tmp_path_fact
         assert got[uid]["n_events"] == exp["n_events"]
         assert abs(got[uid]["total_value"] - exp["total_value"]) < 1e-6
         assert got[uid]["last_seen"] == exp["last_seen"]
+
+
+def test_stream_dedup_equals_batch(spark, events, tmp_path_factory):
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import stream_dedup
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    # duplicate every event once → stream must emit each key exactly once
+    events.unionByName(events).repartition(3).write.mode("overwrite").parquet(src)
+
+    batch_keys = {r["event_id"] for r in events.select("event_id").distinct().collect()}
+    stream = stream_dedup(read_event_stream(spark, src), ["event_id"])
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM dedup_test").collect()
+    got = [r["event_id"] for r in out]
+    assert len(got) == len(set(got)) == len(batch_keys)
+    assert set(got) == batch_keys
+
+
+def test_stream_into_scd2_store(spark, tmp_path_factory):
+    """foreachBatch incremental upsert: two micro-batches with an
+    overlapping changed entity produce correct current+history state."""
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import stream_into_store
+
+    src = str(tmp_path_factory.mktemp("inc_src"))
+    store = str(tmp_path_factory.mktemp("inc_store"))
+    ckpt = str(tmp_path_factory.mktemp("inc_ckpt"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [(1, t, 10, "stage_a", 1.0, "{}"), (2, t, 11, "stage_a", 2.0, "{}")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, t, 10, "stage_B", 1.0, "{}"), (3, t, 12, "stage_a", 3.0, "{}")], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)  # micro-batch 1
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    stream_into_store(stream, store, key="event_id", checkpoint_dir=ckpt)
+    b2.coalesce(1).write.mode("append").parquet(src)  # micro-batch 2
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    stream_into_store(stream2, store, key="event_id", checkpoint_dir=ckpt)
+
+    cur = spark.read.parquet(f"{store}/current")
+    live = {r["event_id"]: r for r in cur.where("is_current").collect()}
+    assert set(live) == {1, 2, 3}
+    assert live[1]["event_type"] == "stage_B"  # updated version current
+    hist = spark.read.parquet(f"{store}/history").collect()
+    assert len(hist) == 1 and hist[0]["event_id"] == 1  # old version closed
+    assert hist[0]["event_type"] == "stage_a"
