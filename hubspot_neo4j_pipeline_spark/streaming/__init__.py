@@ -5,5 +5,16 @@ from .event_analytics import (
     sessionize,
     windowed_event_counts,
 )
+from .incremental import stream_dedup, stream_into_store, upsert_batch
+from .stateful import running_user_stats, running_user_stats_batch
 
-__all__ = ["read_event_stream", "windowed_event_counts", "sessionize"]
+__all__ = [
+    "read_event_stream",
+    "windowed_event_counts",
+    "sessionize",
+    "stream_dedup",
+    "stream_into_store",
+    "upsert_batch",
+    "running_user_stats",
+    "running_user_stats_batch",
+]

@@ -135,3 +135,38 @@ def test_temporal_queries_over_store(spark, store):
 
     recent = get_recent_changes(ts, "HUBSPOT_Contact", hours=48).collect()
     assert {r["hubspot_id"] for r in recent} == {"c1", "c2", "c5"}
+
+
+def test_remaining_temporal_queries(spark, store):
+    """Cover the temporal query functions not asserted above:
+    entity history, relationship feed, ownership changes."""
+    from hubspot_neo4j_pipeline_spark.plans.temporal_reporting import (
+        TemporalStore,
+        get_entity_history,
+        get_entity_relationship_history,
+        get_ownership_changes,
+        get_relationship_changes,
+    )
+
+    ts = TemporalStore(
+        current={"HUBSPOT_Contact": spark.read.parquet(f"{store}/nodes/HUBSPOT_Contact")},
+        history={"HUBSPOT_Contact": spark.read.parquet(f"{store}/history/HUBSPOT_Contact")},
+        changelog={"HUBSPOT_Contact": spark.read.parquet(f"{store}/changelog/HUBSPOT_Contact")},
+        edge_changelog=spark.read.parquet(f"{store}/edge_changelog"),
+    )
+    h = get_entity_history(ts, "HUBSPOT_Contact", "c1").collect()
+    assert len(h) >= 1 and all(r["hubspot_id"] == "c1" for r in h)
+    assert all(not r["is_current"] for r in h)
+
+    feed = get_relationship_changes(ts, limit=50).collect()
+    assert len(feed) > 0
+    assert all(r["change_type"] in ("added", "removed") for r in feed)
+
+    own = get_ownership_changes(ts, entity_id="c1").collect()
+    assert {(r["to_id"], r["change_type"]) for r in own} == {
+        ("u1", "added"),  # initial load
+        ("u1", "removed"),  # transfer away
+        ("u2", "added"),  # transfer to u2
+    }
+    rel_hist = get_entity_relationship_history(ts, "c1").collect()
+    assert len(rel_hist) >= 3
