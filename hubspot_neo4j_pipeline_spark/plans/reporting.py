@@ -191,10 +191,15 @@ def companies_by_industry(g: GraphTables) -> DataFrame:
     )
 
 
-def _now_anchor(df: DataFrame, ts_col: str, now: str | None) -> Column:
+def _with_now(df: DataFrame, ts_col: str, now: str | None) -> DataFrame:
+    """Attach a `_now` column: explicit literal, or the data-derived
+    max timestamp joined as a broadcast 1-row aggregate (scale-safe —
+    an unpartitioned window would funnel every row through one
+    partition)."""
     if now is not None:
-        return F.lit(now).cast("timestamp")
-    return F.max(ts_col).over(Window.partitionBy())
+        return df.withColumn("_now", F.lit(now).cast("timestamp"))
+    anchor = df.agg(F.max(ts_col).alias("_now"))
+    return df.join(F.broadcast(anchor))
 
 
 def recent_form_submissions(
@@ -211,7 +216,7 @@ def recent_form_submissions(
         F.col("email").alias("contact_email"),
         name_concat("first_name", "last_name").alias("contact_name"),
     )
-    anchored = subs.withColumn("_now", _now_anchor(subs, "timestamp", now))
+    anchored = _with_now(subs, "timestamp", now)
     return (
         anchored.where(
             F.col("timestamp") >= F.col("_now") - F.expr(f"INTERVAL {days} DAYS")
@@ -254,7 +259,7 @@ def recent_email_activity(
         F.col("hubspot_id").alias("_uid"),
         name_concat("first_name", "last_name").alias("owner_name"),
     )
-    anchored = events.withColumn("_now", _now_anchor(events, "timestamp", now))
+    anchored = _with_now(events, "timestamp", now)
     return (
         anchored.where(
             F.col("timestamp") >= F.col("_now") - F.expr(f"INTERVAL {days} DAYS")
@@ -291,7 +296,7 @@ def contacts_with_recent_activity(
     clicks = g.n("HUBSPOT_EmailClickEvent").select("hubspot_id", "timestamp")
     subs = g.n("HUBSPOT_FormSubmission").select("hubspot_id", "timestamp")
     events = opens.unionByName(clicks).unionByName(subs)
-    anchored = events.withColumn("_now", _now_anchor(events, "timestamp", now))
+    anchored = _with_now(events, "timestamp", now)
     recent = anchored.where(
         F.col("timestamp") >= F.col("_now") - F.expr(f"INTERVAL {days} DAYS")
     )

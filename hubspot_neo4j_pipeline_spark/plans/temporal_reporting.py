@@ -62,14 +62,15 @@ def get_recent_changes(
 ) -> DataFrame:
     """Ref query_temporal.py:89-110: changelog window, newest first."""
     log = store.changelog[label]
-    anchor = (
-        F.lit(now).cast("timestamp")
-        if now is not None
-        else F.max("changed_at").over(Window.partitionBy())
-    )
+    if now is not None:
+        anchored = log.withColumn("_now", F.lit(now).cast("timestamp"))
+    else:
+        # broadcast 1-row max, not an unpartitioned window (scale-safe)
+        anchored = log.join(F.broadcast(log.agg(F.max("changed_at").alias("_now"))))
     return (
-        log.withColumn("_now", anchor)
-        .where(F.col("changed_at") >= F.col("_now") - F.expr(f"INTERVAL {hours} HOURS"))
+        anchored.where(
+            F.col("changed_at") >= F.col("_now") - F.expr(f"INTERVAL {hours} HOURS")
+        )
         .drop("_now")
         .orderBy(F.desc("changed_at"), "hubspot_id")
         .limit(limit)
