@@ -22,6 +22,11 @@ Cross-engine determinism rules (Spark result must hash-match DuckDB):
 - **Top-k / LIMIT** always carries a unique tie-breaker key.
 - **"now"** is data-derived (max timestamp), never the wall clock.
 - Doubles are never cast to string (engines format differently).
+- **Never CAST a double to a scaled decimal**: the scaled value can
+  land exactly on a rounding tie, and Spark (HALF_UP on the binary
+  expansion) and DuckDB (llround on the scaled double) break ties
+  differently — observed once in 600k rows. Quantize doubles with
+  floor(x·10^k) instead (tie-free in both engines).
 
 Scale notes (100 TB posture): every dimension join below broadcasts
 the small side explicitly; facts aggregate BEFORE joining dims where
@@ -569,27 +574,30 @@ def status_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                        * (1000000 - CAST(floor(l_discount * 1000000) AS BIGINT)))
+                    AS DOUBLE) / 1000000.0 AS sum_disc_price,
                count(*) AS n_items,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
     """,
     covers=("A3", "A9"),
-    doc="Large-fact pricing summary (map-side-combinable exact sums); TPC-H Q1 shape.",
+    doc="Large-fact pricing summary (map-side-combinable exact sums); TPC-H Q1 shape. Discount quantized to micro-units via floor (a double→decimal CAST rounds, and at 600k rows a scaled double lands exactly on a .5 tie that Spark and DuckDB break differently).",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # exact integer-decimal product per row: price(dec 18,2) × micro-
+    # complement of the floored discount; one double division at the end
     disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount")
-    ).cast("decimal(18,6)")
+        F.lit(1000000).cast("long") - F.floor(F.col("l_discount") * 1000000)
+    )
     return li.groupBy(
         F.col("l_returnflag").alias("returnflag"),
         F.col("l_linestatus").alias("linestatus"),
     ).agg(
         _dec_sum("l_quantity", "sum_qty"),
         _dec_sum("l_extendedprice", "sum_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        (F.sum(disc_price).cast("double") / 1000000.0).alias("sum_disc_price"),
         F.count("*").alias("n_items"),
         (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
             "avg_qty"
