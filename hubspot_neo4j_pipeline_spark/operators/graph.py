@@ -1,0 +1,100 @@
+"""Distributed connected components over an edge list.
+
+Used to turn near-duplicate PAIRS (MinHash/SimHash/shingle/embedding
+candidates) into duplicate CLUSTERS — the form a training-data dedup
+pipeline actually consumes (keep one canonical doc per cluster).
+
+Algorithm: hash-min label propagation + pointer jumping. Every vertex
+starts labeled with its own id; each round a vertex (1) adopts the
+minimum label among itself and its neighbors, then (2) jumps to its
+label's label (path compression), halving chain depth — so rounds
+needed are O(log diameter), same asymptotics as large-star/small-star,
+and every step is a shuffle-on-vertex-id equi-join — no crossJoin.
+
+Scale notes (100 TB): each round is two shuffles keyed on vertex id
+(uniform if ids are hashes). Lineage is truncated every round with
+``localCheckpoint`` so the plan does not grow exponentially with
+iterations; on a real cluster configure a checkpoint dir and swap in
+``checkpoint``. The convergence probe is a cheap ``isEmpty``-style
+limit(1) count, not a full materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (id, component) where component = min vertex id reachable.
+
+    Only vertices that appear in ``edges`` are labeled (isolated
+    vertices are the caller's concern — for dedup they are singleton
+    clusters by definition and never need the join).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # step 1 — hash-min: adopt the min label among self + neighbors
+        nbr_min = (
+            sym.join(labels, sym.a == labels.id)
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(
+            nbr_min, labels.id == nbr_min.nid, "left"
+        ).select(
+            "id",
+            "comp",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("mid_comp"),
+        )
+        # step 2 — pointer jumping: label <- label(label), halving chain
+        # depth each round so convergence is O(log diameter), not O(diameter)
+        mapping = stepped.select(
+            F.col("id").alias("m_id"), F.col("mid_comp").alias("m_comp")
+        )
+        proposed = stepped.join(
+            mapping, stepped.mid_comp == mapping.m_id, "left"
+        ).select(
+            "id",
+            "comp",
+            F.least(
+                F.col("mid_comp"), F.coalesce("m_comp", "mid_comp")
+            ).alias("new_comp"),
+        )
+        proposed = proposed.localCheckpoint(eager=True)
+        changed = proposed.where(F.col("new_comp") < F.col("comp")).limit(1).count()
+        labels = proposed.select("id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Near-dup pairs → clusters: (cluster_id, n_members, min/max member).
+
+    cluster_id is the minimum member id (stable across runs and
+    partitionings). Singleton docs (no pair) are not rows here — a
+    keep-list is ``docs.join(clusters_members, 'left_anti')`` plus one
+    canonical id per cluster.
+    """
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    return comp.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.min("id").alias("min_member"),
+        F.max("id").alias("max_member"),
+    )

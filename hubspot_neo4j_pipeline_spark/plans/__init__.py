@@ -2,6 +2,7 @@ from .registry import QUERIES, Query, get_queries, get_oracles
 
 # Importing the query modules populates the registry.
 from . import core_queries  # noqa: F401,E402
+from . import sequence_queries  # noqa: F401,E402
 from . import temporal_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
 from . import vector_queries  # noqa: F401,E402

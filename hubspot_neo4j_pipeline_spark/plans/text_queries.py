@@ -383,3 +383,139 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Dedup CLUSTERS (pairs -> connected components), corpus term stats,
+# and deterministic stratified sampling — the remaining training-data
+# curation primitives. The CC oracle is a DuckDB recursive CTE; the
+# Spark side is hash-min label propagation (operators/graph.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_dup_clusters",
+    oracle="""
+        WITH RECURSIVE shingled AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))
+                   ))) AS shingle
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM shingled a JOIN shingled b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
+        ), sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT a AS id FROM sym
+        ), reach(id, root) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id
+        ), comp AS (
+            SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT cluster_id, count(*) AS n_members,
+               min(id) AS min_member, max(id) AS max_member
+        FROM comp GROUP BY cluster_id
+    """,
+    covers=("D1", "J1"),
+    doc="Near-dup pairs (shared 5-gram shingles >= 3) folded into duplicate CLUSTERS via distributed hash-min connected components; cluster_id = min member. Oracle: recursive-CTE transitive closure.",
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 4),
+                    lambda i: F.md5(F.array_join(F.slice(words, i, 5), " ")),
+                )
+            )
+        ).alias("shingle"),
+    )
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters(pairs)
+
+
+@register(
+    "doc_top_terms",
+    oracle="""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        )
+        SELECT term,
+               count(DISTINCT doc_id) AS doc_freq,
+               count(*) AS term_freq
+        FROM terms WHERE length(term) >= 3
+        GROUP BY term
+        ORDER BY doc_freq DESC, term_freq DESC, term
+        LIMIT 20
+    """,
+    covers=("A2", "W2"),
+    doc="Corpus vocabulary stats: explode tokens, doc-frequency + term-frequency per term, top-20 (tie-broken). Scale: shuffle on term — uniform; count(DISTINCT) is a two-phase partial aggregate.",
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") >= 3)
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("term_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "stratified_doc_sample",
+    oracle="""
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents)
+        WHERE sample_rank <= 5
+    """,
+    covers=("W1", "W4"),
+    doc="Deterministic stratified sampling: per-language top-5 by md5(doc_id) order — a reproducible training-mix sampler (no rand(), identical across engines/runs). Scale: per-group window, no global sort.",
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 5)
+    )

@@ -327,3 +327,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(docs)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+        WITH ex AS (
+            SELECT label, vec_id, t.i AS dim,
+                   CAST(embedding[t.i] AS DOUBLE) AS val
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        ), agg AS (
+            SELECT label, dim,
+                   list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) AS s,
+                   count(*) AS n
+            FROM ex GROUP BY label, dim
+        )
+        SELECT label, dim, s / n AS centroid
+        FROM agg
+    """,
+    covers=("A3", "A9"),
+    doc="Per-label centroid vector (one row per dimension): posexplode + per-(label,dim) fold in vec_id order so the double sum is bit-identical cross-engine. Scale note: at 100 TB swap the ordered fold for a plain tree-aggregated avg (order-free within fp tolerance) — the ordered fold here buys oracle exactness.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(_as_double("embedding")).alias("pos", "val"),
+    ).select("label", "vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    # ordered sequential fold: sort members by vec_id, then left-fold —
+    # the exact op order DuckDB's list_reduce(list(... ORDER BY)) uses
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+            lambda s: s["val"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return ex.groupBy("label", "dim").agg(
+        (ordered_sum / F.count("*")).alias("centroid")
+    )

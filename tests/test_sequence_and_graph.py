@@ -1,0 +1,106 @@
+"""Unit tests for order-aware operators (as-of join, sessionization)
+and distributed connected components."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hubspot_neo4j_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from hubspot_neo4j_pipeline_spark.operators.sequence import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 5), (3, 1, 10), (4, 2, 50), (5, 3, 7)],
+        "event_id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 90, "b"), (2, 50, "c"), (2, 60, "d")],
+        "rk long, rts long, pay string",
+    )
+    out = {
+        r["event_id"]: r["last_pay"]
+        for r in asof_join(
+            left, right, "k", "rk", "ts", "rts", ["pay"]
+        ).collect()
+    }
+    assert out == {
+        1: "b",  # latest at-or-before 100 is rts=90
+        2: None,  # ts=5 precedes every right row
+        3: "a",  # inclusive: rts=10 == ts=10 matches
+        4: "c",  # equal timestamp on other key
+        5: None,  # key with no right rows at all
+    }
+
+
+def test_asof_join_no_row_explosion(spark):
+    # many left rows per key must stay 1:1 in the output
+    left = spark.createDataFrame(
+        [(i, 1, i) for i in range(100)], "event_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, i, str(i)) for i in range(0, 100, 10)], "rk long, rts long, pay string"
+    )
+    out = asof_join(left, right, "k", "rk", "ts", "rts", ["pay"])
+    assert out.count() == 100
+    rows = {r["event_id"]: r["last_pay"] for r in out.collect()}
+    assert rows[55] == "50" and rows[9] == "0" and rows[99] == "90"
+
+
+def test_sessionize_gap_splits(spark):
+    m = 60 * 1_000_000  # one minute in microseconds
+    df = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate([0, 10 * m, 50 * m, 55 * m])]
+        + [(9, 2, 0)],
+        "event_id long, user_id long, us long",
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    s = sessionize(df, gap_minutes=30)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"] for r in s.collect()
+    }
+    # 0 -> s1, +10min same session, +40min gap -> s2, +5min same
+    assert got == {(1, 0): 1, (1, 1): 1, (1, 2): 2, (1, 3): 2, (2, 9): 1}
+
+    stats = {
+        r["user_id"]: r for r in session_stats(df, gap_minutes=30).collect()
+    }
+    assert stats[1]["n_sessions"] == 2
+    assert stats[1]["longest_session_events"] == 2
+    assert stats[1]["total_dwell_us"] == 10 * m + 5 * m
+    assert stats[2]["n_sessions"] == 1 and stats[2]["total_dwell_us"] == 0
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; 20 isolated (absent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    # a 30-node chain needs ~15 hash-min rounds — well under max_iter,
+    # and must converge exactly (single component labeled by min id)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    comp = connected_components(edges)
+    assert comp.select(F.countDistinct("comp")).first()[0] == 1
+    assert comp.where(F.col("comp") != 0).count() == 0
+
+
+def test_dedup_clusters_shape(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    rows = {r["cluster_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[1]["n_members"] == 3 and rows[1]["max_member"] == 3
+    assert rows[7]["n_members"] == 2 and rows[7]["min_member"] == 7
