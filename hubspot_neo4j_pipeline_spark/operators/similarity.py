@@ -131,16 +131,23 @@ def embedding_near_dup_pairs(
     # the self-join; caching cuts the expression tree so Catalyst
     # analyzes it once instead of once per join side.
     bucketed = lsh_buckets(df, id_col, vec_col, n_tables, planes_per_table).cache()
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), "table_id", "bucket", F.col("e").alias("e_a")
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), "table_id", "bucket", F.col("e").alias("e_b")
-    )
-    return (
+    # Candidate generation carries ONLY ids: the bucket self-join and
+    # the pair-dedup shuffle move slim (table_id, bucket, id) rows, not
+    # two full embedding arrays per candidate. Vectors are re-attached
+    # to the (much smaller) deduped pair set by equi-join afterwards —
+    # at 100 TB this is the difference between shuffling ~1 GB/M-pairs
+    # of arrays and a few MB of id pairs.
+    a = bucketed.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    pairs = (
         a.join(b, ["table_id", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = bucketed.select(F.col(id_col).alias("_vid"), "e").dropDuplicates(["_vid"])
+    return (
+        pairs.join(vecs.select(F.col("_vid").alias("id_a"), F.col("e").alias("e_a")), "id_a")
+        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("e").alias("e_b")), "id_b")
         .select("id_a", "id_b", cosine("e_a", "e_b").alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
