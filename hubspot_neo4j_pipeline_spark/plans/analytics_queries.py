@@ -1,0 +1,332 @@
+"""Warehouse analytics shapes beyond the reference's query list:
+ROLLUP/grouping-sets, pivot, running-total windows, ratio-to-report
+window aggregates, and the classic multi-way star-join volumes
+(TPC-H Q3/Q5 shapes on the driver's star schema).
+
+The reference engine exposes group-by/having/top-k (SURVEY §2 A/W
+families); a drop-in analytics replacement also needs the grouping-set
+and windowed-aggregate families — registered here with full DuckDB
+oracles.
+
+Determinism follows plans/core_queries.py: money sums via
+DECIMAL(18,2) on raw columns; double PRODUCTS (price×(1-discount))
+are floor-quantized to cents BEFORE summing (cast-to-decimal on a
+product can land on a rounding tie — see the core module docstring);
+rolled-up group keys are coalesced to 'ALL' so null handling never
+depends on engine sort order; every top-k carries a unique tie-break.
+
+Scale notes: dims broadcast; fact-fact joins shuffle on their keys;
+ROLLUP is one shuffle (Spark expands grouping sets map-side); windows
+partition by bounded keys (customer, nation) — no global sort
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tpch import load_table
+from .registry import register
+
+
+def _dec_sum(col, alias):
+    """Order-insensitive exact money sum, surfaced as DOUBLE."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _revenue_cents(price="l_extendedprice", discount="l_discount"):
+    """Discounted revenue in integer cents: floor-quantized (tie-free in
+    both engines), summable exactly as a BIGINT."""
+    return F.floor(F.col(price) * (1 - F.col(discount)) * 100).cast("long")
+
+
+@register(
+    "sales_rollup",
+    oracle="""
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(n_name, o_orderpriority) AS INTEGER) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_sales
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderpriority)
+    """,
+    covers=("A9", "A1", "J7"),
+    doc=(
+        "ROLLUP over (nation, priority): per-cell, per-nation subtotal, and "
+        "grand total in ONE pass with grouping_id disambiguation — the "
+        "grouping-sets family the reference lacks. Scale: Spark expands the "
+        "rollup map-side and shuffles once; nation dim broadcasts."
+    ),
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice", "total_sales"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("gid").cast("int").alias("gid"),
+            "n_orders",
+            "total_sales",
+        )
+    )
+
+
+@register(
+    "priority_status_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sales_f
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    covers=("A9", "A10"),
+    doc=(
+        "Pivot (long → wide): order counts per priority × status as "
+        "columns, plus a pivoted money sum. Spark's pivot with an explicit "
+        "value list compiles to conditional aggregates — one scan, one "
+        "shuffle, no per-value passes."
+    ),
+)
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # explicit value list => no values-discovery job, stable columns
+    status = F.col("o_orderstatus")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(status == "F", 1)).alias("n_f"),
+        F.count(F.when(status == "O", 1)).alias("n_o"),
+        F.count(F.when(status == "P", 1)).alias("n_p"),
+        F.sum(
+            F.when(status == "F", F.col("o_totalprice").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("sales_f"),
+    )
+
+
+@register(
+    "customer_cumulative_revenue",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) AS cum_spend,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS order_seq
+        FROM orders
+    """,
+    covers=("W1", "A3", "F10"),
+    doc=(
+        "Running-total window: per-customer cumulative spend in order-date "
+        "order (decimal prefix sum — exact at any partitioning) plus the "
+        "order sequence number. Scale: partitioned by customer key, no "
+        "global sort; the frame is ROWS-bounded so state is O(1)."
+    ),
+)
+def customer_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        cum.alias("cum_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+        WITH anchor AS (
+            SELECT max(o_orderdate) - INTERVAL 180 DAY AS cutoff FROM orders
+        )
+        SELECT o_orderkey,
+               CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100))
+                    AS DOUBLE) / 100 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        CROSS JOIN anchor
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < cutoff
+          AND l_shipdate > cutoff
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, o_orderkey
+        LIMIT 10
+    """,
+    covers=("J10", "A3", "W2"),
+    doc=(
+        "TPC-H Q3 shape: segment-filtered customers ⋈ orders ⋈ lineitem, "
+        "unshipped-revenue per order, top-10. Anchor is data-derived "
+        "(max order date − 180d) as a broadcast 1-row aggregate. Scale: "
+        "the segment filter pushes to the customer scan, the date filters "
+        "push to both fact scans, revenue sums exactly in integer cents, "
+        "top-k is TakeOrderedAndProject."
+    ),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    anchor = orders.agg(
+        F.date_sub(F.max("o_orderdate"), 180).cast("timestamp").alias("cutoff")
+    )
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(F.broadcast(anchor))
+        .where(
+            (F.col("o_orderdate") < F.col("cutoff"))
+            & (F.col("l_shipdate") > F.col("cutoff"))
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(_revenue_cents()).cast("double") / 100).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_supplier_volume",
+    oracle="""
+        SELECT r_name AS region, n_name AS nation,
+               CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100))
+                    AS DOUBLE) / 100 AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+              AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    covers=("J8", "J7", "A3"),
+    doc=(
+        "TPC-H Q5 shape: 6-way star join (lineitem ⋈ supplier ⋈ orders ⋈ "
+        "customer, customer and supplier in the SAME nation, ⋈ nation ⋈ "
+        "region), local-supplier revenue per nation. Scale: nation/region "
+        "broadcast; supplier broadcasts under AQE at test SF and shuffles "
+        "on the key beyond; the co-nation predicate is an equi-join "
+        "condition (not a post-filter), so Catalyst keeps it in the join."
+    ),
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(_revenue_cents()).cast("double") / 100).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "supplier_share_of_nation",
+    oracle="""
+        WITH per_supplier AS (
+            SELECT s_nationkey, s_suppkey, s_name,
+                   CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100))
+                        AS DOUBLE) / 100 AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey, s_suppkey, s_name
+        )
+        SELECT n_name AS nation, s_suppkey, s_name, revenue,
+               floor(revenue / sum(revenue) OVER (PARTITION BY s_nationkey)
+                     * 10000) / 10000 AS nation_share,
+               rank() OVER (
+                   PARTITION BY s_nationkey
+                   ORDER BY revenue DESC, s_suppkey
+               ) AS nation_rank
+        FROM per_supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    covers=("W1", "A8", "J7"),
+    doc=(
+        "Ratio-to-report window: each supplier's revenue share and rank "
+        "within its nation — aggregate first (per-supplier partials), THEN "
+        "window over the small aggregated set. Scale: the window input is "
+        "|suppliers| rows, not |lineitem|; share is floor-quantized for "
+        "cross-engine determinism."
+    ),
+)
+def supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_supplier = (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey", "s_name")
+        .agg((F.sum(_revenue_cents()).cast("double") / 100).alias("revenue"))
+    )
+    share_w = Window.partitionBy("s_nationkey")
+    rank_w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("revenue"), F.asc("s_suppkey")
+    )
+    return (
+        per_supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_suppkey",
+            "s_name",
+            "revenue",
+            (
+                F.floor(
+                    F.col("revenue") / F.sum("revenue").over(share_w) * 10000
+                )
+                / 10000
+            ).alias("nation_share"),
+            F.rank().over(rank_w).alias("nation_rank"),
+        )
+    )
