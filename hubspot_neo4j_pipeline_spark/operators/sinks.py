@@ -57,3 +57,38 @@ def append_edges(
     """S13/S14 restated: edge table partitioned by rel_type so
     per-relationship queries prune partitions."""
     edges.write.mode("append").partitionBy(partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table: hash-partitioned AND sorted by ``key`` at
+    write time, registered in the session catalog (external, at ``path``).
+
+    This is THE repeated-join optimization at 100 TB: two tables
+    bucketed by the same key with the same bucket count join with ZERO
+    shuffle — Spark proves the children's output partitioning matches
+    and elides both Exchanges (see tests/test_cli_and_sinks.py for the
+    plan assertion). Pay the shuffle once at ingest, never per query.
+    Bucket count should target ~128 MB per bucket-file at full scale.
+    """
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket metadata intact (a
+    plain ``spark.read.parquet(path)`` would LOSE the bucketing and
+    reintroduce the join shuffle)."""
+    return spark.table(table)

@@ -330,3 +330,174 @@ def supplier_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(rank_w).alias("nation_rank"),
         )
     )
+
+
+@register(
+    "status_priority_cube",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER)
+                   AS gid,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    covers=("A9", "A10"),
+    doc=(
+        "CUBE over (status, priority): all four grouping sets in one pass "
+        "with grouping_id disambiguation — completes the grouping-set "
+        "family next to sales_rollup. Scale: map-side Expand, one shuffle."
+    ),
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("gid").cast("int").alias("gid"),
+            "n_orders",
+        )
+    )
+
+
+N_HIST_BUCKETS = 24
+HIST_LO, HIST_HI = 0.0, 600000.0
+
+
+@register(
+    "order_value_histogram",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT CAST(CASE
+                       WHEN o_totalprice < {HIST_LO} THEN 0
+                       WHEN o_totalprice >= {HIST_HI} THEN {N_HIST_BUCKETS} + 1
+                       ELSE floor((o_totalprice - {HIST_LO})
+                                  / (({HIST_HI} - {HIST_LO}) / {N_HIST_BUCKETS})) + 1
+                   END AS BIGINT) AS bucket,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT bucket,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS bucket_value
+        FROM bucketed GROUP BY bucket
+    """,
+    covers=("A9", "A3"),
+    doc=(
+        "Equi-width histogram (width_bucket semantics, spelled as explicit "
+        "arithmetic so both engines evaluate the identical double ops): "
+        "24 buckets over order value + under/overflow bins. Scale: pure "
+        "map-side bucketing, one small shuffle on the bucket id."
+    ),
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    width = (HIST_HI - HIST_LO) / N_HIST_BUCKETS
+    x = F.col("o_totalprice")
+    bucket = (
+        F.when(x < HIST_LO, F.lit(0))
+        .when(x >= HIST_HI, F.lit(N_HIST_BUCKETS + 1))
+        .otherwise(F.floor((x - HIST_LO) / width) + 1)
+        .cast("long")
+    )
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice", "bucket_value"),
+        )
+    )
+
+
+@register(
+    "lineitem_moments",
+    oracle="""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS syy,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        , dbl AS (
+            SELECT l_returnflag, n,
+                   CAST(floor(sx) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE) AS sx,
+                   CAST(floor(sy) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE) AS sy,
+                   CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE) AS sxx,
+                   CAST(floor(syy) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE) AS syy,
+                   CAST(floor(sxy) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE) AS sxy
+            FROM sums
+        )
+        SELECT l_returnflag,
+               n,
+               sx / n AS mean_price,
+               (CAST(n AS DOUBLE) * sxx - sx * sx)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_price,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+                   AS corr_price_qty
+        FROM dbl
+    """,
+    covers=("A3", "A8", "A9"),
+    doc=(
+        "Exact distributed moment statistics: variance and correlation from "
+        "DECIMAL sums of products (2-dp inputs → 4-dp products, exact and "
+        "order-free), combined by ONE fixed double formula at the end — "
+        "bit-identical across engines and partitionings, unlike naive "
+        "corr()/stddev() whose double accumulation is order-dependent. "
+        "Decimal→double conversion is split into integer + fractional "
+        "parts: DuckDB double-rounds big scale-4 decimal casts (scaled "
+        "int → double, then ÷10⁴) while Spark rounds once, so the parts "
+        "must each convert exactly (integer part < 2^53 — holds for these "
+        "sums through ~sf1; pre-scale inputs beyond). Scale: map-side "
+        "combinable partial sums, one shuffle on the group key."
+    ),
+)
+def lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_extendedprice").cast("decimal(18,2)")
+    yd = F.col("l_quantity").cast("decimal(18,2)")
+    sums = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+
+    def dbl(name):
+        # exact split conversion: int part (< 2^53) + small 4-dp fraction,
+        # each cast is exact / correctly rounded in BOTH engines
+        c = F.col(name)
+        return F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+
+    n = F.col("n").cast("double")
+    sx = dbl("sx")
+    sy = dbl("sy")
+    sxx = dbl("sxx")
+    syy = dbl("syy")
+    sxy = dbl("sxy")
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (sx / F.col("n")).alias("mean_price"),
+        ((n * sxx - sx * sx) / (n * (F.col("n") - 1))).alias("var_price"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_price_qty"),
+    )

@@ -89,16 +89,66 @@ def sessionize(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, timeout_sec: int = 60
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 60,
+    output_mode: str = "complete",
 ) -> None:
     """Drive a streaming frame into an in-memory sink until the source
     is exhausted (test/dev harness; production would writeStream to a
-    table with a real trigger)."""
+    table with a real trigger). Aggregations use ``complete``;
+    joins/projections must use ``append``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click attributed to same-user
+    views at most ``max_delay`` older (ad-attribution shape).
+
+    On streams, BOTH sides carry watermarks and the join condition has
+    an event-time range, so Spark can bound the join state: a buffered
+    view is dropped once the click-side watermark passes
+    view.ts + max_delay. On batch frames the watermark is a no-op and
+    the same function is the correctness oracle (tested stream ≡ batch
+    in tests/test_streaming.py).
+
+    Scale: state per key is O(events within the delay window), not
+    O(history); the join shuffles both sides on user_id once.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        "click_ts",
+        "view_ts",
+    )

@@ -69,3 +69,43 @@ def test_neo4j_option_construction():
     e = edge_write_options("OWNED_BY", "HUBSPOT_Contact", "HUBSPOT_User")
     assert e["relationship"] == "OWNED_BY"
     assert e["relationship.source.node.keys"] == "from_id:hubspot_id"
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    from hubspot_neo4j_pipeline_spark.operators.sinks import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from hubspot_neo4j_pipeline_spark.sources.tpch import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", str(tmp_path / "b_orders"), "o_custkey", 8,
+    )
+    write_bucketed(
+        cust.select("c_custkey", "c_name"),
+        "b_cust", str(tmp_path / "b_cust"), "c_custkey", 8,
+    )
+    try:
+        bo, bc = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_cust")
+        # disable broadcast so the bucket-join path (not BHJ) is exercised
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = with_conf.get("spark.sql.adaptive.enabled")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        with_conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # co-located: both shuffles elided
+            n_bucketed = joined.count()
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            with_conf.set("spark.sql.adaptive.enabled", old_aqe)
+        n_plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")

@@ -161,3 +161,34 @@ def test_stream_into_scd2_store(spark, tmp_path_factory):
     hist = spark.read.parquet(f"{store}/history").collect()
     assert len(hist) == 1 and hist[0]["event_id"] == 1  # old version closed
     assert hist[0]["event_type"] == "stage_a"
+
+
+def test_stream_stream_attribution_join_equals_batch(
+    spark, events, tmp_path_factory
+):
+    from hubspot_neo4j_pipeline_spark.streaming.event_analytics import (
+        attribution_join,
+    )
+
+    views = events.where(F.col("event_type") == "view")
+    clicks = events.where(F.col("event_type") == "click")
+    batch = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in attribution_join(views, clicks).collect()
+    }
+    assert batch  # fixture must actually produce attributable pairs
+
+    vsrc = str(tmp_path_factory.mktemp("attr_views"))
+    csrc = str(tmp_path_factory.mktemp("attr_clicks"))
+    views.repartition(2).write.mode("overwrite").parquet(vsrc)
+    clicks.repartition(2).write.mode("overwrite").parquet(csrc)
+    joined = attribution_join(
+        read_event_stream(spark, vsrc), read_event_stream(spark, csrc)
+    )
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "attr_test", output_mode="append")
+    streamed = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM attr_test").collect()
+    }
+    assert streamed == batch
