@@ -501,3 +501,56 @@ def lineitem_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_price_qty"),
     )
+
+
+@register(
+    "order_value_median",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY o_orderstatus) AS n
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(max(n) AS BIGINT) AS n_orders,
+               CAST(sum(price) / count(*) AS DOUBLE) AS median_value
+        FROM ranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY o_orderstatus
+    """,
+    covers=("A4", "W1"),
+    doc=(
+        "Exact median per group WITHOUT interpolation ambiguity: rank per "
+        "group, keep the middle row (odd n) or both middle rows (even n), "
+        "average them in DECIMAL — exact, so no engine-specific "
+        "percentile-interpolation rounding can diverge (Spark percentile "
+        "and DuckDB quantile_cont use algebraically different interpolation "
+        "forms). Scale: one per-group window + a trivially small final agg; "
+        "at 100 TB swap in approx_percentile and drop the oracle."
+    ),
+)
+def order_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    cw = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    mid_lo = F.floor((F.col("n") + 1) / 2)
+    mid_hi = F.floor((F.col("n") + 2) / 2)
+    return (
+        ranked.where((F.col("rn") == mid_lo) | (F.col("rn") == mid_hi))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max("n").alias("n_orders"),
+            (F.sum("price") / F.count("*")).cast("double").alias("median_value"),
+        )
+    )
