@@ -554,3 +554,58 @@ def order_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("price") / F.count("*")).cast("double").alias("median_value"),
         )
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100))
+                        FILTER (WHERE p_type = 'PROMO') AS DOUBLE) / 100
+                       AS promo_revenue,
+                   CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100))
+                        AS DOUBLE) / 100 AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY ship_month
+        )
+        SELECT ship_month, promo_revenue, total_revenue,
+               floor(promo_revenue / total_revenue * 10000) / 10000
+                   AS promo_share
+        FROM monthly
+    """,
+    covers=("A8", "J10", "F10"),
+    doc=(
+        "TPC-H Q14 shape: monthly promo-vs-total revenue share — a "
+        "conditional aggregate over the lineitem ⋈ part join. Scale: part "
+        "projects to (key, type) before the join (2-col read), revenue is "
+        "exact integer cents, the share is floor-quantized; one shuffle on "
+        "the join key + one on the month."
+    ),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = _revenue_cents()
+    promo_cents = F.when(F.col("p_type") == "PROMO", cents)
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy(
+            F.date_trunc("month", "l_shipdate").alias("ship_month")
+        )
+        .agg(
+            (F.sum(promo_cents).cast("double") / 100).alias("promo_revenue"),
+            (F.sum(cents).cast("double") / 100).alias("total_revenue"),
+        )
+        .select(
+            "ship_month",
+            "promo_revenue",
+            "total_revenue",
+            (
+                F.floor(
+                    F.col("promo_revenue") / F.col("total_revenue") * 10000
+                )
+                / 10000
+            ).alias("promo_share"),
+        )
+    )
