@@ -31,8 +31,15 @@ def main() -> None:
     # Per-query MIN over `reps` passes: the host VM shows multi-second
     # GC/steal stalls that would otherwise dominate single-shot numbers.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run while
+    # iterating on one query; the driver never sets it.
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+    }
     timings: dict[str, float] = {}
     for name, fn in sorted(get_queries().items()):
+        if only and name not in only:
+            continue
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
