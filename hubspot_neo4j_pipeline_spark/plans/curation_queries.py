@@ -240,3 +240,173 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("c_mktsegment", "bal_bucket")
     return masked.select("*", F.count("*").over(w).alias("k_group_size"))
+
+
+@register(
+    "doc_repetition_filter",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), bigrams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1]
+                   )) AS bigram,
+                   len(words) AS n_words
+            FROM toks
+        ), counted AS (
+            SELECT doc_id, n_words, bigram, count(*) AS cnt
+            FROM bigrams GROUP BY doc_id, n_words, bigram
+        ), top AS (
+            SELECT doc_id, n_words, bigram AS top_bigram,
+                   cnt AS top_bigram_count,
+                   sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                       OVER (PARTITION BY doc_id) AS repeated_bigram_tokens,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, bigram DESC
+                   ) AS rn
+            FROM counted
+            QUALIFY rn = 1
+        )
+        SELECT doc_id, n_words, top_bigram, top_bigram_count,
+               floor(CAST(top_bigram_count AS DOUBLE) / (n_words - 1)
+                     * 10000) / 10000 AS top_bigram_frac,
+               floor(CAST(repeated_bigram_tokens AS DOUBLE) / (n_words - 1)
+                     * 10000) / 10000 AS repeated_frac,
+               (CAST(top_bigram_count AS DOUBLE) / (n_words - 1) <= 0.18
+                AND CAST(repeated_bigram_tokens AS DOUBLE) / (n_words - 1) <= 0.9)
+                   AS keep
+        FROM top WHERE n_words >= 2
+    """,
+    covers=("A8", "A9", "D1"),
+    doc=(
+        "Gopher-style repetition rules: most-frequent-bigram fraction and "
+        "fraction of bigram slots inside repeated bigrams, with keep "
+        "thresholds — catches boilerplate/looping text that length rules "
+        "miss. Scale: explode → two-level groupBy on (doc_id, bigram) — "
+        "shuffle key is the doc, uniform; the top-1 window runs over "
+        "per-doc bigram COUNTS, not raw tokens. Ties on the top bigram "
+        "break by descending lexicographic order in both engines."
+    ),
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigrams = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    ).where(F.col("n_words") >= 2)
+    counted = bigrams.groupBy("doc_id", "n_words", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    doc_w = Window.partitionBy("doc_id")
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.desc("bigram")
+    )
+    top = (
+        counted.select(
+            "doc_id",
+            "n_words",
+            F.col("bigram").alias("top_bigram"),
+            F.col("cnt").alias("top_bigram_count"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            .over(doc_w)
+            .alias("repeated_bigram_tokens"),
+            F.row_number().over(rank_w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    top_frac = F.col("top_bigram_count").cast("double") / (F.col("n_words") - 1)
+    rep_frac = (
+        F.col("repeated_bigram_tokens").cast("double") / (F.col("n_words") - 1)
+    )
+    return top.select(
+        "doc_id",
+        "n_words",
+        "top_bigram",
+        "top_bigram_count",
+        (F.floor(top_frac * 10000) / 10000).alias("top_bigram_frac"),
+        (F.floor(rep_frac * 10000) / 10000).alias("repeated_frac"),
+        ((top_frac <= 0.18) & (rep_frac <= 0.9)).alias("keep"),
+    )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE length(term) >= 3
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000) / 10000
+                       AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf FROM (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term
+                   ) AS rk
+            FROM scored)
+        WHERE rk <= 3
+    """,
+    covers=("A2", "W1", "J1"),
+    doc=(
+        "TF-IDF: per-doc term frequency ⋈ corpus document frequency "
+        "(broadcast — vocabulary ≪ corpus) ⋈ 1-row doc count, top-3 terms "
+        "per doc by a floor-quantized score (ln is IEEE-identical in both "
+        "engines for identical double inputs). Scale: tf shuffles on "
+        "(doc, term); df is a second small aggregate of tf, not a rescan; "
+        "the per-doc window never sees raw tokens."
+    ),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.floor(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * 10000
+                )
+                / 10000
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

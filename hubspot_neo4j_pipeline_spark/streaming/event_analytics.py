@@ -152,3 +152,28 @@ def attribution_join(
         "click_ts",
         "view_ts",
     )
+
+
+def enrich_events(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach the (static) user/owner
+    dimension to a live event stream.
+
+    The static side is re-read per micro-batch by Spark, so slowly-
+    changing dims stay fresh without restarting the query; no state is
+    kept (unlike stream-stream joins) and the dim side broadcasts.
+    Works identically on batch frames (the batch result is the oracle
+    in tests/test_streaming.py).
+
+    Scale: broadcast join per micro-batch — the dim must stay
+    driver-memory-bounded; beyond that, switch to a stream-stream join
+    keyed on the dim's change feed.
+    """
+    dim = F.broadcast(
+        user_dim.select(
+            F.col("n_nationkey").cast("long").alias("user_id"),
+            F.col("n_name").alias("owner_name"),
+        )
+    )
+    return events.join(dim, "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value", "owner_name"
+    )

@@ -192,3 +192,30 @@ def test_stream_stream_attribution_join_equals_batch(
         for r in spark.sql("SELECT * FROM attr_test").collect()
     }
     assert streamed == batch
+
+
+def test_stream_static_enrichment_equals_batch(
+    spark, events, tmp_path_factory
+):
+    from hubspot_neo4j_pipeline_spark.sources.tpch import load_table
+    from hubspot_neo4j_pipeline_spark.streaming.event_analytics import (
+        enrich_events,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    batch = {
+        (r["event_id"], r["owner_name"])
+        for r in enrich_events(events, nation).collect()
+    }
+    assert batch
+
+    src = str(tmp_path_factory.mktemp("enrich_src"))
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    enriched = enrich_events(read_event_stream(spark, src), nation)
+    assert enriched.isStreaming
+    run_stream_to_memory(enriched, "enrich_test", output_mode="append")
+    streamed = {
+        (r["event_id"], r["owner_name"])
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    assert streamed == batch
