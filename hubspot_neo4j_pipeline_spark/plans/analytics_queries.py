@@ -609,3 +609,79 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share"),
         )
     )
+
+
+@register(
+    "repeat_buyers_intersect",
+    oracle="""
+        WITH anchor AS (
+            SELECT min(o_orderdate)
+                   + (max(o_orderdate) - min(o_orderdate)) / 2 AS mid
+            FROM orders
+        )
+        SELECT o_custkey FROM orders CROSS JOIN anchor
+        WHERE o_orderdate < mid
+        INTERSECT
+        SELECT o_custkey FROM orders CROSS JOIN anchor
+        WHERE o_orderdate >= mid
+    """,
+    covers=("U3", "U4", "F10"),
+    doc=(
+        "INTERSECT set op: customers ordering in BOTH halves of the "
+        "(data-derived) date range — the remaining set-op family next to "
+        "union/except. Spark compiles intersect to a LeftSemi join over "
+        "distincts; the midpoint anchor is a broadcast 1-row aggregate. "
+        "Scale: two pushed-down scans + one semi join on the key."
+    ),
+)
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        (
+            F.min("o_orderdate")
+            + ((F.max("o_orderdate") - F.min("o_orderdate")) / 2)
+        ).alias("mid")
+    )
+    with_mid = orders.join(F.broadcast(anchor))
+    first_half = with_mid.where(F.col("o_orderdate") < F.col("mid")).select(
+        "o_custkey"
+    )
+    second_half = with_mid.where(F.col("o_orderdate") >= F.col("mid")).select(
+        "o_custkey"
+    )
+    return first_half.intersect(second_half)
+
+
+@register(
+    "priority_status_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'n_o', n_o FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'n_p', n_p FROM wide
+    """,
+    covers=("U1", "A9"),
+    doc=(
+        "Unpivot (wide → long, the inverse reshape of the pivot query): "
+        "melt the per-status count columns back to (priority, status, n) "
+        "rows via Spark's native unpivot — an Expand node, one pass, no "
+        "self-union of the input. Oracle spelled as UNION ALL (identical "
+        "result set)."
+    ),
+)
+def priority_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = priority_status_pivot(spark, sf_dir).drop("sales_f")
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_f", "n_o", "n_p"],
+        variableColumnName="status_col",
+        valueColumnName="n",
+    )
