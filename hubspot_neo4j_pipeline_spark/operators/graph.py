@@ -98,3 +98,59 @@ def dedup_clusters(
         F.min("id").alias("min_member"),
         F.max("id").alias("max_member"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    (id, rank), sum(rank) == n_vertices (the 1/N-normalized form ×N).
+
+    Each iteration is ONE shuffle pair: ranks ⋈ edges on src (rank
+    mass flows along out-edges, split by out-degree), then groupBy dst.
+    Dangling vertices keep only their teleport share — their mass is
+    NOT redistributed (the common web-graph simplification); the test
+    oracle (numpy power iteration in tests/) implements the identical
+    recurrence. Lineage is truncated per round with localCheckpoint,
+    like connected_components above.
+
+    Scale: state per round is one (id, rank) frame keyed uniformly;
+    out_degree is precomputed once. Rank sums are doubles — results are
+    deterministic up to float addition order, so this is test-verified
+    (numpy, 1e-9 tolerance), not DuckDB-oracle-matched.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = vertices.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(out_deg, ranks.id == out_deg.src, "inner")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

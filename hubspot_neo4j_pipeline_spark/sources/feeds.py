@@ -149,15 +149,31 @@ def read_feed(
     feed: str,
     columns: list[str] | None = None,
     where: str | None = None,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Read a bronze entity feed (JSON lines or parquet by extension).
 
     `columns`/`where` reach the scan as pruning/pushdown — the Spark
     analog of the reference's property-list + filter_groups pushdown.
+
+    `keep_corrupt=True` (JSON only) runs PERMISSIVE with an explicit
+    `_corrupt_record` column: malformed lines land there verbatim with
+    every schema field null, instead of silently degrading — route them
+    to a quarantine sink and keep the pipeline running (the reference
+    retries/raises per API page; a 100 TB batch can't stop per bad row).
     """
     schema = FEED_SCHEMAS[feed]
     if path.endswith((".parquet", ".pq")) or "parquet" in path:
         df = spark.read.schema(schema).parquet(path)
+    elif keep_corrupt:
+        from pyspark.sql.types import StringType
+
+        df = (
+            spark.read.schema(schema.add("_corrupt_record", StringType()))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
     else:
         df = spark.read.schema(schema).json(path)
     if where:

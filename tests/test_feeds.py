@@ -56,3 +56,20 @@ def test_normalize_associations(spark, crm_feeds):
         .collect()
     )
     assert out[0]["ids"] == ["co1"]
+
+
+def test_read_feed_quarantines_corrupt_records(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    p = tmp_path / "contacts.jsonl"
+    good = {"id": "c9", "properties": {"email": "x@y.com"}}
+    p.write_text(json.dumps(good) + "\n" + '{"id": "broken", notjson}\n')
+    df = read_feed(spark, str(p), "contacts", keep_corrupt=True).cache()
+    try:
+        bad = df.where(F.col("_corrupt_record").isNotNull()).collect()
+        ok = df.where(F.col("_corrupt_record").isNull()).collect()
+        assert len(bad) == 1 and "notjson" in bad[0]["_corrupt_record"]
+        assert bad[0]["id"] is None  # corrupt rows never half-parse
+        assert len(ok) == 1 and ok[0]["id"] == "c9"
+    finally:
+        df.unpersist()

@@ -104,3 +104,35 @@ def test_dedup_clusters_shape(spark):
     rows = {r["cluster_id"]: r for r in dedup_clusters(pairs).collect()}
     assert rows[1]["n_members"] == 3 and rows[1]["max_member"] == 3
     assert rows[7]["n_members"] == 2 and rows[7]["min_member"] == 7
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hubspot_neo4j_pipeline_spark.operators.graph import pagerank
+
+    # small digraph incl. a dangling node (3) and a cycle
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 2), (3, 3)][:-1]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, n_iter=12).collect()
+    }
+
+    n = 5
+    out_deg = np.zeros(n)
+    adj = np.zeros((n, n))
+    for s, d in edge_list:
+        out_deg[s] += 1
+        adj[s][d] += 1
+    ranks = np.ones(n)
+    for _ in range(12):
+        new = np.full(n, 0.15)
+        for s in range(n):
+            if out_deg[s]:
+                for d in range(n):
+                    if adj[s][d]:
+                        new[d] += 0.85 * adj[s][d] * ranks[s] / out_deg[s]
+        ranks = new
+    for i in range(n):
+        assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
