@@ -207,3 +207,113 @@ def order_event_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.coalesce("cnt", F.lit(0))).alias("max_events_7d"),
         )
     )
+
+
+@register(
+    "daily_event_spine",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('day', min(ts)) AS d0,
+                   date_trunc('day', max(ts)) AS d1
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ), daily AS (
+            SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY day
+        )
+        SELECT spine.day, coalesce(daily.n_events, 0) AS n_events,
+               coalesce(daily.n_users, 0) AS n_users
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    covers=("F10", "U2", "A9"),
+    doc=(
+        "Date-spine gap filling: generate the full day series between the "
+        "data-derived bounds, left-join daily aggregates, zero-fill missing "
+        "days — the reporting idiom that makes time series dense (a plain "
+        "GROUP BY silently drops empty days). Scale: the spine is "
+        "|days| rows from a 1-row bounds aggregate (broadcast); the fact "
+        "side aggregates BEFORE the join."
+    ),
+)
+def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+    )
+
+
+@register(
+    "ordered_funnel",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+                   min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                   min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(*) FILTER (WHERE t_view IS NOT NULL) AS n_viewed,
+               count(*) FILTER (
+                   WHERE t_view IS NOT NULL AND t_click > t_view
+               ) AS n_clicked_after_view,
+               count(*) FILTER (
+                   WHERE t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+               ) AS n_purchased_in_order
+        FROM firsts
+    """,
+    covers=("J14", "A2", "W1"),
+    doc=(
+        "ORDERED funnel: step N counts only users whose first step-N event "
+        "follows their first step-N-1 event (view → click → purchase) — "
+        "stricter than the reference's unordered exists-funnel "
+        "(README.md:314-336), which counts any co-occurrence. One "
+        "conditional-min aggregate per user, then a single summary row; "
+        "no joins, one shuffle on user_id."
+    ),
+)
+def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    firsts = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(viewed, 1)).alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_in_order"),
+    )

@@ -109,3 +109,20 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_partitioned_edges_prune_on_read(spark, store, tmp_path):
+    # append_edges partitions by rel_type; a rel_type filter must prune
+    # partitions at the scan (PartitionFilters), not scan-then-filter
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "edges")
+    edges = spark.createDataFrame(
+        [("a", "b", "OWNS"), ("b", "c", "WORKS_AT"), ("c", "d", "OWNS")],
+        "src string, dst string, rel_type string",
+    )
+    edges.write.mode("overwrite").partitionBy("rel_type").parquet(path)
+    df = spark.read.parquet(path).where(F.col("rel_type") == "OWNS")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(rel_type" in plan
+    assert df.count() == 2
