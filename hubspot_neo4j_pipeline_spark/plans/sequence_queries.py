@@ -317,3 +317,40 @@ def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
         F.count(F.when(purchased, 1)).alias("n_purchased_in_order"),
     )
+
+
+@register(
+    "user_value_trend",
+    oracle="""
+        WITH base AS (
+            SELECT user_id,
+                   (epoch_us(ts)
+                    - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+                   // 60000000 AS x,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), sums AS (
+            SELECT user_id, count(*) AS n, sum(x) AS sx, sum(cents) AS sy,
+                   sum(x * x) AS sxx, sum(x * cents) AS sxy
+            FROM base GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+               END AS slope_cents_per_min
+        FROM sums
+    """,
+    covers=("A8", "W1", "A3"),
+    doc=(
+        "Per-user value trend via applyInPandas (Arrow per-group Python): "
+        "least-squares slope of event value over minutes-since-first-event, "
+        "computed with EXACT integer sums so even the Python path is "
+        "oracle-matched bit-for-bit (operators/pandas_ops.py). Scale: one "
+        "shuffle on user_id; groups stream through Arrow batches."
+    ),
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pandas_ops import user_value_trend as _trend
+
+    return _trend(load_table(spark, sf_dir, "events"))
