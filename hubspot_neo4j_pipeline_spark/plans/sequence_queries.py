@@ -354,3 +354,55 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pandas_ops import user_value_trend as _trend
 
     return _trend(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE)
+                       AS cohort_week
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+               datediff('day', cohort_week, CAST(ts AS DATE)) // 7
+                   AS week_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY cohort_week, week_offset
+    """,
+    covers=("J11", "A2", "F10"),
+    doc=(
+        "Retention cohorts: users bucketed by first-activity week, distinct "
+        "active users per (cohort, weeks-since-cohort) cell — the standard "
+        "product-retention triangle. Scale: the firsts aggregate is "
+        "per-user (one shuffle) and broadcastable vs the fact side; "
+        "count(DISTINCT) is a two-phase partial aggregate; week arithmetic "
+        "is integer day math (no tz/float ambiguity)."
+    ),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.col("ts").cast("date")))
+        .cast("date")
+        .alias("cohort_week")
+    )
+    return (
+        events.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            # surfaced as TIMESTAMP: the harness dtype convention for
+            # truncated dates (DATE arrives as distinct dtypes per engine)
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+        )
+    )
