@@ -65,6 +65,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos-as-long -> microsecond timestamp (UTC, matches DuckDB's view)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Naive parquet timestamps (isAdjustedToUTC=false) arrive as
+    # TIMESTAMP_NTZ, which unix_millis/window/etc. reject. With the
+    # session timezone pinned to UTC above, a plain cast to TIMESTAMP
+    # reinterprets the same wall-clock instant as UTC — identical to
+    # what the DuckDB oracle sees. Cast-only projection: pushdown and
+    # pruning on other columns are unaffected.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
