@@ -488,10 +488,10 @@ def campaign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engagement_rates",
     oracle="""
         SELECT user_id AS owner_key,
-               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
-               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-               round(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 100.0
-                     / greatest(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 1), 4)
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+               round(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+                     / CAST(greatest(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 1) AS DOUBLE), 4)
                    AS click_rate
         FROM events GROUP BY user_id
     """,
@@ -701,8 +701,8 @@ def status_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     "edge_match_resolution",
     oracle="""
         SELECT count(*) AS n_total,
-               sum(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
-               sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+               CAST(sum(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
         FROM events e LEFT JOIN nation n ON e.user_id = n.n_nationkey
     """,
     covers=("J1", "J2", "A11"),

@@ -38,11 +38,11 @@ SHARD_CHAR_BUDGET = 4000  # chars per training shard within a source
     "doc_shard_packing",
     oracle=f"""
         SELECT doc_id, source, n_chars,
-               sum(n_chars) OVER (
+               CAST(sum(n_chars) OVER (
                    PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                    ROWS UNBOUNDED PRECEDING
-               ) AS cum_chars,
+               ) AS BIGINT) AS cum_chars,
                CAST(floor((sum(n_chars) OVER (
                    PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id

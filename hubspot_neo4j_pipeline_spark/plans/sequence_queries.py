@@ -47,9 +47,10 @@ from .registry import register
                    max(us) - min(us) AS dwell_us
             FROM sess GROUP BY user_id, session_id
         )
-        SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-               max(n_events) AS longest_session_events,
-               sum(dwell_us) AS total_dwell_us
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(max(n_events) AS BIGINT) AS longest_session_events,
+               CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us
         FROM per_session GROUP BY user_id
     """,
     covers=("W1", "A9", "F10"),
@@ -77,7 +78,7 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey AS customer_key,
                count(*) AS n_orders,
                count(gap_days) AS n_gaps,
-               sum(gap_days) AS total_gap_days,
+               CAST(sum(gap_days) AS BIGINT) AS total_gap_days,
                CAST(sum(gap_days) AS DOUBLE) / count(gap_days) AS avg_gap_days
         FROM gaps GROUP BY o_custkey
         HAVING count(gap_days) > 0
@@ -164,8 +165,8 @@ def asof_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT o.o_orderpriority AS priority,
                count(*) AS n_orders,
-               sum(coalesce(h.cnt, 0)) AS n_events_7d,
-               max(coalesce(h.cnt, 0)) AS max_events_7d
+               CAST(sum(coalesce(h.cnt, 0)) AS BIGINT) AS n_events_7d,
+               CAST(max(coalesce(h.cnt, 0)) AS BIGINT) AS max_events_7d
         FROM orders o LEFT JOIN hits h ON o.o_orderkey = h.o_orderkey
         GROUP BY o.o_orderpriority
     """,
@@ -343,17 +344,42 @@ def ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     covers=("A8", "W1", "A3"),
     doc=(
-        "Per-user value trend via applyInPandas (Arrow per-group Python): "
-        "least-squares slope of event value over minutes-since-first-event, "
-        "computed with EXACT integer sums so even the Python path is "
-        "oracle-matched bit-for-bit (operators/pandas_ops.py). Scale: one "
-        "shuffle on user_id; groups stream through Arrow batches."
+        "Per-user value trend: least-squares slope of event value (cents) "
+        "over minutes-since-first-event, as pure built-in aggregation. The "
+        "n/Σx/Σy/Σxx/Σxy sums are EXACT BIGINT map-side-combinable partial "
+        "aggregates over integer minutes × integer cents, with ONE final "
+        "double division — bit-identical to the oracle and to the "
+        "applyInPandas formulation it replaced (operators/pandas_ops.py "
+        "remains the Arrow per-group demo, pytest-covered). Scale: the "
+        "min-ts window and the groupBy hash-partition on the same key, so "
+        "Catalyst reuses one shuffle; no Python in the hot path. BIGINT "
+        "headroom: x ≤ minutes-per-retention-window (~5e5), cents ≤ 1e7, "
+        "so Σxy per user stays < 2^62 up to ~1e8 events/user."
     ),
 )
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pandas_ops import user_value_trend as _trend
-
-    return _trend(load_table(spark, sf_dir, "events"))
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    base = events.select(
+        "user_id",
+        F.expr("(unix_micros(ts) - min(unix_micros(ts)) OVER (PARTITION BY user_id)) div 60000000").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sums = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "user_id",
+        "n",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope_cents_per_min"),
+    )
 
 
 @register(

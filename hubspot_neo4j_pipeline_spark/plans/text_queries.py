@@ -42,8 +42,8 @@ def _rate4(col):
             FROM hashed GROUP BY content_hash
         )
         SELECT count(*) AS n_groups,
-               sum(n_copies) AS n_docs,
-               sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS n_duplicates
+               CAST(sum(n_copies) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT) AS n_duplicates
         FROM groups
     """,
     covers=("D1", "D2", "D3"),

@@ -40,8 +40,33 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
-def compare(name: str, spark_df, oracle_df) -> list[str]:
+def _dtype_problems(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Representation parity: the driver's value hash is type-sensitive, so a
+    DuckDB HUGEINT/DECIMAL column that numerically equals Spark's BIGINT/DOUBLE
+    still hash-mismatches. Flag any column whose pandas dtype kind differs
+    (int vs float vs object) or whose object cells are Decimal/int128-ish."""
     problems: list[str] = []
+    for c in sorted(set(spark_df.columns) & set(oracle_df.columns)):
+        sk = spark_df[c].dtype.kind
+        ok = oracle_df[c].dtype.kind
+        if ok == "O":
+            sample = next((v for v in oracle_df[c] if v is not None), None)
+            if sample is not None and type(sample).__name__ == "Decimal":
+                problems.append(
+                    f"col {c}: oracle returns Decimal objects (dtype=object); "
+                    f"CAST the SQL expression to BIGINT/DOUBLE"
+                )
+                continue
+        if sk != ok and {sk, ok} <= {"i", "u", "f"}:
+            problems.append(
+                f"col {c}: dtype kind differs spark={spark_df[c].dtype} "
+                f"oracle={oracle_df[c].dtype}; the driver hash is type-sensitive"
+            )
+    return problems
+
+
+def compare(name: str, spark_df, oracle_df) -> list[str]:
+    problems: list[str] = _dtype_problems(spark_df, oracle_df)
     s, o = _normalize(spark_df), _normalize(oracle_df)
     if list(s.columns) != list(o.columns):
         return [f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"]
