@@ -303,6 +303,132 @@ def recent_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Golden SCD2 scenario (T2-T5): the reference's 8-scenario end-to-end
+# temporal test (tests/test_temporal_scenarios.py:164-233) expressed as a
+# driver-checked oracle query. The Spark side runs the REAL scd2_merge
+# operator on the literal fixture; the oracle independently re-derives the
+# merge in SQL (column-compare classification instead of snapshot hashes —
+# equivalent semantics). Same fixture as tests/test_scd2.py.
+# ---------------------------------------------------------------------------
+
+_G_T0, _G_T1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+
+_G_BASELINE = [
+    ("u1", "Olivia Owner", "", "", True),
+    ("u2", "Oscar Old", "", "", True),
+    ("c1", "John Doe", "u1", "lead", True),
+    ("c2", "Jane Roe", "u1", "customer", True),
+    ("c3", "Jim Poe", "u2", "lead", True),
+    ("d1", "Big Deal", "u1", "negotiation", True),
+]
+
+_G_MODIFIED = [
+    ("u1", "Olivia Owner", "", "", True),
+    ("u2", "Oscar Old", "", "", False),  # scenario 1: user deactivated
+    ("c1", "John Doe", "u2", "lead", True),  # 2: ownership transfer
+    ("c2", "Jane Smith", "u1", "customer", True),  # 4: name change
+    # c3 missing -> 7: soft delete
+    ("c4", "Nina New", "u1", "subscriber", True),  # 6: new contact
+    ("d1", "Big Deal", "u2", "closedwon", True),  # 3: transfer + 5: stage change
+]
+
+_G_COLS = ["hubspot_id", "name", "owner_id", "stage", "active"]
+
+
+def _values_sql(rows) -> str:
+    def lit(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    return ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+_G_ORACLE_PREFIX = f"""
+        WITH baseline(hubspot_id, name, owner_id, stage, active) AS (
+            VALUES {_values_sql(_G_BASELINE)}
+        ), incoming(hubspot_id, name, owner_id, stage, active) AS (
+            VALUES {_values_sql(_G_MODIFIED)}
+        ), changes AS (
+            SELECT coalesce(i.hubspot_id, b.hubspot_id) AS hubspot_id,
+                   CASE WHEN b.hubspot_id IS NULL THEN 'new'
+                        WHEN i.hubspot_id IS NULL THEN 'deleted'
+                        WHEN i.name <> b.name OR i.owner_id <> b.owner_id
+                             OR i.stage <> b.stage OR i.active <> b.active
+                            THEN 'updated'
+                        ELSE 'unchanged' END AS change_type
+            FROM incoming i FULL OUTER JOIN baseline b
+              ON i.hubspot_id = b.hubspot_id
+        )
+"""
+
+
+def _golden_merge(spark: SparkSession):
+    from ..operators.scd2 import scd2_merge, with_temporal_fields
+
+    current = with_temporal_fields(spark.createDataFrame(_G_BASELINE, _G_COLS), _G_T0)
+    incoming = spark.createDataFrame(_G_MODIFIED, _G_COLS)
+    return scd2_merge(current, incoming, key="hubspot_id", now=_G_T1)
+
+
+@register(
+    "scd2_golden_merge",
+    oracle=_G_ORACLE_PREFIX
+    + f"""
+        SELECT i.hubspot_id, i.name, i.owner_id, i.stage, i.active,
+               TIMESTAMP '{_G_T1}' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               true AS is_current, false AS is_deleted
+        FROM incoming i JOIN changes c ON i.hubspot_id = c.hubspot_id
+        WHERE c.change_type IN ('new', 'updated')
+        UNION ALL
+        SELECT b.hubspot_id, b.name, b.owner_id, b.stage, b.active,
+               TIMESTAMP '{_G_T0}', CAST(NULL AS TIMESTAMP), true, false
+        FROM baseline b JOIN changes c ON b.hubspot_id = c.hubspot_id
+        WHERE c.change_type = 'unchanged'
+        UNION ALL
+        SELECT b.hubspot_id, b.name, b.owner_id, b.stage, b.active,
+               TIMESTAMP '{_G_T0}', TIMESTAMP '{_G_T1}', false, true
+        FROM baseline b JOIN changes c ON b.hubspot_id = c.hubspot_id
+        WHERE c.change_type = 'deleted'
+    """,
+    covers=("T2", "T3", "T4", "T5", "J4"),
+    doc=(
+        "Golden 8-scenario SCD2 merge: the real scd2_merge operator over the "
+        "reference's end-to-end temporal fixture; the oracle re-derives the "
+        "post-merge current table in pure SQL. Ref "
+        "tests/test_temporal_scenarios.py:164-233, temporal_loader.py:157-266."
+    ),
+)
+def scd2_golden_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _golden_merge(spark).current.select(
+        "hubspot_id", "name", "owner_id", "stage", "active",
+        "valid_from", "valid_to", "is_current", "is_deleted",
+    )
+
+
+@register(
+    "scd2_golden_changelog",
+    oracle=_G_ORACLE_PREFIX
+    + f"""
+        SELECT hubspot_id, change_type,
+               TIMESTAMP '{_G_T1}' AS changed_at
+        FROM changes WHERE change_type <> 'unchanged'
+    """,
+    covers=("T2", "T6"),
+    doc=(
+        "Golden 8-scenario changelog: new/updated/deleted rows emitted by "
+        "scd2_merge on the reference fixture (u2 deactivated, c1/d1 "
+        "transfers, c2 rename, d1 stage->closedwon, c3 soft-delete, c4 new)."
+    ),
+)
+def scd2_golden_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _golden_merge(spark).changelog.select(
+        "hubspot_id", "change_type", "changed_at"
+    )
+
+
 @register(
     "soft_delete_candidates",
     oracle=f"""
