@@ -183,12 +183,31 @@ def ngram_jaccard_pairs(
     id_col: str,
     text_col: str,
     min_shared: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing ≥ min_shared distinct shingles (exact
-    inverted-index join — the non-probabilistic sibling of LSH)."""
+    inverted-index join — the non-probabilistic sibling of LSH).
+
+    ``max_shingle_df`` caps the document frequency of a shingle before
+    the self-join: a stop-phrase shingle shared by k documents would
+    otherwise emit k² candidate rows (quadratic blowup on skewed
+    corpora at scale). Dropping hot shingles is the standard
+    candidate-generation trade: shared_shingles then undercounts pairs
+    whose overlap is ONLY stop-phrases, which is exactly the overlap
+    near-dup detection should ignore. The df computation is one extra
+    groupBy on the same shuffle key, so the partitioning is reused.
+    """
     sh = df.select(
         id_col, F.explode(shingle_set(text_col)).alias("shingle")
     )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     return (
@@ -230,12 +249,36 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(id_col, packed.alias("simhash"))
 
 
+def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split [0, n_bits) into n_chunks contiguous (start, width) spans
+    whose widths differ by at most one bit."""
+    base, extra = divmod(n_bits, n_chunks)
+    bounds, start = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-bucketed
-    on 15-bit chunks (a pair within Hamming≤3 of 4 chunks must share
-    at least one exact chunk — pigeonhole)."""
+    on (max_hamming + 1) contiguous bit chunks.
+
+    Recall contract (pigeonhole): a pair differing in ≤ max_hamming
+    bits can touch at most max_hamming of the max_hamming + 1 chunks,
+    so it MUST share at least one exact chunk and is always generated
+    as a candidate — exact recall at the requested radius, for any
+    radius. Cost scales with the chunk count: larger radii mean more,
+    narrower chunks and hence more bucket collisions; the exact-
+    Hamming post-filter keeps precision at 100%. Guarded by the recall
+    test in tests/test_dedup.py (exhaustive compare vs brute-force
+    Hamming at radii 3 and 7)."""
+    n_chunks = max_hamming + 1
+    if n_chunks > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         id_col,
@@ -245,11 +288,13 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned("simhash", c * 15)
-                        .bitwiseAND(F.lit(0x7FFF))
+                        F.shiftrightunsigned("simhash", start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c, (start, width) in enumerate(
+                        _chunk_bounds(SIMHASH_BITS, n_chunks)
+                    )
                 ]
             )
         ).alias("c"),

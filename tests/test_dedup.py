@@ -82,6 +82,61 @@ def test_simhash_near_pairs(docs):
     assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_near_pairs_exact_recall(spark):
+    """Recall contract: at radius h the chunked candidate join must find
+    EVERY pair within Hamming ≤ h (pigeonhole over h+1 chunks), compared
+    exhaustively against brute-force Hamming over the signatures."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    rows = [(0, " ".join(base))]
+    # single- and multi-token substitutions → a spread of small distances
+    for i, (pos, word) in enumerate(
+        [(0, "zulu"), (3, "yankee"), (7, "xray"), (11, "whiskey"),
+         (2, "victor"), (5, "uniform"), (9, "tangent"), (13, "sigma")],
+        start=1,
+    ):
+        toks = list(base)
+        toks[pos] = word
+        if i % 2 == 0:  # every other variant gets a second substitution
+            toks[(pos + 4) % len(toks)] = f"extra{i}"
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    for radius in (3, 7):
+        expected = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= radius
+        }
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=radius).collect()
+        }
+        assert found == expected, f"radius {radius}: missed {expected - found}"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-phrase shared by k docs must not produce k² candidates
+    when max_shingle_df caps shingle document frequency; genuinely
+    overlapping pairs (unique shared content) survive the cap."""
+    hot = "please read our terms and conditions before you continue today"
+    rows = [(i, f"{hot} unique{i} filler{i} pad{i} words{i} here{i}") for i in range(200)]
+    # one genuine near-dup pair: long unique overlap beyond the stop-phrase
+    shared = "zeta eta theta iota kappa lambda unique overlap body text"
+    rows.append((900, f"{shared} ending one"))
+    rows.append((901, f"{shared} ending two"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text").count()
+    assert uncapped > 10_000  # the k² blowup the cap exists to stop
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", max_shingle_df=50)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (900, 901) in pairs  # real overlap survives
+    assert len(pairs) < 10  # stop-phrase pairs are gone
+
+
 def test_minhash_on_real_documents(spark, sf_dir):
     """Smoke on the driver's documents table: pairs are symmetric-free,
     jaccard within [0.5, 1]."""
