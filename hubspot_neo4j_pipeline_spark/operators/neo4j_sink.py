@@ -54,6 +54,75 @@ def edge_write_options(
     }
 
 
+# ---------------------------------------------------------------------------
+# Full edge catalog: every (from_label, rel_type, to_label) triple the
+# reference materializes (SURVEY.md §1.5; reference DATA_MODEL.md:245-374,
+# config/neo4j_schema.py:2-22, graph_transformer.py:128-180,212-286,
+# 334-368,410-475,544-574, loaders/entity_matcher.py:54-84,
+# loaders/temporal_loader.py:176-183). 14 relationship types; types with
+# several endpoint combinations expand to one writer config each.
+# `key` is the node match property ("hubspot_id" except WebPage, which is
+# keyed by url — neo4j_schema.py:10).
+# ---------------------------------------------------------------------------
+
+_C, _CO, _D, _A, _U = (
+    "HUBSPOT_Contact",
+    "HUBSPOT_Company",
+    "HUBSPOT_Deal",
+    "HUBSPOT_Activity",
+    "HUBSPOT_User",
+)
+_WP, _OE, _CE, _FS, _EC = (
+    "HUBSPOT_WebPage",
+    "HUBSPOT_EmailOpenEvent",
+    "HUBSPOT_EmailClickEvent",
+    "HUBSPOT_FormSubmission",
+    "HUBSPOT_EmailCampaign",
+)
+
+# (rel_type, from_label, to_label, from_key, to_key)
+EDGE_CATALOG: tuple[tuple[str, str, str, str, str], ...] = (
+    ("WORKS_AT", _C, _CO, "hubspot_id", "hubspot_id"),
+    ("ASSOCIATED_WITH", _C, _D, "hubspot_id", "hubspot_id"),
+    ("BELONGS_TO", _D, _CO, "hubspot_id", "hubspot_id"),
+    ("OWNED_BY", _C, _U, "hubspot_id", "hubspot_id"),
+    ("OWNED_BY", _CO, _U, "hubspot_id", "hubspot_id"),
+    ("OWNED_BY", _D, _U, "hubspot_id", "hubspot_id"),
+    ("INVOLVES", _A, _C, "hubspot_id", "hubspot_id"),
+    ("INVOLVES", _A, _CO, "hubspot_id", "hubspot_id"),
+    ("RELATED_TO", _A, _D, "hubspot_id", "hubspot_id"),
+    ("PERFORMED", _C, _OE, "hubspot_id", "hubspot_id"),
+    ("PERFORMED", _C, _CE, "hubspot_id", "hubspot_id"),
+    ("FOR_CAMPAIGN", _OE, _EC, "hubspot_id", "hubspot_id"),
+    ("FOR_CAMPAIGN", _CE, _EC, "hubspot_id", "hubspot_id"),
+    ("CLICKED_URL", _CE, _WP, "hubspot_id", "url"),
+    ("SUBMITTED_BY", _FS, _C, "hubspot_id", "hubspot_id"),
+    ("ON_PAGE", _FS, _WP, "hubspot_id", "url"),
+    ("VISITED", _C, _WP, "hubspot_id", "url"),
+    ("SAME_AS", _U, "Person", "hubspot_id", "hubspot_id"),
+    # SCD2 history link, one per versioned label (temporal_loader.py:176-183)
+    ("HAS_HISTORY", _C, f"{_C}_HISTORY", "hubspot_id", "hubspot_id"),
+    ("HAS_HISTORY", _CO, f"{_CO}_HISTORY", "hubspot_id", "hubspot_id"),
+    ("HAS_HISTORY", _D, f"{_D}_HISTORY", "hubspot_id", "hubspot_id"),
+    ("HAS_HISTORY", _A, f"{_A}_HISTORY", "hubspot_id", "hubspot_id"),
+    ("HAS_HISTORY", _U, f"{_U}_HISTORY", "hubspot_id", "hubspot_id"),
+)
+
+
+def edge_catalog_options() -> dict[tuple[str, str, str], dict[str, str]]:
+    """Writer options for EVERY edge triple the reference loads —
+    (rel_type, from_label, to_label) → connector option dict. The
+    golden-file test (tests/test_neo4j_sink.py) pins all 14 rel types
+    and their endpoint expansions against this catalog."""
+    out: dict[tuple[str, str, str], dict[str, str]] = {}
+    for rel_type, from_label, to_label, from_key, to_key in EDGE_CATALOG:
+        opts = edge_write_options(rel_type, from_label, to_label)
+        opts["relationship.source.node.keys"] = f"from_id:{from_key}"
+        opts["relationship.target.node.keys"] = f"to_id:{to_key}"
+        out[(rel_type, from_label, to_label)] = opts
+    return out
+
+
 def write_nodes(
     nodes: DataFrame, url: str, label: str, key: str = "hubspot_id"
 ) -> None:

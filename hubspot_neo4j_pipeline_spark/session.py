@@ -22,6 +22,44 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+def _reuse_existing(
+    spark: SparkSession,
+    cpus: int | None,
+    shuffle_partitions: int | None,
+    extra_conf: dict[str, str] | None,
+) -> SparkSession:
+    """Honor explicit config requests against an already-running session.
+
+    getOrCreate() silently ignores builder configs when a session
+    exists; that silent drift once meant bench/tests sharing a process
+    could run under the wrong settings. Policy: runtime-settable confs
+    are applied to the live session; a request that CANNOT be honored
+    (different master, static JVM confs like driver memory) fails
+    loudly instead of pretending.
+    """
+    problems: list[str] = []
+    if cpus is not None:
+        actual = spark.conf.get("spark.master", "")
+        if actual != f"local[{cpus}]":
+            problems.append(f"spark.master: existing={actual!r}, requested local[{cpus}]")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            actual = spark.conf.get(k, None)
+            if actual != v:
+                problems.append(f"{k}: existing={actual!r}, requested={v!r} (static conf)")
+    if problems:
+        raise RuntimeError(
+            "existing SparkSession cannot honor requested configs: "
+            + "; ".join(problems)
+            + ". Stop the session first or drop the explicit request."
+        )
+    return spark
+
+
 def get_spark(
     app_name: str = "hubspot-neo4j-pipeline-spark",
     cpus: int | None = None,
@@ -30,14 +68,17 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the singleton SparkSession.
 
-    NOTE: getOrCreate() semantics — if a session already exists in
-    this process, it is returned as-is and cpus/shuffle_partitions/
-    extra_conf are IGNORED. Callers that need specific configs (bench)
-    must be the first to create the session in their process.
+    If a session already exists in this process, explicit requests are
+    checked against it: runtime confs are applied, unsatisfiable static
+    ones raise (see _reuse_existing) — never silently ignored.
 
     In local mode ``spark.driver.memory`` is the whole JVM; keep the
     default unless the caller overrides via extra_conf.
     """
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return _reuse_existing(existing, cpus, shuffle_partitions, extra_conf)
+
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
@@ -57,6 +98,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps scan as TIMESTAMP (LTZ=UTC) directly,
+        # keeping pushdown on date/ts columns (see sources/tpch.py)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
     )

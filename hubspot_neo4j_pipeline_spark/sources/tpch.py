@@ -52,11 +52,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
       (TIMESTAMP(NANOS)) throws PARQUET_TYPE_ILLEGAL;
     - UTC session timezone: date_trunc/window/epoch results must match
       the DuckDB oracle's naive-UTC timestamps regardless of the host
-      timezone.
-    Both are runtime-settable SQL confs; setting them is idempotent.
+      timezone;
+    - inferTimestampNTZ disabled: naive parquet timestamps
+      (isAdjustedToUTC=false: orders.o_orderdate, lineitem.l_shipdate,
+      documents/embeddings ts columns) scan directly as TIMESTAMP (LTZ,
+      = UTC here) instead of TIMESTAMP_NTZ. Reading the right type AT
+      THE SCAN keeps parquet filter pushdown and row-group stats usable
+      on exactly the columns the temporal plans range-filter — a
+      post-read cast would hide them from the scan. Covers nested
+      fields too, which a top-level cast loop would miss.
+    All are runtime-settable SQL confs; setting them is idempotent.
+    The timezone semantics contract: these columns hold naive wall-clock
+    instants; with the session pinned to UTC, LTZ-read values equal what
+    the DuckDB oracle sees. Callers must not reset the session timezone
+    between load and action.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -65,15 +78,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanos-as-long -> microsecond timestamp (UTC, matches DuckDB's view)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # Naive parquet timestamps (isAdjustedToUTC=false) arrive as
-    # TIMESTAMP_NTZ, which unix_millis/window/etc. reject. With the
-    # session timezone pinned to UTC above, a plain cast to TIMESTAMP
-    # reinterprets the same wall-clock instant as UTC — identical to
-    # what the DuckDB oracle sees. Cast-only projection: pushdown and
-    # pruning on other columns are unaffected.
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # Naive (isAdjustedToUTC=false) parquet timestamps scan directly as
+    # TIMESTAMP thanks to inferTimestampNTZ=false above — no post-read
+    # cast, so predicate pushdown / row-group stats stay live on them.
     return df
 
 

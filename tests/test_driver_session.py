@@ -58,3 +58,47 @@ def test_queries_survive_hostile_driver_session():
         [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=300
     )
     assert "ALL_MATCH" in res.stdout, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
+
+
+DRIFT_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from hubspot_neo4j_pipeline_spark.session import get_spark
+
+spark = get_spark(cpus=4, shuffle_partitions=4)
+
+# Re-request with runtime-settable confs: applied to the live session.
+s2 = get_spark(shuffle_partitions=8, extra_conf={"spark.sql.session.timeZone": "UTC"})
+assert s2 is spark
+assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+# Re-request with an unsatisfiable static conf: must fail loudly,
+# never silently return a session with the wrong settings.
+try:
+    get_spark(extra_conf={"spark.driver.memory": "99g"})
+except RuntimeError as exc:
+    assert "spark.driver.memory" in str(exc)
+else:
+    raise SystemExit("static-conf drift was silently ignored")
+
+# Re-request a different master: also loud.
+try:
+    get_spark(cpus=2)
+except RuntimeError as exc:
+    assert "spark.master" in str(exc)
+else:
+    raise SystemExit("master drift was silently ignored")
+
+print("DRIFT_GUARDED")
+"""
+
+
+def test_get_spark_detects_config_drift():
+    """getOrCreate silently ignoring configs on a second call was a
+    documented nit (session.py); the guard applies runtime confs and
+    raises on unsatisfiable static ones. Runs in a subprocess so the
+    shared test session is untouched."""
+    res = subprocess.run(
+        [sys.executable, "-c", DRIFT_SCRIPT], capture_output=True, text=True, timeout=300
+    )
+    assert "DRIFT_GUARDED" in res.stdout, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-2000:]}"
