@@ -203,8 +203,10 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH masked AS (
             SELECT c_custkey,
                    concat(substr(c_name, 1, 9),
-                          repeat('*', length(c_name) - 13),
-                          substr(c_name, length(c_name) - 3, 4)) AS masked_name,
+                          repeat('*', greatest(length(c_name) - 13, 0)),
+                          CASE WHEN length(c_name) >= 13
+                               THEN substr(c_name, length(c_name) - 3, 4)
+                               ELSE substr(c_name, 10) END) AS masked_name,
                    c_mktsegment,
                    CAST(floor(c_acctbal / 1000) AS BIGINT) * 1000 AS bal_bucket
             FROM customer
@@ -228,10 +230,14 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     name_len = F.length("c_name")
     masked = cust.select(
         "c_custkey",
+        # prefix kept, middle starred, last-4 kept; names shorter than
+        # 13 chars keep their tail unstarred instead of producing a
+        # negative repeat count (library-robustness fix, r3)
         F.concat(
             F.substring("c_name", 1, 9),
-            F.repeat(F.lit("*"), (name_len - 13).cast("int")),
-            F.substring(F.col("c_name"), -4, 4),
+            F.repeat(F.lit("*"), F.greatest(name_len - 13, F.lit(0)).cast("int")),
+            F.when(name_len >= 13, F.substring(F.col("c_name"), -4, 4))
+            .otherwise(F.expr("substring(c_name, 10)")),
         ).alias("masked_name"),
         "c_mktsegment",
         (F.floor(F.col("c_acctbal") / 1000).cast("long") * 1000).alias(
