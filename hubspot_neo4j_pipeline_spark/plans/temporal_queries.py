@@ -366,7 +366,11 @@ _G_ORACLE_PREFIX = f"""
 
 def _golden_merge(spark: SparkSession):
     from ..operators.scd2 import scd2_merge, with_temporal_fields
+    from ..sources.tpch import ensure_session_confs
 
+    # no load_table in this query, so pin the UTC session explicitly —
+    # the timestamp literals must mean the same instant as the oracle's
+    ensure_session_confs(spark)
     current = with_temporal_fields(spark.createDataFrame(_G_BASELINE, _G_COLS), _G_T0)
     incoming = spark.createDataFrame(_G_MODIFIED, _G_COLS)
     return scd2_merge(current, incoming, key="hubspot_id", now=_G_T1)

@@ -36,7 +36,8 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 names = ["recent_activity", "windowed_event_counts", "quarterly_deal_trend",
-         "epoch_roundtrip", "latest_event_per_user", "campaign_stats"]
+         "epoch_roundtrip", "latest_event_per_user", "campaign_stats",
+         "scd2_golden_merge", "scd2_golden_changelog", "user_value_trend"]
 qs, oracles = e.queries(), e.oracle_sql()
 failures = []
 for name in names:
