@@ -1,0 +1,106 @@
+"""Plan-shape regression gate over the ENTIRE query registry.
+
+The per-query perf story (PERF.md) rests on structural properties of
+the physical plans, not on timings; this test pins them so a future
+edit can't silently reintroduce a scale-killer:
+
+- no CartesianProduct / unbounded BroadcastNestedLoopJoin anywhere
+  except the documented bounded-broadcast sites;
+- constant-size dimension joins broadcast (never shuffle both sides);
+- parquet range filters reach the scan (PushedFilters) for the
+  representative temporal queries after the inferTimestampNTZ change.
+
+Plans are built at sf0.001 — plan shape does not depend on SF for
+these checks (AQE may coalesce at runtime, but the static strategy,
+join types, and pushdown are visible pre-execution).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hubspot_neo4j_pipeline_spark.plans import get_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin appears only where the broadcast side is a
+# bounded constant (documented in VERDICT r2 / PERF.md): the 1-row
+# "now" anchor, the <=32-row hyperplane/seed tables, and the bounded
+# ANN query sets.
+BNLJ_ALLOWED = {
+    "recent_activity",  # 1-row max-ts anchor
+    "recent_changes",  # 1-row max-ts anchor
+    "shipping_priority",  # 1-row anchor
+    "ann_bruteforce_topk",  # bounded query set (oracle twin)
+    "ann_lsh_topk",  # hyperplane table <= 32 rows
+    "ann_ivf_topk",  # 25 seed centroids
+    "ivf_assignment",  # 25 seed centroids
+    "embedding_near_dup_pairs",  # plane table
+    "vector_norms",
+    "embedding_centroids",
+    "multimodal_features",
+    "stratified_doc_sample",  # per-source count frame (bounded)
+    "order_value_median",  # 3-row quantile frame
+    "edge_endpoint_validation",  # two scalar count frames joined (1 row each)
+    "repeat_buyers_intersect",  # 1-row data-derived mid-date anchor
+    "doc_tfidf_top_terms",  # 1-row corpus doc-count frame
+}
+
+
+def _plan(spark, name, fn) -> str:
+    return fn(spark, SF_DIR)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in get_queries().items():
+        out[name] = _plan(spark, name, fn)
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], f"cartesian products in: {offenders}"
+
+
+def test_nested_loop_joins_only_at_bounded_sites(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert offenders == [], (
+        f"unexpected BroadcastNestedLoopJoin in: {offenders}; if the "
+        "broadcast side is a bounded constant, document it in BNLJ_ALLOWED"
+    )
+
+
+def test_constant_dims_broadcast(plans):
+    """nation/region joins must be broadcast, never a shuffle join."""
+    for name in ("deals_by_company", "edge_match_resolution", "regional_supplier_volume"):
+        assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast join"
+
+
+def test_temporal_range_filters_reach_the_scan(plans):
+    """After inferTimestampNTZ=false the o_orderdate/l_shipdate range
+    predicates must appear in PushedFilters, not just post-scan."""
+    for name, col in (
+        ("change_classification", "o_orderdate"),
+        ("relationship_diff", "l_shipdate"),
+        ("soft_delete_candidates", "o_orderdate"),
+    ):
+        pushed = [
+            ln for ln in plans[name].splitlines() if "PushedFilters" in ln and col in ln
+        ]
+        assert pushed, f"{name}: no pushed filter on {col}"
+
+
+def test_scans_prune_columns(plans):
+    """The flagship roll-up must not read the wide orders schema."""
+    read = [ln for ln in plans["deals_by_company"].splitlines() if "ReadSchema" in ln]
+    assert read, "no ReadSchema lines found"
+    for ln in read:
+        assert "o_comment" not in ln, "unpruned orders scan reads o_comment"
