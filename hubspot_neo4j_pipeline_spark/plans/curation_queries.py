@@ -416,3 +416,61 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "dataset_split_assignment",
+    oracle="""
+        WITH buckets AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(sum(n_chars) OVER (
+                   PARTITION BY source,
+                                CASE WHEN bucket < 80 THEN 'train'
+                                     WHEN bucket < 90 THEN 'val'
+                                     ELSE 'test' END
+               ) AS BIGINT) AS split_source_chars
+        FROM buckets
+    """,
+    covers=("F9", "A9"),
+    doc=(
+        "Deterministic train/val/test split: each document hashes to a "
+        "stable bucket (md5 of its id — reproducible across runs, engines, "
+        "and cluster sizes; no RNG, no seed coordination), 80/10/10 by "
+        "bucket range, with per-(source, split) char mass attached so mix "
+        "ratios are auditable. Scale: pure map work plus one bounded-key "
+        "window; the assignment column is what a 100 TB run would "
+        "partitionBy on write."
+    ),
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    w = Window.partitionBy("source", "split")
+    return (
+        docs.select("doc_id", "source", "n_chars", bucket.alias("bucket"))
+        .withColumn("split", split)
+        .select(
+            "doc_id",
+            "source",
+            "bucket",
+            "split",
+            F.sum("n_chars").over(w).alias("split_source_chars"),
+        )
+    )

@@ -34,3 +34,25 @@ def test_approx_percentile_brackets_exact_median(spark, sf_dir):
         # accuracy=10000 → rank error ≤ n/10000; totalprice spread makes
         # 2% a generous value-space bound at every SF the driver uses
         assert abs(r.approx - r.exact) <= 0.02 * r.exact, r
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must preserve neighbor quality: per query,
+    >=8 of the exact float top-10 appear in the quantized top-10."""
+    from hubspot_neo4j_pipeline_spark.plans.vector_queries import (
+        ann_bruteforce_topk,
+        ann_quantized_topk,
+    )
+
+    exact = ann_bruteforce_topk(spark, sf_dir).collect()
+    quant = ann_quantized_topk(spark, sf_dir).collect()
+    by_q_exact: dict[int, set[int]] = {}
+    by_q_quant: dict[int, set[int]] = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q_exact) == set(by_q_quant)
+    for q, exact_ids in by_q_exact.items():
+        overlap = len(exact_ids & by_q_quant[q])
+        assert overlap >= 8, f"query {q}: only {overlap}/10 quantized recall"
