@@ -314,23 +314,17 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = bigrams.groupBy("doc_id", "n_words", "bigram").agg(
         F.count("*").alias("cnt")
     )
-    doc_w = Window.partitionBy("doc_id")
-    rank_w = Window.partitionBy("doc_id").orderBy(
-        F.desc("cnt"), F.desc("bigram")
-    )
-    top = (
-        counted.select(
-            "doc_id",
-            "n_words",
-            F.col("bigram").alias("top_bigram"),
-            F.col("cnt").alias("top_bigram_count"),
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-            .over(doc_w)
-            .alias("repeated_bigram_tokens"),
-            F.row_number().over(rank_w).alias("rn"),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    # top-1 + conditional sum as ONE hash aggregation instead of a
+    # sort-window: max(struct(cnt, bigram)) orders by cnt then bigram,
+    # exactly the (cnt DESC, bigram DESC) rn=1 row — no per-doc sort,
+    # partial aggregation map-side (r3 rewrite, ~2x faster at sf0.1)
+    peak = F.max(F.struct(F.col("cnt"), F.col("bigram")))
+    top = counted.groupBy("doc_id", "n_words").agg(
+        peak.getField("bigram").alias("top_bigram"),
+        peak.getField("cnt").alias("top_bigram_count"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "repeated_bigram_tokens"
+        ),
     )
     top_frac = F.col("top_bigram_count").cast("double") / (F.col("n_words") - 1)
     rep_frac = (

@@ -81,6 +81,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Naive (isAdjustedToUTC=false) parquet timestamps scan directly as
     # TIMESTAMP thanks to inferTimestampNTZ=false above — no post-read
     # cast, so predicate pushdown / row-group stats stay live on them.
+    if name in ("documents", "embeddings"):
+        # These arrive as ONE parquet row group, so the scan gets a
+        # single task — and the text/vector operators then run their
+        # CPU-heavy higher-order-function / explode work on one core
+        # (measured 3-5 s single-threaded vs <1 s spread, sf0.1).
+        # Spread the small table across the cluster once at load: the
+        # shuffle is a few MB, and hashing on the id co-locates the
+        # per-document groupBys that follow. On a production lake these
+        # tables arrive as many splittable files and this repartition
+        # is a cheap no-op by comparison with the work it unlocks.
+        key = "doc_id" if name == "documents" else "vec_id"
+        df = df.repartition(spark.sparkContext.defaultParallelism, key)
     return df
 
 
