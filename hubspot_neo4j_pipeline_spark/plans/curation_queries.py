@@ -468,3 +468,71 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").over(w).alias("split_source_chars"),
         )
     )
+
+
+@register(
+    "source_mixture_sample",
+    oracle="""
+        WITH totals AS (
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        ), target AS (
+            SELECT min(total_chars) AS target_chars FROM totals
+        ), scored AS (
+            SELECT d.doc_id, d.source, d.n_chars, t.total_chars,
+                   tg.target_chars,
+                   CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS bucket
+            FROM documents d
+            JOIN totals t ON d.source = t.source
+            CROSS JOIN target tg
+        )
+        SELECT doc_id, source, n_chars,
+               floor(CAST(target_chars AS DOUBLE) / total_chars * 10000)
+                   / 10000 AS keep_rate,
+               bucket * total_chars < target_chars * 4294967296 AS keep
+        FROM scored
+    """,
+    covers=("A3", "F9", "J1"),
+    doc=(
+        "Source-mixture balancing: downsample every source to the char "
+        "mass of the smallest one. Per-doc keep decision is a hash-bucket "
+        "threshold compared in EXACT integer arithmetic "
+        "(bucket * total < target * 2^32 — no float boundary ambiguity "
+        "between engines), so the sample is reproducible on any engine or "
+        "cluster size and stable across reruns (no RNG state). Scale: one "
+        "per-source aggregate (broadcastable), one broadcast of the 1-row "
+        "global min, pure map work after — the same shape at 100 TB."
+    ),
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("total_chars")
+    )
+    target = totals.agg(F.min("total_chars").alias("target_chars"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    return (
+        docs.join(F.broadcast(totals), "source")
+        .join(F.broadcast(target))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (
+                F.floor(
+                    F.col("target_chars").cast("double")
+                    / F.col("total_chars")
+                    * 10000
+                )
+                / 10000
+            ).alias("keep_rate"),
+            (
+                bucket * F.col("total_chars")
+                < F.col("target_chars") * F.lit(4294967296).cast("long")
+            ).alias("keep"),
+        )
+    )
