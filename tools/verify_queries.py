@@ -87,8 +87,14 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from hubspot_neo4j_pipeline_spark.plans import get_oracles, get_queries
     from hubspot_neo4j_pipeline_spark.session import get_spark
@@ -105,6 +111,7 @@ def main() -> int:
 
     qs, oracles = get_queries(), get_oracles()
     n_pass = n_fail = n_rowsonly = 0
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -112,16 +119,19 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": "spark raised"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows-only {name}: {len(sdf)} rows")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             n_rowsonly += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL {name}: oracle raised\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": "oracle raised"}
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
@@ -129,11 +139,29 @@ def main() -> int:
             print(f"FAIL {name} ({len(sdf)} rows):")
             for p in problems:
                 print(f"    {p}")
+            results[name] = {"status": "fail", "rows": len(sdf), "problems": problems}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(sdf)} rows)")
+            results[name] = {"status": "pass", "rows": len(sdf)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rowsonly,
+                    "compare": "rows + sorted columns + exact cell values + dtype-kind parity",
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
