@@ -48,3 +48,32 @@ def test_query_runs_on_sf0001(name, spark, sf_dir):
     df = get_queries()[name](spark, sf_dir)
     assert df.columns  # stable schema
     df.limit(5).collect()
+
+
+def test_priority_prefix_spans_all_families():
+    """The correctness harness checks a bounded prefix of the registry
+    in dict order; the first 50 names must keep spanning the reference
+    query library, the full temporal/SCD2 family (incl. both golden
+    queries), and one flagship per LLM-pipeline family."""
+    from hubspot_neo4j_pipeline_spark.plans import QUERIES
+
+    prefix = list(QUERIES)[:50]
+    assert "deals_by_company" in prefix  # reference flagship
+    for name in (
+        "change_classification",
+        "scd2_version_chain",
+        "relationship_diff",
+        "soft_delete_candidates",
+        "scd2_golden_merge",
+        "scd2_golden_changelog",
+    ):
+        assert name in prefix, f"temporal family member {name} fell out of the prefix"
+    for name in (
+        "doc_shard_packing",
+        "user_value_trend",
+        "doc_exact_dedup",
+        "doc_minhash_lsh_pairs",
+        "ann_bruteforce_topk",
+        "embedding_near_dup_pairs",
+    ):
+        assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
