@@ -31,6 +31,49 @@ def _rate4(col):
     return F.floor(col * 10000) / 10000
 
 
+def mask_name(col) -> "F.Column":
+    """PII name mask, total-length preserving.
+
+    - length >= 13: keep the 9-char prefix and the last 4 chars, star
+      the middle (classic show-first/last masking);
+    - length < 13: keep at most the FIRST 4 chars and star everything
+      after them — never emit an unmasked tail and never a negative
+      ``repeat`` count (hardened r4; ADVICE round 3).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.length(col)
+    return F.when(
+        n >= 13,
+        F.concat(
+            F.substring(col, 1, 9),
+            F.repeat(F.lit("*"), (n - 13).cast("int")),
+            F.substring(col, -4, 4),
+        ),
+    ).otherwise(
+        F.concat(
+            F.substring(col, 1, 4),
+            F.repeat(F.lit("*"), F.greatest(n - 4, F.lit(0)).cast("int")),
+        )
+    )
+
+
+def mixture_keep(bucket, total_chars, target_chars) -> "F.Column":
+    """Exact keep predicate for hash-threshold downsampling.
+
+    keep ⇔ bucket * total_chars < target_chars * 2^32, evaluated in
+    DECIMAL so it stays EXACT past int64: ``bucket`` spans [0, 2^32),
+    so a BIGINT product silently wraps (non-ANSI Spark) once a source
+    exceeds ~2^31 chars — i.e. at precisely the scale this targets.
+    DECIMAL(10,0) × DECIMAL(19,0) → DECIMAL(30,0): exact for any
+    BIGINT ``total_chars``/``target_chars``. The DuckDB oracle mirrors
+    this with HUGEINT (int128) arithmetic.
+    """
+    return (
+        bucket.cast("decimal(10,0)") * total_chars.cast("decimal(19,0)")
+        < target_chars.cast("decimal(19,0)") * F.lit(4294967296).cast("decimal(10,0)")
+    )
+
+
 SHARD_CHAR_BUDGET = 4000  # chars per training shard within a source
 
 
@@ -202,11 +245,13 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH masked AS (
             SELECT c_custkey,
-                   concat(substr(c_name, 1, 9),
-                          repeat('*', greatest(length(c_name) - 13, 0)),
-                          CASE WHEN length(c_name) >= 13
-                               THEN substr(c_name, length(c_name) - 3, 4)
-                               ELSE substr(c_name, 10) END) AS masked_name,
+                   CASE WHEN length(c_name) >= 13
+                        THEN concat(substr(c_name, 1, 9),
+                                    repeat('*', length(c_name) - 13),
+                                    substr(c_name, length(c_name) - 3, 4))
+                        ELSE concat(substr(c_name, 1, 4),
+                                    repeat('*', greatest(length(c_name) - 4, 0)))
+                   END AS masked_name,
                    c_mktsegment,
                    CAST(floor(c_acctbal / 1000) AS BIGINT) * 1000 AS bal_bucket
             FROM customer
@@ -227,18 +272,9 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    name_len = F.length("c_name")
     masked = cust.select(
         "c_custkey",
-        # prefix kept, middle starred, last-4 kept; names shorter than
-        # 13 chars keep their tail unstarred instead of producing a
-        # negative repeat count (library-robustness fix, r3)
-        F.concat(
-            F.substring("c_name", 1, 9),
-            F.repeat(F.lit("*"), F.greatest(name_len - 13, F.lit(0)).cast("int")),
-            F.when(name_len >= 13, F.substring(F.col("c_name"), -4, 4))
-            .otherwise(F.expr("substring(c_name, 10)")),
-        ).alias("masked_name"),
+        mask_name("c_name").alias("masked_name"),
         "c_mktsegment",
         (F.floor(F.col("c_acctbal") / 1000).cast("long") * 1000).alias(
             "bal_bucket"
@@ -490,19 +526,24 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, n_chars,
                floor(CAST(target_chars AS DOUBLE) / total_chars * 10000)
                    / 10000 AS keep_rate,
-               bucket * total_chars < target_chars * 4294967296 AS keep
+               CAST(bucket AS HUGEINT) * total_chars
+                   < CAST(target_chars AS HUGEINT) * 4294967296 AS keep
         FROM scored
     """,
     covers=("A3", "F9", "J1"),
     doc=(
         "Source-mixture balancing: downsample every source to the char "
         "mass of the smallest one. Per-doc keep decision is a hash-bucket "
-        "threshold compared in EXACT integer arithmetic "
-        "(bucket * total < target * 2^32 — no float boundary ambiguity "
-        "between engines), so the sample is reproducible on any engine or "
-        "cluster size and stable across reruns (no RNG state). Scale: one "
-        "per-source aggregate (broadcastable), one broadcast of the 1-row "
-        "global min, pure map work after — the same shape at 100 TB."
+        "threshold compared in EXACT 128-bit integer arithmetic "
+        "(bucket * total < target * 2^32 as DECIMAL(38,0) in Spark / "
+        "HUGEINT in DuckDB — no float boundary ambiguity between engines "
+        "and no int64 wraparound: bucket is up to 2^32-1, so the product "
+        "overflows BIGINT once a source exceeds ~2^31 chars, i.e. at "
+        "exactly the 100 TB scale this targets). Reproducible on any "
+        "engine or cluster size, stable across reruns (no RNG state). "
+        "Scale: one per-source aggregate (broadcastable), one broadcast "
+        "of the 1-row global min, pure map work after — the same shape "
+        "at 100 TB."
     ),
 )
 def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,9 +571,8 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 10000
             ).alias("keep_rate"),
-            (
-                bucket * F.col("total_chars")
-                < F.col("target_chars") * F.lit(4294967296).cast("long")
+            mixture_keep(
+                bucket, F.col("total_chars"), F.col("target_chars")
             ).alias("keep"),
         )
     )

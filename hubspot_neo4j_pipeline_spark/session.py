@@ -75,8 +75,15 @@ def get_spark(
     In local mode ``spark.driver.memory`` is the whole JVM; keep the
     default unless the caller overrides via extra_conf.
     """
-    existing = SparkSession.getActiveSession()
-    if existing is not None:
+    # getActiveSession() is THREAD-LOCAL: a session created on another
+    # thread returns None here, and builder.getOrCreate() would then
+    # silently ignore the requested configs — exactly the drift
+    # _reuse_existing exists to prevent. Fall back to the process-wide
+    # default session before trusting the builder.
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if existing is not None and existing._jsparkSession is not None:
         return _reuse_existing(existing, cpus, shuffle_partitions, extra_conf)
 
     cpus = cpus or DEFAULT_CPUS

@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "edge_endpoint_validation",  # two scalar count frames joined (1 row each)
     "repeat_buyers_intersect",  # 1-row data-derived mid-date anchor
     "doc_tfidf_top_terms",  # 1-row corpus doc-count frame
+    "source_mixture_sample",  # 1-row global-min char-mass target
 }
 
 

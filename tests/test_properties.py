@@ -100,6 +100,64 @@ def test_edge_diff_invariants(spark, old, new):
 words = st.lists(st.sampled_from("the quick brown fox dog cat runs fast slow".split()), min_size=6, max_size=30)
 
 
+names = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    min_size=0,
+    max_size=40,
+)
+
+
+@prop_settings
+@given(batch=st.lists(names, min_size=1, max_size=8))
+def test_mask_name_never_leaks_past_the_kept_prefix(spark, batch):
+    """For ANY name length: output length == input length, long names
+    keep only first-9 + last-4, short names keep AT MOST the first 4
+    chars — everything else must be '*' (ADVICE r3: no unmasked tails)."""
+    from hubspot_neo4j_pipeline_spark.plans.curation_queries import mask_name
+
+    df = spark.createDataFrame([(n,) for n in batch], "c_name string")
+    out = {r["c_name"]: r["m"] for r in df.select("c_name", mask_name("c_name").alias("m")).collect()}
+    for name in batch:
+        masked = out[name]
+        assert len(masked) == len(name)
+        if len(name) >= 13:
+            assert masked == name[:9] + "*" * (len(name) - 13) + name[-4:]
+        else:
+            keep = min(4, len(name))
+            assert masked == name[:keep] + "*" * (len(name) - keep)
+
+
+huge = st.integers(min_value=1, max_value=10**14)  # char masses past 2^31
+buckets = st.integers(min_value=0, max_value=2**32 - 1)
+
+
+@prop_settings
+@given(rows=st.lists(st.tuples(buckets, huge, huge), min_size=1, max_size=12))
+def test_mixture_keep_is_exact_past_int64(spark, rows):
+    """keep ⇔ bucket*total < target*2^32 in TRUE integer arithmetic,
+    even when the products exceed int64 (sources > 2^31 chars — the
+    regime where the old BIGINT predicate silently wrapped)."""
+    from hubspot_neo4j_pipeline_spark.plans.curation_queries import mixture_keep
+
+    df = spark.createDataFrame(
+        [(i, b, t, g) for i, (b, t, g) in enumerate(rows)],
+        "id long, bucket long, total_chars long, target_chars long",
+    )
+    import pyspark.sql.functions as F
+
+    got = {
+        r["id"]: r["keep"]
+        for r in df.select(
+            "id",
+            mixture_keep(
+                F.col("bucket"), F.col("total_chars"), F.col("target_chars")
+            ).alias("keep"),
+        ).collect()
+    }
+    for i, (b, t, g) in enumerate(rows):
+        assert got[i] == (b * t < g * 2**32), (b, t, g)
+
+
 @prop_settings
 @given(a=words, b=words)
 def test_minhash_verified_jaccard_is_exact(spark, a, b):

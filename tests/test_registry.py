@@ -54,7 +54,8 @@ def test_priority_prefix_spans_all_families():
     """The correctness harness checks a bounded prefix of the registry
     in dict order; the first 50 names must keep spanning the reference
     query library, the full temporal/SCD2 family (incl. both golden
-    queries), and one flagship per LLM-pipeline family."""
+    queries), and ALL EIGHT LLM-pipeline flagships (incl. the sequence
+    pair rotated in for round 4)."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
 
     prefix = list(QUERIES)[:50]
@@ -75,5 +76,26 @@ def test_priority_prefix_spans_all_families():
         "doc_minhash_lsh_pairs",
         "ann_bruteforce_topk",
         "embedding_near_dup_pairs",
+        "asof_order_before_event",
+        "event_sessionization",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
+
+
+def test_demoted_queries_still_registered_with_oracles():
+    """contacts_without_company / point_in_time_state were rotated past
+    the driver's 50-query window to admit the sequence flagships; they
+    must stay registered (and oracle-checked by tools/verify_queries.py)
+    and their §2 ids must keep an in-window representative."""
+    from hubspot_neo4j_pipeline_spark.plans import QUERIES
+
+    names = list(QUERIES)
+    prefix = names[:50]
+    for demoted in ("contacts_without_company", "point_in_time_state"):
+        assert demoted in names, f"{demoted} fell out of the registry entirely"
+        assert demoted in get_oracles(), f"{demoted} lost its oracle"
+    # §2 coverage retained inside the window: J12 via engaged_contacts,
+    # T9 via current_state / recent_changes.
+    assert "engaged_contacts" in prefix
+    assert "current_state" in prefix
+    assert "recent_changes" in prefix

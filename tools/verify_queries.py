@@ -69,7 +69,12 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
     problems: list[str] = _dtype_problems(spark_df, oracle_df)
     s, o = _normalize(spark_df), _normalize(oracle_df)
     if list(s.columns) != list(o.columns):
-        return [f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"]
+        # keep the dtype problems already collected — a query failing both
+        # checks should report both, not just the column diff
+        problems.append(
+            f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"
+        )
+        return problems
     if len(s) != len(o):
         return [f"row count differs: spark={len(s)} oracle={len(o)}"]
     for c in s.columns:
