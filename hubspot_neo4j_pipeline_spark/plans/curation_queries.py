@@ -103,7 +103,7 @@ SHARD_CHAR_BUDGET = 4000  # chars per training shard within a source
     ),
 )
 def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     w = (
         Window.partitionBy("source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
@@ -481,7 +481,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")

@@ -81,7 +81,7 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Token counting per document: whitespace tokenizer + BPE-ish regex pre-tokenizer (alnum runs | single non-alnum), type-token ratio. All JVM-side.",
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     words = F.split("text", " ")
     n_tokens = F.size(words)
     n_unique = F.size(F.array_distinct(words))
@@ -118,7 +118,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Heuristic quality scoring: length / stopword-density gates (C4-style filters, JVM array exprs).",
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     words = F.split("text", " ")
     stop = F.size(F.filter(words, lambda w: (w == "the") | (w == "a")))
     n = F.size(words)
@@ -153,7 +153,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="N-gram/stopword-density language ID vs labeled lang (confusion counts).",
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     words = F.split("text", " ")
     en_hits = F.size(
         F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of"))

@@ -56,7 +56,7 @@ def _norm(a):
     doc="L2 norm per embedding via in-order double fold (bit-identical across engines).",
 )
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=False)
     return emb.select("vec_id", "label", _norm(_as_double("embedding")).alias("l2_norm"))
 
 
@@ -325,7 +325,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     return extract_features(docs)
 
 
@@ -349,7 +349,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-label centroid vector (one row per dimension): posexplode + per-(label,dim) fold in vec_id order so the double sum is bit-identical cross-engine. Scale note: at 100 TB swap the ordered fold for a plain tree-aggregated avg (order-free within fp tolerance) — the ordered fold here buys oracle exactness.",
 )
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=False)
     ex = emb.select(
         "label",
         "vec_id",

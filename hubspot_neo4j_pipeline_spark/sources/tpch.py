@@ -72,7 +72,25 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """Read one test table.
+
+    ``spread`` (documents/embeddings only): these tables arrive as ONE
+    parquet row group, so the scan gets a single task — and the
+    CPU-heavy text/vector operators then run their higher-order-
+    function / explode work on one core (measured 3-5 s single-threaded
+    vs <1 s spread, sf0.1). ``spread=True`` repartitions the small
+    table across the cluster once at load: the shuffle is a few MB, and
+    hashing on the id co-locates the per-document groupBys that follow.
+    Cheap consumers — single-pass projections/aggregates that finish in
+    well under a second on one core (vector_norms, embedding_centroids,
+    multimodal_features, token-stat scans) — pass ``spread=False``: for
+    them the exchange costs more than it buys. On a production lake
+    these tables arrive as many splittable files and the distinction
+    disappears.
+    """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
@@ -81,16 +99,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Naive (isAdjustedToUTC=false) parquet timestamps scan directly as
     # TIMESTAMP thanks to inferTimestampNTZ=false above — no post-read
     # cast, so predicate pushdown / row-group stats stay live on them.
-    if name in ("documents", "embeddings"):
-        # These arrive as ONE parquet row group, so the scan gets a
-        # single task — and the text/vector operators then run their
-        # CPU-heavy higher-order-function / explode work on one core
-        # (measured 3-5 s single-threaded vs <1 s spread, sf0.1).
-        # Spread the small table across the cluster once at load: the
-        # shuffle is a few MB, and hashing on the id co-locates the
-        # per-document groupBys that follow. On a production lake these
-        # tables arrive as many splittable files and this repartition
-        # is a cheap no-op by comparison with the work it unlocks.
+    if spread and name in ("documents", "embeddings"):
         key = "doc_id" if name == "documents" else "vec_id"
         df = df.repartition(spark.sparkContext.defaultParallelism, key)
     return df
