@@ -167,6 +167,54 @@ def ivf_seeds(
     return v.join(seed_ids, "_id", "left_semi").select("cell", F.col("e").alias("se"))
 
 
+def kmeans_seeds(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means in DataFrame algebra — the production path for
+    IVF centroids (ivf_seeds' min-id vectors are the deterministic
+    zero-iteration special case).
+
+    assign: ``ivf_assign`` (nearest current centroid by L2, n_probe=1);
+    update: per-cell elementwise mean via posexplode → groupBy
+    (cell, dim) avg → array rebuild — map-side-combinable aggregates,
+    one shuffle per round on (cell, dim), k·dim keys.
+
+    Each round materializes the k centroids at the driver: bounded
+    k × dim doubles (same class as the 1-row broadcast anchors), which
+    truncates lineage exactly like graph.py's pointer-jump rounds — at
+    100 TB the per-round cost is one corpus pass, and the collected
+    state is kilobytes regardless of corpus size. Cells that receive no
+    vectors keep their previous centroid (k never shrinks). Init is
+    RNG-free (min-id per label), so results are reproducible for a
+    fixed partitioning; the per-dimension mean is a parallel double
+    reduction, so exact bits may vary with cluster layout — fine for
+    TRAINING (consumers measure recall, not hashes).
+    """
+    seeds = ivf_seeds(df, id_col, vec_col, label_col)
+    spark = df.sparkSession
+    schema = seeds.schema
+    for _ in range(max(iters, 0)):
+        assigned = ivf_assign(df, seeds, id_col, vec_col, n_probe=1)
+        means = (
+            assigned.select("cell", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select("cell", F.transform("s", lambda x: x["m"]).alias("se"))
+        )
+        centroids = {r["cell"]: list(r["se"]) for r in seeds.collect()}
+        centroids.update({r["cell"]: list(r["se"]) for r in means.collect()})
+        seeds = spark.createDataFrame(
+            [(c, centroids[c]) for c in sorted(centroids)], schema
+        )
+    return seeds
+
+
 def ivf_assign(
     df: DataFrame,
     seeds: DataFrame,
@@ -199,12 +247,15 @@ def ivf_topk(
     k: int = 10,
     n_probe: int = 3,
     n_queries: int = 100,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their nearest cell
     (n_probe=1); queries probe their n_probe nearest cells; candidates
     are cell-mates only (equi-join on cell). Exact cosine ranks the
-    candidates."""
-    seeds = ivf_seeds(df, id_col, vec_col, label_col)
+    candidates. ``seeds`` overrides the default min-id cell seeds —
+    pass ``kmeans_seeds(...)`` output for trained centroids."""
+    if seeds is None:
+        seeds = ivf_seeds(df, id_col, vec_col, label_col)
     corpus = ivf_assign(df, seeds, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), "cell", "e"
     )

@@ -81,6 +81,32 @@ def test_ivf_recall_vs_brute_force(emb):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_kmeans_seeds_at_least_match_minid_recall(emb):
+    """Trained centroids (Lloyd's, 2 rounds) must not lose recall vs
+    the min-id demo seeds — the documented production path for IVF."""
+    from hubspot_neo4j_pipeline_spark.operators.similarity import kmeans_seeds
+
+    k = 10
+    q = emb.where("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+
+    def recall(seeds):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, k=k, n_probe=3, n_queries=20, seeds=seeds).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    trained = kmeans_seeds(emb, iters=2)
+    assert trained.count() == 10  # k preserved (empty cells keep old centroid)
+    base_recall = recall(None)
+    trained_recall = recall(trained)
+    assert trained_recall >= base_recall, (trained_recall, base_recall)
+
+
 def test_embedding_near_dup_pairs(emb):
     from hubspot_neo4j_pipeline_spark.operators.similarity import (
         embedding_near_dup_pairs,
