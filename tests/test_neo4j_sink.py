@@ -70,6 +70,47 @@ def test_every_config_is_endpoint_matched_merge():
         assert opts["relationship.target.save.mode"] == "Match"
 
 
+def test_catalog_options_roundtrip_connector_validation(spark):
+    """Contract check against the REAL connector, classpath-gated.
+
+    When org.neo4j:neo4j-connector-apache-spark is on the session
+    classpath, every EDGE_CATALOG option dict (plus a node config) is
+    fed to the connector's own option parser
+    (org.neo4j.spark.util.Neo4jOptions — its constructor eagerly
+    materializes the node/relationship metadata from the raw map, so
+    constructing it IS the validation round-trip). Where the jar is
+    absent this SKIPS with a visible reason — never silently passes —
+    so a CI environment that provides the jar exercises the real
+    surface with zero code change.
+    """
+    import pytest
+
+    from hubspot_neo4j_pipeline_spark.operators.neo4j_sink import (
+        connector_available,
+    )
+
+    if not connector_available(spark):
+        pytest.skip(
+            "Neo4j Spark connector not on classpath; add "
+            "org.neo4j:neo4j-connector-apache-spark to spark.jars.packages "
+            "to run the connector-side option validation"
+        )
+    jvm = spark._jvm
+
+    def to_jmap(opts: dict) -> object:
+        jmap = jvm.java.util.HashMap()
+        for k, v in opts.items():
+            jmap.put(k, v)
+        return jmap
+
+    for triple, opts in edge_catalog_options().items():
+        full = {**opts, "url": "neo4j://localhost:7687"}
+        jopts = jvm.org.neo4j.spark.util.Neo4jOptions(to_jmap(full))
+        assert jopts is not None, f"connector rejected options for {triple}"
+    node = {**node_write_options("HUBSPOT_Contact"), "url": "neo4j://localhost:7687"}
+    assert jvm.org.neo4j.spark.util.Neo4jOptions(to_jmap(node)) is not None
+
+
 def test_node_options_merge_on_key():
     opts = node_write_options("HUBSPOT_Contact")
     assert opts == {
