@@ -17,8 +17,6 @@ Scale design:
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,7 +42,22 @@ def _words(text_col: str | Column) -> Column:
 
 
 def shingle_set(text_col: str | Column, k: int = DEFAULT_SHINGLE) -> Column:
-    """Distinct k-word shingles of a document (empty array if < k words)."""
+    """Distinct k-word shingles of a document (empty array if < k words).
+
+    For a plain column NAME the expression is built as ONE SQL parse
+    (F.expr) instead of nested Python Column calls: the py4j round
+    trips of lambda construction are the dominant fixed cost of the
+    MinHash query (~1 s per call at 16 perms, measured r4), while a
+    SQL string parses in ~1 ms and yields the identical Catalyst tree.
+    """
+    if isinstance(text_col, str):
+        w = f"split({text_col}, ' ')"
+        return F.expr(
+            f"case when size({w}) >= {k} then "
+            f"array_distinct(transform(sequence(1, size({w}) - {k - 1}), "
+            f"i -> array_join(slice({w}, i, {k}), ' '))) "
+            f"else cast(array() as array<string>) end"
+        )
     words = _words(text_col)
     return F.when(
         F.size(words) >= k,
@@ -86,24 +99,27 @@ def minhash_signature(
     # Base = md5-derived integer, NOT xxhash64: md5 is computable
     # identically in DuckDB (('0x'||substr(md5(s),1,15))::BIGINT), so
     # the whole MinHash-LSH pipeline is oracle-checkable cross-engine.
-    base = F.transform(
-        "shingles",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % MOD31,
+    #
+    # Built as TWO SQL parses, not 16 Python-built transform lambdas:
+    # py4j construction cost was ~1 s per query call (r4 profile) vs
+    # ~5 ms for the parse; the Catalyst tree — flat per-permutation
+    # array_min(transform(...)) expressions — is IDENTICAL, preserving
+    # the earlier finding that flat expressions beat a nested
+    # transform-over-coefficient-array by ~40% in execution.
+    base = (
+        "transform(shingles, s -> "
+        f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % {MOD31}L)"
     )
-
-    def _perm_min(i: int):
-        a, b = _perm_coeffs(i)
-        # NOTE: arity-1 lambda — a two-param lambda would be read by
-        # Spark as (element, index) and drop the closure seed.
-        # (A nested transform over a literal coefficient array was
-        # tried to shrink the expression tree: analysis got cheaper
-        # but EXECUTION ~40% slower — the nested higher-order function
-        # beats codegen. Flat per-permutation expressions win.)
-        return F.array_min(F.transform("hs", lambda h: (h * a + b) % MERSENNE))
-
-    sig = F.array(*[_perm_min(i) for i in range(n_perms)])
-    return with_sh.withColumn("hs", base).withColumn("sig", sig).drop("hs")
+    mins = ",".join(
+        "array_min(transform(hs, h -> "
+        f"(h * {_perm_coeffs(i)[0]}L + {_perm_coeffs(i)[1]}L) % {MERSENNE}L))"
+        for i in range(n_perms)
+    )
+    return (
+        with_sh.withColumn("hs", F.expr(base))
+        .withColumn("sig", F.expr(f"array({mins})"))
+        .drop("hs")
+    )
 
 
 def minhash_lsh_pairs(
@@ -128,29 +144,21 @@ def minhash_lsh_pairs(
     # Bands carry ONLY (id, band_id, band_hash) into the self-join —
     # shingle arrays would multiply the shuffle volume by the band
     # count; they re-attach after candidate pairs are deduped.
+    # md5 over the joined band values — reproducible in the DuckDB
+    # oracle (F.hash is Spark-internal). One SQL parse for the whole
+    # band array (see minhash_signature's construction-cost note);
+    # sig[i] is 0-based in SQL, matching element_at(sig, i+1).
+    band_structs = ",".join(
+        "named_struct('band_id', {b}, 'band_hash', md5(concat_ws('|', {vals})))".format(
+            b=b,
+            vals=", ".join(
+                f"cast(sig[{b * rows + r}] as string)" for r in range(rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
     bands = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        # md5 over the joined band values — reproducible
-                        # in the DuckDB oracle (F.hash is Spark-internal)
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at("sig", b * rows + r + 1).cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        id_col, F.expr(f"explode(array({band_structs}))").alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
 
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
@@ -230,23 +238,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     one BIGINT. The md5 base makes the whole computation reproducible
     in the DuckDB oracle (plans/text_queries.py).
     """
-    toks = df.select(id_col, F.explode(_words(text_col)).alias("tok"))
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    # One hash per token, then 60 map-side-combinable bit-vote sums.
+    # The vote columns and the final bit-pack are SQL parses, not ~240
+    # Python-built Column calls (construction-cost note in
+    # minhash_signature); the aggregation tree is unchanged.
+    toks = df.select(id_col, F.explode(_words(text_col)).alias("tok")).withColumn(
+        "h", F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
+    )
     votes = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(case when (shiftrightunsigned(h, {j}) & 1) = 1 "
+                f"then 1 else -1 end)"
             ).alias(f"b{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
-    packed = reduce(
-        lambda acc, j: acc
-        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("long"),
+    packed = " + ".join(
+        f"(case when b{j} > 0 then {1 << j}L else 0L end)"
+        for j in range(SIMHASH_BITS)
     )
-    return votes.select(id_col, packed.alias("simhash"))
+    return votes.select(id_col, F.expr(packed).alias("simhash"))
 
 
 def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:

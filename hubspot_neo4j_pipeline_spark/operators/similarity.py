@@ -17,18 +17,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Column-NAME inputs take the F.expr path: one SQL parse instead of
+# py4j-built lambda trees (the construction-cost finding documented in
+# operators/dedup.py minhash_signature — identical Catalyst tree,
+# ~100x cheaper to build). `cast(0 as double)` keeps the fold's zero a
+# DOUBLE (a bare SQL `0.0` literal would parse as DECIMAL).
+
+
 def as_double(col) -> Column:
+    if isinstance(col, str):
+        return F.expr(f"transform({col}, x -> cast(x as double))")
     return F.transform(col, lambda x: x.cast("double"))
 
 
 def dot(a, b) -> Column:
     """Sequential in-order double fold — deterministic across runs."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, v) -> acc + v)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
 def l2_norm(a) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(transform({a}, x -> x * x), "
+            f"cast(0 as double), (acc, v) -> acc + v))"
+        )
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
     )
@@ -225,10 +244,9 @@ def ivf_assign(
     """Assign each vector to its n_probe nearest seed cells by L2 —
     the corpus partitioning step of IVF search."""
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("e"))
-    d2 = F.aggregate(
-        F.zip_with("e", "se", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
+    d2 = F.expr(
+        "aggregate(zip_with(e, se, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, v) -> acc + v)"
     )
     dists = v.join(F.broadcast(seeds)).select("_id", "e", "cell", d2.alias("d2"))
     w = Window.partitionBy("_id").orderBy("d2", "cell")
