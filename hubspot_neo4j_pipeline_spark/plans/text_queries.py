@@ -492,6 +492,146 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PASSAGE_WORDS = 10  # consecutive-word block size for passage-level dedup
+
+
+@register(
+    "doc_passage_dedup",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(0, CAST(floor(
+                           (len(string_split(text, ' ')) - 1) / {PASSAGE_WORDS}
+                       ) AS BIGINT)),
+                       i -> md5(array_to_string(
+                           string_split(text, ' ')
+                               [i*{PASSAGE_WORDS}+1 : i*{PASSAGE_WORDS}+{PASSAGE_WORDS}],
+                           ' '))
+                   )) AS ph
+            FROM documents
+        ), dup AS (
+            SELECT ph FROM p GROUP BY ph HAVING count(DISTINCT doc_id) >= 2
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_passages FROM p GROUP BY doc_id
+        ), d AS (
+            SELECT p.doc_id, count(*) AS n_dup
+            FROM p JOIN dup ON p.ph = dup.ph GROUP BY p.doc_id
+        )
+        SELECT t.doc_id, t.n_passages,
+               COALESCE(d.n_dup, 0) AS n_dup_passages,
+               floor(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_passages
+                     * 10000) / 10000 AS dup_frac,
+               CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_passages <= 0.3 AS keep
+        FROM tot t LEFT JOIN d ON t.doc_id = d.doc_id
+    """,
+    covers=("D1", "A9", "J12"),
+    doc=(
+        "Passage-level dedup (RefinedWeb/Dolma-style): split each document "
+        "into consecutive fixed-width word blocks, hash each, and score "
+        "every document by the fraction of its passages that also appear in "
+        "ANOTHER document (cross-doc count(DISTINCT doc) >= 2) — catches "
+        "boilerplate shared across pages that whole-document dedup misses. "
+        "Scale: explode -> groupBy md5 passage hash (uniform key) -> "
+        "left-semi re-join on the same key -> per-doc counts; two shuffles, "
+        "both on uniform hashes, never an all-pairs compare."
+    ),
+)
+def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = PASSAGE_WORDS
+    # single SQL parse (construction-cost note in operators/dedup.py)
+    passages = docs.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform("
+            f"sequence(0, cast(floor((size(split(text, ' ')) - 1) / {w}) as bigint)), "
+            f"i -> md5(array_join(slice(split(text, ' '), cast(i*{w}+1 as int), {w}), ' '))"
+            f"))"
+        ).alias("ph"),
+    )
+    dup = (
+        passages.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("ph")
+    )
+    tot = passages.groupBy("doc_id").agg(F.count("*").alias("n_passages"))
+    dups = (
+        passages.join(dup, "ph", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0).cast("long"))
+    frac = n_dup.cast("double") / F.col("n_passages")
+    return (
+        tot.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            n_dup.alias("n_dup_passages"),
+            (F.floor(frac * 10000) / 10000).alias("dup_frac"),
+            (frac <= 0.3).alias("keep"),
+        )
+    )
+
+
+VOCAB_K = 100  # top-K corpus vocabulary for the OOV audit
+
+
+@register(
+    "doc_vocab_oov",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), freq AS (
+            SELECT term, count(*) AS tf FROM toks GROUP BY term
+        ), vocab AS (
+            SELECT term FROM freq ORDER BY tf DESC, term LIMIT {VOCAB_K}
+        )
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               floor(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) * 10000) / 10000 AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
+    """,
+    covers=("A1", "W2", "J1"),
+    doc=(
+        "Vocabulary build + out-of-vocabulary audit: top-K corpus terms by "
+        "frequency (deterministic tie-break: tf desc, term asc), then each "
+        "document's OOV token rate against that vocabulary — the standard "
+        "tokenizer-coverage / corpus-drift check before training. Scale: "
+        "term frequency shuffles on the term (uniform); the K-row "
+        "vocabulary is a TakeOrdered result and BROADCASTS to the token "
+        "stream, so the audit pass adds no extra shuffle."
+    ),
+)
+def doc_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            (F.floor(oov.cast("double") / F.count("*") * 10000) / 10000).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
 @register(
     "stratified_doc_sample",
     oracle="""
