@@ -92,3 +92,28 @@ def read_bucketed(spark, table: str) -> DataFrame:
     plain ``spark.read.parquet(path)`` would LOSE the bucketing and
     reintroduce the join shuffle)."""
     return spark.table(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("source", "shard_id"),
+    max_records_per_file: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a packed training set as partitioned parquet — the
+    write side of ``doc_shard_packing``/``dataset_split_assignment``.
+
+    Layout contract: one directory per (source, shard_id) so a trainer
+    streams shards independently and a re-run replaces exactly the
+    partitions it recomputes (``partitionOverwriteMode=dynamic`` on a
+    real deployment). ``max_records_per_file`` (0 = Spark default)
+    bounds file sizes without an extra repartition — the writer splits
+    files as it streams, so no shuffle is added to the packing plan.
+    At 100 TB this is the same one-pass write: work is proportional to
+    data written, partition count is bounded by sources × shards.
+    """
+    w = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file > 0:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)

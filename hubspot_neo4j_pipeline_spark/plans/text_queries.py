@@ -575,6 +575,53 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_incremental_dedup",
+    oracle="""
+        WITH corpus AS (
+            SELECT sha256(text) AS content_hash, count(*) AS n_existing
+            FROM documents WHERE doc_id % 7 <> 0 GROUP BY content_hash
+        ), batch AS (
+            SELECT doc_id, source, sha256(text) AS content_hash
+            FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT b.doc_id, b.source,
+               (c.content_hash IS NOT NULL) AS seen_before,
+               COALESCE(c.n_existing, 0) AS n_existing_copies
+        FROM batch b LEFT JOIN corpus c ON b.content_hash = c.content_hash
+    """,
+    covers=("D1", "D3", "J12"),
+    doc=(
+        "Incremental dedup for continuous ingest: an incoming batch "
+        "(doc_id % 7 = 0 stands in for the new partition) is checked "
+        "against the existing corpus by content hash — each new document "
+        "gets a seen-before verdict plus the existing copy count, the "
+        "decision a daily crawl append needs before admitting documents "
+        "to the training set. Scale: the corpus side pre-aggregates to "
+        "one row per distinct hash BEFORE the join (hash-keyed, uniform), "
+        "so the join input is bounded by distinct content, not corpus "
+        "rows; the same shape backfills from a Delta/Iceberg hash index."
+    ),
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", F.sha2("text", 256).alias("content_hash")
+    )
+    corpus = (
+        hashed.where(F.col("doc_id") % 7 != 0)
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_existing"))
+    )
+    batch = hashed.where(F.col("doc_id") % 7 == 0)
+    return batch.join(corpus, "content_hash", "left").select(
+        "doc_id",
+        "source",
+        F.col("n_existing").isNotNull().alias("seen_before"),
+        F.coalesce("n_existing", F.lit(0).cast("long")).alias("n_existing_copies"),
+    )
+
+
 VOCAB_K = 100  # top-K corpus vocabulary for the OOV audit
 
 

@@ -126,3 +126,42 @@ def test_partitioned_edges_prune_on_read(spark, store, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(rel_type" in plan
     assert df.count() == 2
+
+
+def test_write_training_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Shard packing -> partitioned write -> partition-pruned read-back:
+    the layout a trainer consumes (one dir per (source, shard_id)),
+    with per-shard char mass preserved and a shard filter pruning at
+    the scan."""
+    import pyspark.sql.functions as F
+
+    from hubspot_neo4j_pipeline_spark.operators.sinks import write_training_shards
+    from hubspot_neo4j_pipeline_spark.plans.curation_queries import doc_shard_packing
+
+    packed = doc_shard_packing(spark, sf_dir)
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path, max_records_per_file=100)
+
+    back = spark.read.parquet(path)
+    assert back.count() == packed.count()
+    # partition columns survive the round trip with per-shard mass intact
+    expect = {
+        (r["source"], r["shard_id"]): r["chars"]
+        for r in packed.groupBy("source", "shard_id")
+        .agg(F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    got = {
+        (r["source"], r["shard_id"]): r["chars"]
+        for r in back.groupBy("source", "shard_id")
+        .agg(F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert got == expect
+    # a shard predicate prunes partitions at the scan
+    one = next(iter(expect))
+    df = back.where(
+        (F.col("source") == one[0]) & (F.col("shard_id") == one[1])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan
