@@ -114,6 +114,70 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_hard_negatives",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, label AS q_label, e AS qe,
+                   sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS qn
+            FROM v WHERE vec_id < 10
+        ), pairs AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> qe[i] * e[i]), (a,b) -> a+b)
+                   / (qn * sqrt(list_reduce(list_transform(e, x -> x*x),
+                                            (a,b) -> a+b))) AS cosine
+            FROM q JOIN v ON v.vec_id <> q.query_id AND v.label <> q.q_label
+        )
+        SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+            SELECT query_id, neighbor_id, neighbor_label, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pairs)
+        WHERE rank <= 3
+    """,
+    covers=("J1", "J12", "W2"),
+    doc=(
+        "Hard-negative mining for contrastive training: per query vector, "
+        "the top-3 most-similar vectors carrying a DIFFERENT label — the "
+        "near-miss negatives an embedding model trains against. Same "
+        "broadcast-queries / stream-corpus shape as brute-force ANN with "
+        "the label-mismatch predicate fused into the join; at scale the "
+        "candidate source swaps to the LSH/IVF bucket join unchanged."
+    ),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+        _norm("e").alias("qn"),
+    )
+    pairs = emb.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("q_label")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        (_dot("qe", "e") / (F.col("qn") * _norm("e"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
+@register(
     "ivf_assignment",
     oracle="""
         WITH v AS (

@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "recent_changes",  # 1-row max-ts anchor
     "shipping_priority",  # 1-row anchor
     "ann_bruteforce_topk",  # bounded query set (oracle twin)
+    "ann_hard_negatives",  # bounded query set (contrastive mining)
     "ann_quantized_topk",  # bounded query set (quantized scale path)
     "ann_lsh_topk",  # hyperplane table <= 32 rows
     "ann_ivf_topk",  # 25 seed centroids
