@@ -97,7 +97,11 @@ class Scd2Result:
 
 
 def scd2_merge(
-    current: DataFrame, incoming: DataFrame, key: str, now: str
+    current: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    now: str,
+    materialize: bool = False,
 ) -> Scd2Result:
     """T3/T4/T5: one merge producing current', history appends, changelog.
 
@@ -111,46 +115,83 @@ def scd2_merge(
 
     Idempotency (golden rule): same incoming twice ⇒ second run has
     empty history and changelog.
+
+    Plan shape: ONE full-outer join on the entity key carrying both
+    sides as structs plus the change classification; current'/history/
+    changelog are pure filters+projections of that single `joined`
+    frame (half the join nodes of the per-branch-join formulation this
+    replaced). Catalyst still re-plans the join per consumed branch —
+    column pruning gives each branch a DIFFERENT (narrower) shuffle
+    schema, which defeats literal ReuseExchange but means each branch
+    moves only the columns it needs; for a query reading one output
+    that is the right trade. A caller consuming ALL THREE outputs in
+    one run (the pipeline case — Delta/Iceberg MERGE executes its
+    single join exactly once the same way) passes ``materialize=True``
+    to localCheckpoint the joined frame: the join then runs once and
+    every output reads the materialized result. Non-live rows never
+    enter the join — they pass through by filter.
     """
-    changes = classify_changes(current, incoming, key).select(key, "change_type")
+    live = F.col("is_current") & ~F.col("is_deleted")
+    live_cur = current.where(live)
 
     inc_stamped = with_temporal_fields(incoming, now)
-    cur_flagged = current.join(changes, key, "left").withColumn(
-        "change_type", F.coalesce("change_type", F.lit("unchanged"))
+    inc_side = inc_stamped.select(
+        F.col(key).alias("_k"),
+        F.struct(*[F.col(c) for c in inc_stamped.columns]).alias("_inc"),
+        snapshot_hash(incoming).alias("_new_hash"),
     )
-
-    live = F.col("is_current") & ~F.col("is_deleted")
+    cur_side = live_cur.select(
+        F.col(key).alias("_k"),
+        F.struct(*[F.col(c) for c in current.columns]).alias("_cur"),
+        F.coalesce(
+            F.col("snapshot_hash"),
+            snapshot_hash(live_cur.drop(*TEMPORAL_FIELDS)),
+        ).alias("_old_hash"),
+    )
+    joined = inc_side.join(cur_side, "_k", "full_outer").select(
+        "_k",
+        "_inc",
+        "_cur",
+        F.when(F.col("_old_hash").isNull(), "new")
+        .when(F.col("_new_hash").isNull(), "deleted")
+        .when(F.col("_new_hash") != F.col("_old_hash"), "updated")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    if materialize:
+        # one-pass execution for all-outputs consumers; lineage also
+        # truncates, which keeps repeated daily merges re-planning flat
+        joined = joined.localCheckpoint(eager=False)
 
     # History: live rows being replaced or soft-deleted, closed out at `now`.
     history = (
-        cur_flagged.where(live & F.col("change_type").isin("updated", "deleted"))
-        .drop("change_type")
+        joined.where(F.col("change_type").isin("updated", "deleted"))
+        .select("_cur.*")
         .withColumn("valid_to", F.lit(now).cast("timestamp"))
         .withColumn("is_current", F.lit(False))
     )
 
     # Current': fresh rows for new+updated; carried rows for unchanged;
     # soft-delete marking for deleted; non-live rows pass through.
-    fresh = inc_stamped.join(
-        changes.where(F.col("change_type").isin("new", "updated")), key, "left_semi"
-    )
-    carried = cur_flagged.where(live & (F.col("change_type") == "unchanged")).drop(
-        "change_type"
-    )
+    fresh = joined.where(
+        F.col("change_type").isin("new", "updated")
+    ).select("_inc.*")
+    carried = joined.where(F.col("change_type") == "unchanged").select("_cur.*")
     soft_deleted = (
-        cur_flagged.where(live & (F.col("change_type") == "deleted"))
-        .drop("change_type")
+        joined.where(F.col("change_type") == "deleted")
+        .select("_cur.*")
         .withColumn("is_deleted", F.lit(True))
         .withColumn("is_current", F.lit(False))
         .withColumn("valid_to", F.lit(now).cast("timestamp"))
     )
-    passthrough = cur_flagged.where(~live).drop("change_type")
+    passthrough = current.where(~live)
     new_current = fresh.unionByName(carried).unionByName(soft_deleted).unionByName(
         passthrough
     )
 
     changelog = (
-        changes.where(F.col("change_type") != "unchanged")
+        joined.where(F.col("change_type") != "unchanged")
+        .select(F.col("_k").alias(key), "change_type")
         .withColumn("changed_at", F.lit(now).cast("timestamp"))
     )
     return Scd2Result(current=new_current, history=history, changelog=changelog)

@@ -68,7 +68,10 @@ def run_pipeline(
         incoming = incoming.cache()
         if os.path.exists(cur_path):
             current = spark.read.parquet(cur_path)
-            res = scd2_merge(current, incoming, key="hubspot_id", now=now)
+            # all three outputs are written below -> run the merge join ONCE
+            res = scd2_merge(
+                current, incoming, key="hubspot_id", now=now, materialize=True
+            )
             # localCheckpoint (eager) CUTS LINEAGE before the overwrite
             # below. cache() is not enough: overwriting cur_path
             # invalidates cache entries whose plans read that path, and
