@@ -1,0 +1,64 @@
+"""Unit tests for the verification/bench tooling itself — the gates
+must stay trustworthy (a broken comparator is how a regression hides).
+No SparkSession needed."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from bench_compare import load_timings, main as bench_main  # noqa: E402
+from verify_queries import compare  # noqa: E402
+
+
+def test_compare_reports_dtype_and_column_problems_together():
+    """ADVICE r3: a query failing BOTH checks must report both — the
+    early return used to discard the dtype findings."""
+    spark_df = pd.DataFrame({"a": [1, 2], "extra": [1, 2]})
+    oracle_df = pd.DataFrame({"a": [1.0, 2.0]})  # float kind + missing col
+    problems = compare("q", spark_df, oracle_df)
+    assert any("dtype kind differs" in p for p in problems)
+    assert any("columns differ" in p for p in problems)
+    assert len(problems) == 2
+
+
+def test_compare_exact_pass_and_value_diff():
+    a = pd.DataFrame({"k": [1, 2], "v": [0.5, 1.5]})
+    assert compare("q", a, a.copy()) == []
+    b = pd.DataFrame({"k": [1, 2], "v": [0.5, 1.25]})
+    problems = compare("q", a, b)
+    assert len(problems) == 1 and "cells differ" in problems[0]
+
+
+def test_bench_compare_formats_and_gate(tmp_path):
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    # bench.py format on one side, driver tail-wrapper format on the other
+    old.write_text(
+        json.dumps({"queries": {"q_fast": 0.1, "q_slow": 1.0, "q_gone": 0.2}})
+    )
+    new.write_text(
+        json.dumps(
+            {
+                "n": 3,
+                "rc": 0,
+                "tail": '"q_fast": 0.12, "q_slow": 2.6, "q_new": 0.3}',
+            }
+        )
+    )
+    assert load_timings(str(old)) == {"q_fast": 0.1, "q_slow": 1.0, "q_gone": 0.2}
+    assert load_timings(str(new)) == {"q_fast": 0.12, "q_slow": 2.6, "q_new": 0.3}
+    # q_slow: 1.0 -> 2.6 is >2x and >0.3s -> gate trips (exit 1)
+    assert bench_main([str(old), str(new)]) == 1
+    # with a looser ratio the same diff passes
+    assert bench_main([str(old), str(new), "--ratio", "3.0"]) == 0
+    # q_fast alone (ratio trips but abs floor doesn't) must NOT fail
+    old2, new2 = tmp_path / "o2.json", tmp_path / "n2.json"
+    old2.write_text(json.dumps({"queries": {"q_fast": 0.05}}))
+    new2.write_text(json.dumps({"queries": {"q_fast": 0.2}}))
+    assert bench_main([str(old2), str(new2)]) == 0
