@@ -45,19 +45,23 @@ def test_passage_dedup_flags_cross_doc_blocks(spark, tmp_path):
 
 
 def test_vocab_oov_counts_against_topk(spark, tmp_path):
-    """Vocabulary = top-100 terms; with < 100 distinct terms every
-    token is in-vocab except ones unique... all terms make the vocab,
-    so force OOV with VOCAB_K-many filler terms is impractical —
-    instead check the rate arithmetic on a corpus where vocabulary
-    covers everything (OOV = 0) and the token counts are exact."""
+    """VOCAB_K=100: fill the vocabulary with 100 terms of frequency 2,
+    then a doc of frequency-1 singletons — every singleton loses the
+    tf tie-break against the fillers and must count as OOV."""
     from hubspot_neo4j_pipeline_spark.plans.text_queries import doc_vocab_oov
 
-    texts = ["x y x", "y y z"]
+    common = " ".join(f"t{i:03d}" for i in range(100))
+    texts = [
+        common,  # doc 0: each t-term, tf contribution 1
+        common,  # doc 1: second copy -> every t-term has tf=2
+        "zz1 zz2 zz3 zz4 t000",  # doc 2: 4 rare singletons + 1 in-vocab
+    ]
     path = str(tmp_path / "documents.parquet")
     _docs(spark, texts).coalesce(1).write.parquet(path)
     out = {r["doc_id"]: r for r in doc_vocab_oov(spark, str(tmp_path)).collect()}
-    assert out[0]["n_tokens"] == 3 and out[0]["n_oov"] == 0
-    assert out[1]["n_tokens"] == 3 and out[1]["oov_rate"] == 0.0
+    assert out[0]["n_tokens"] == 100 and out[0]["n_oov"] == 0
+    assert out[2]["n_tokens"] == 5 and out[2]["n_oov"] == 4
+    assert out[2]["oov_rate"] == 0.8
 
 
 def test_incremental_dedup_verdicts(spark, tmp_path):
