@@ -114,6 +114,54 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_embedding_join_audit",
+    oracle="""
+        WITH joined AS (
+            SELECT d.doc_id, d.source, d.n_chars, e.label,
+                   sqrt(list_reduce(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) AS nrm
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        )
+        SELECT source, label,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               floor(min(nrm) * 10000) / 10000 AS min_norm,
+               floor(max(nrm) * 10000) / 10000 AS max_norm
+        FROM joined GROUP BY source, label
+    """,
+    covers=("J1", "A4", "A9"),
+    doc=(
+        "Text ⋈ embedding audit: the canonical attach-embeddings-to-"
+        "documents id join every training pipeline runs before semantic "
+        "filtering, with per-(source, embedding-label) membership counts, "
+        "char mass, and norm range — the drift/coverage check that the "
+        "embedding table actually matches the text corpus. Scale: 1:1 "
+        "equi-join on the id; at 100 TB both tables are bucketed by id "
+        "(operators/sinks.py write_bucketed) so the join is shuffle-free, "
+        "and the group-by keys are low-cardinality (sources × labels)."
+    ),
+)
+def doc_embedding_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label", _norm(_as_double("embedding")).alias("nrm")
+    )
+    return (
+        docs.join(emb, "doc_id")
+        .groupBy("source", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.floor(F.min("nrm") * 10000) / 10000).alias("min_norm"),
+            (F.floor(F.max("nrm") * 10000) / 10000).alias("max_norm"),
+        )
+    )
+
+
+@register(
     "ann_hard_negatives",
     oracle="""
         WITH v AS (
