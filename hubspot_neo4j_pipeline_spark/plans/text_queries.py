@@ -393,9 +393,10 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "doc_dup_clusters",
-    oracle="""
+# Shared recursive-CTE transitive closure over the shingle-overlap
+# pair graph — the oracle prefix for both cluster-level and per-doc
+# dedup outputs (comp: id -> cluster_id = min reachable doc id).
+_CC_ORACLE_PREFIX = """
         WITH RECURSIVE shingled AS (
             SELECT doc_id, unnest(list_distinct(list_transform(
                        generate_series(1, len(string_split(text, ' ')) - 4),
@@ -421,17 +422,11 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), comp AS (
             SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
         )
-        SELECT cluster_id, count(*) AS n_members,
-               min(id) AS min_member, max(id) AS max_member
-        FROM comp GROUP BY cluster_id
-    """,
-    covers=("D1", "J1"),
-    doc="Near-dup pairs (shared 5-gram shingles >= 3) folded into duplicate CLUSTERS via distributed hash-min connected components; cluster_id = min member. Oracle: recursive-CTE transitive closure.",
-)
-def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import dedup_clusters
+"""
 
-    docs = load_table(spark, sf_dir, "documents")
+
+def _dup_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs: >= 3 shared distinct 5-gram shingles."""
     words = F.split("text", " ")
     shingles = docs.select(
         "doc_id",
@@ -445,7 +440,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     )
     a, b = shingles.alias("a"), shingles.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -456,7 +451,59 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("shared") >= 3)
         .select("id_a", "id_b")
     )
-    return dedup_clusters(pairs)
+
+
+@register(
+    "doc_dup_clusters",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+        SELECT cluster_id, count(*) AS n_members,
+               min(id) AS min_member, max(id) AS max_member
+        FROM comp GROUP BY cluster_id
+    """,
+    covers=("D1", "J1"),
+    doc="Near-dup pairs (shared 5-gram shingles >= 3) folded into duplicate CLUSTERS via distributed hash-min connected components; cluster_id = min member. Oracle: recursive-CTE transitive closure.",
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(_dup_pairs(docs))
+
+
+@register(
+    "doc_dedup_keeplist",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+    covers=("D1", "D3", "J12"),
+    doc=(
+        "The consumable output of the dedup pipeline: one verdict row per "
+        "document — its duplicate-cluster id (own id for singletons) and "
+        "whether it is the cluster canonical (min member) to KEEP. "
+        "Downstream training reads `WHERE keep`; the cluster_id column "
+        "preserves the audit trail of what was dropped and why. Scale: "
+        "connected components over the bounded near-dup pair graph "
+        "(pointer-jump hash-min, lineage truncated per round) plus one "
+        "left join back to the corpus on the doc id."
+    ),
+)
+def doc_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_dup_pairs(docs), src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("_cluster")
+    )
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_cluster", F.col("doc_id")).alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce("_cluster", F.col("doc_id"))).alias("keep"),
+    )
 
 
 @register(
