@@ -507,6 +507,65 @@ def doc_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_novelty",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))
+                   ))) AS shingle
+            FROM documents
+        ), first_owner AS (
+            SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY shingle
+        )
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN f.owner = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               floor(CAST(sum(CASE WHEN f.owner = sh.doc_id THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) * 10000) / 10000
+                   AS novelty_rate
+        FROM sh JOIN first_owner f ON sh.shingle = f.shingle
+        GROUP BY sh.doc_id
+    """,
+    covers=("D1", "A8", "J1"),
+    doc=(
+        "Marginal-novelty scoring: in canonical doc_id order, the fraction "
+        "of each document's distinct 5-gram shingles FIRST contributed by "
+        "it (min owning doc id == itself) — the ordered-dedup metric a "
+        "curation pipeline uses to rank what each source actually adds "
+        "to the corpus. Scale: explode -> min-agg on the shingle hash "
+        "(uniform key) -> re-join on the same key -> per-doc counts; the "
+        "same two-shuffle shape as passage dedup, never pairwise."
+    ),
+)
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.expr(
+            "explode(array_distinct(transform("
+            "sequence(1, size(split(text, ' ')) - 4), "
+            "i -> md5(array_join(slice(split(text, ' '), cast(i as int), 5), ' '))"
+            ")))"
+        ).alias("shingle"),
+    )
+    first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    novel = F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(first_owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            (F.floor(novel.cast("double") / F.count("*") * 10000) / 10000).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+@register(
     "doc_top_terms",
     oracle="""
         WITH terms AS (
