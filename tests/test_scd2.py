@@ -161,3 +161,18 @@ def test_immutable_set_matches_reference():
     assert IMMUTABLE_EDGE_TYPES == {
         "PERFORMED", "SUBMITTED_BY", "ON_PAGE", "FOR_CAMPAIGN", "CLICKED_URL", "VISITED",
     }
+
+
+def test_materialize_outputs_identical(spark):
+    """materialize=True (one-pass localCheckpoint for all-outputs
+    consumers) must produce bit-identical current/history/changelog."""
+    current = with_temporal_fields(spark.createDataFrame(BASELINE, COLS), T0)
+    incoming = spark.createDataFrame(MODIFIED, COLS)
+    lazy = scd2_merge(current, incoming, key="hubspot_id", now=T1)
+    eager = scd2_merge(
+        current, incoming, key="hubspot_id", now=T1, materialize=True
+    )
+    for name in ("current", "history", "changelog"):
+        a = sorted(map(tuple, getattr(lazy, name).collect()))
+        b = sorted(map(tuple, getattr(eager, name).collect()))
+        assert a == b, f"{name} differs under materialize=True"
