@@ -211,20 +211,23 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Benchmark decontamination: flag training documents sharing any "
         "8-gram with the held-out eval split (doc_id % 29 = 0 here; a real "
         "pipeline joins against the benchmark corpus). Scale: equi-join on "
-        "the md5 gram hash (uniform shuffle key), eval grams distinct-ed "
-        "first and broadcastable — never an all-pairs compare."
+        "the xxhash64 gram hash (uniform shuffle key), eval grams "
+        "distinct-ed first and broadcastable — never an all-pairs compare."
     ),
 )
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    # xxhash64 gram key: equality-only use (the hash never reaches the
+    # output), so it matches the oracle's md5-equality at a fraction of
+    # the hashing cost and shuffle width.
     grams = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size(words) - 7),
-                    lambda i: F.md5(F.array_join(F.slice(words, i, 8), " ")),
+                    lambda i: F.xxhash64(F.array_join(F.slice(words, i, 8), " ")),
                 )
             )
         ).alias("gram"),

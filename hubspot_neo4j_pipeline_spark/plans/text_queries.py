@@ -2,11 +2,18 @@
 
 These are the training-data-pipeline operators (exact dedup, near-dup,
 token stats, quality scoring, language ID, fingerprinting). All hot-path
-logic is JVM-side built-ins (split/filter/transform/sha2/md5) — no
-Python UDFs. MinHash and SimHash use md5-derived hash families so
-their ENTIRE pipelines are reproduced by the DuckDB oracles
-(cross-engine exact); MinHash accuracy is additionally pytest-verified
-against exact Jaccard in tests/.
+logic is JVM-side built-ins (split/filter/transform/sha2/xxhash64/md5) —
+no Python UDFs. Hash-choice rule: where a hash is ONLY an equality key
+(shingle/passage/gram buckets — never output, never ordered on) we use
+xxhash64, which is far cheaper than md5 and shuffles as an 8-byte long;
+equality over xxhash64 == equality over the raw string == the oracles'
+md5 equality, so cross-engine results are unchanged. md5 is kept ONLY
+where the hash VALUE itself must be reproduced in DuckDB (MinHash
+permutation bases, SimHash bit votes, fingerprints, sampling buckets).
+At 64 bits a corpus needs ~2^32 distinct shingles before a collision is
+likely; at trillion-shingle scale swap in two independent xxhash64 seeds
+(or sha2 truncation) — the plan shape is unchanged. MinHash accuracy is
+additionally pytest-verified against exact Jaccard in tests/.
 
 Cross-engine determinism: ratios use floor(x*10000)/10000 (identical
 double ops in both engines) instead of round(), whose tie-breaking
@@ -235,14 +242,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    # 5-gram shingles, md5-hashed, distinct per doc; bucket-join on shingle.
+    # 5-gram shingles hashed with xxhash64: the hash is ONLY an equality
+    # key (never output, never ordered on), so equality over xxhash64 ==
+    # equality over the raw shingle == the oracle's md5 equality, and the
+    # shuffle rows carry an 8-byte long instead of a 32-char hex string.
     shingles = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size(words) - 4),
-                    lambda i: F.md5(F.array_join(F.slice(words, i, 5), " ")),
+                    lambda i: F.xxhash64(F.array_join(F.slice(words, i, 5), " ")),
                 )
             )
         ).alias("shingle"),
@@ -426,7 +436,12 @@ _CC_ORACLE_PREFIX = """
 
 
 def _dup_pairs(docs: DataFrame) -> DataFrame:
-    """Near-dup candidate pairs: >= 3 shared distinct 5-gram shingles."""
+    """Near-dup candidate pairs: >= 3 shared distinct 5-gram shingles.
+
+    Shingles are keyed by xxhash64 — equality-only use (the hash is
+    never output), so it matches the oracle's md5-equality while being
+    far cheaper to compute and 4x narrower on the shuffle wire.
+    """
     words = F.split("text", " ")
     shingles = docs.select(
         "doc_id",
@@ -434,7 +449,7 @@ def _dup_pairs(docs: DataFrame) -> DataFrame:
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size(words) - 4),
-                    lambda i: F.md5(F.array_join(F.slice(words, i, 5), " ")),
+                    lambda i: F.xxhash64(F.array_join(F.slice(words, i, 5), " ")),
                 )
             )
         ).alias("shingle"),
@@ -546,7 +561,7 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "explode(array_distinct(transform("
             "sequence(1, size(split(text, ' ')) - 4), "
-            "i -> md5(array_join(slice(split(text, ' '), cast(i as int), 5), ' '))"
+            "i -> xxhash64(array_join(slice(split(text, ' '), cast(i as int), 5), ' '))"
             ")))"
         ).alias("shingle"),
     )
@@ -637,7 +652,7 @@ PASSAGE_WORDS = 10  # consecutive-word block size for passage-level dedup
         "every document by the fraction of its passages that also appear in "
         "ANOTHER document (cross-doc count(DISTINCT doc) >= 2) — catches "
         "boilerplate shared across pages that whole-document dedup misses. "
-        "Scale: explode -> groupBy md5 passage hash (uniform key) -> "
+        "Scale: explode -> groupBy xxhash64 passage hash (uniform key) -> "
         "left-semi re-join on the same key -> per-doc counts; two shuffles, "
         "both on uniform hashes, never an all-pairs compare."
     ),
@@ -651,7 +666,7 @@ def doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"explode(transform("
             f"sequence(0, cast(floor((size(split(text, ' ')) - 1) / {w}) as bigint)), "
-            f"i -> md5(array_join(slice(split(text, ' '), cast(i*{w}+1 as int), {w}), ' '))"
+            f"i -> xxhash64(array_join(slice(split(text, ' '), cast(i*{w}+1 as int), {w}), ' '))"
             f"))"
         ).alias("ph"),
     )
