@@ -103,32 +103,35 @@ def lsh_buckets(
     """
     n_planes = n_tables * planes_per_table
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("e"))
-    planes = (
+    # All planes collected into ONE broadcast row (array of structs,
+    # sorted by plane id — collect_list order is not deterministic on
+    # its own). Plane idx j = t*planes_per_table + b maps to
+    # (table t, bit b), identical to the previous row-per-plane layout.
+    planes_row = (
         v.orderBy("_id")
         .limit(n_planes)
-        .select(F.col("_id").alias("plane_rank"), F.col("e").alias("pe"))
-    )
-    wp = Window.orderBy("plane_rank")
-    planes = (
-        planes.withColumn("idx", F.row_number().over(wp) - 1)
-        .select(
-            (F.col("idx") / planes_per_table).cast("int").alias("table_id"),
-            (F.col("idx") % planes_per_table).alias("bit"),
-            "pe",
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id").alias("r"), F.col("e").alias("pe")))
+            ).alias("ps")
         )
     )
-    scored = v.join(F.broadcast(planes)).select(
-        "_id",
-        "e",
-        "table_id",
-        (
-            F.when(dot("e", "pe") >= 0, F.lit(1)).otherwise(F.lit(0))
-            * F.pow(F.lit(2.0), F.col("bit")).cast("long")
-        ).alias("bit_val"),
+    # One projection computes every table's bucket: for each vector the
+    # n_tables x planes_per_table sign bits fold into n_tables longs in
+    # a single pass — no x32 row blowup against the plane table and no
+    # groupBy shuffle dragging 32 copies of each embedding array (the
+    # previous shape). The only join is the 1-row plane broadcast.
+    ppt = planes_per_table
+    bucket_expr = F.expr(
+        f"transform(sequence(0, {n_tables - 1}), t -> "
+        f"aggregate(sequence(0, {ppt - 1}), 0L, (acc, b) -> acc + "
+        f"if(aggregate(zip_with(e, ps[t * {ppt} + b].pe, (x, y) -> x * y), "
+        f"cast(0 as double), (a2, v2) -> a2 + v2) >= 0, "
+        f"shiftleft(1L, b), 0L)))"
     )
     return (
-        scored.groupBy("_id", "table_id")
-        .agg(F.sum("bit_val").alias("bucket"), F.first("e").alias("e"))
+        v.join(F.broadcast(planes_row))
+        .select("_id", "e", F.posexplode(bucket_expr).alias("table_id", "bucket"))
         .select(F.col("_id").alias(id_col), "table_id", "bucket", "e")
     )
 
