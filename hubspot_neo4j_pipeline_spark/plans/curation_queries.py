@@ -579,3 +579,121 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+CHUNK_TOKENS = 64  # training-sequence window size (tokens)
+CHUNK_STRIDE = 32  # window stride — 50% overlap
+
+
+@register(
+    "doc_chunk_split",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   unnest(generate_series(0, CAST(floor(
+                       (greatest(0, len(string_split(text, ' '))
+                                    - {CHUNK_TOKENS}) + {CHUNK_STRIDE - 1})
+                       / {CHUNK_STRIDE}) AS BIGINT))) AS i
+            FROM documents
+        )
+        SELECT doc_id,
+               i AS chunk_idx,
+               i * {CHUNK_STRIDE} + 1 AS chunk_start,
+               least({CHUNK_TOKENS}, len(toks) - i * {CHUNK_STRIDE})
+                   AS chunk_len,
+               md5(array_to_string(
+                   toks[i * {CHUNK_STRIDE} + 1
+                        : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+                   AS chunk_hash
+        FROM base
+    """,
+    covers=("S9", "F9"),
+    doc=(
+        "Training-sequence chunking: every document fans out into "
+        "overlapping fixed-width token windows (64 tokens, stride 32 — "
+        "the standard context-window prep for LM training), each chunk "
+        "carrying its token offset, length, and content hash so the "
+        "chunk store can be deduped and joined back to its document. "
+        "The window count is exact integer arithmetic (last window "
+        "always reaches the final token; short docs yield one chunk). "
+        "Scale: pure map-side fan-out — no shuffle at all; at 100 TB "
+        "the output partitioning is inherited from the input and the "
+        "chunk hash is the downstream dedup/bucket key."
+    ),
+)
+def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    # Single SQL parse; struct-per-chunk then explode, so every chunk
+    # column is computed in one pass over the token array.
+    chunk = F.expr(
+        f"explode(transform("
+        f"sequence(cast(0 as bigint), cast(floor("
+        f"(greatest(0, size(split(text, ' ')) - {c}) + {s - 1}) / {s}"
+        f") as bigint)), "
+        f"i -> struct("
+        f"i as chunk_idx, "
+        f"i * {s} + 1 as chunk_start, "
+        f"cast(least({c}, size(split(text, ' ')) - i * {s}) as bigint) as chunk_len, "
+        f"md5(array_join(slice(split(text, ' '), cast(i * {s} + 1 as int), {c}), ' ')) as chunk_hash"
+        f")))"
+    )
+    return docs.select("doc_id", chunk.alias("ch")).select(
+        "doc_id", "ch.chunk_idx", "ch.chunk_start", "ch.chunk_len", "ch.chunk_hash"
+    )
+
+
+@register(
+    "source_temperature_weights",
+    oracle="""
+        WITH totals AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        ), mx AS (SELECT max(total_chars) AS max_chars FROM totals)
+        SELECT source, n_docs, total_chars,
+               floor(CAST(total_chars AS DOUBLE) / CAST(max_chars AS DOUBLE)
+                     * 10000) / 10000 AS rel_mass,
+               floor(sqrt(CAST(total_chars AS DOUBLE)
+                          / CAST(max_chars AS DOUBLE)) * 10000) / 10000
+                   AS rel_weight,
+               floor(sqrt(CAST(total_chars AS DOUBLE)
+                          / CAST(max_chars AS DOUBLE))
+                     / (CAST(total_chars AS DOUBLE)
+                        / CAST(max_chars AS DOUBLE)) * 10000) / 10000
+                   AS boost
+        FROM totals CROSS JOIN mx
+    """,
+    covers=("A3", "A8"),
+    doc=(
+        "Temperature-smoothed mixture weights (alpha = 0.5, the "
+        "multilingual-training up-weighting of small sources): each "
+        "source's sampling weight relative to the largest source is "
+        "sqrt(char_mass / max_char_mass), and `boost` is how much the "
+        "temperature lifts it over proportional sampling. alpha = 0.5 "
+        "is deliberate: sqrt is correctly rounded in IEEE-754, so the "
+        "weights are bit-identical across engines — a pow(x, alpha) "
+        "for arbitrary alpha is libm-dependent and would not be. "
+        "Normalizing against the max (not the sum) keeps every output "
+        "a single division/sqrt chain with no cross-row float "
+        "accumulation order to pin down. Scale: one per-source "
+        "aggregate plus a 1-row broadcast — the same plan at 100 TB."
+    ),
+)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=False)
+    totals = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    mx = totals.agg(F.max("total_chars").alias("max_chars"))
+    p_rel = F.col("total_chars").cast("double") / F.col("max_chars").cast("double")
+    w_rel = F.sqrt(p_rel)
+    return totals.join(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        (F.floor(p_rel * 10000) / 10000).alias("rel_mass"),
+        (F.floor(w_rel * 10000) / 10000).alias("rel_weight"),
+        (F.floor(w_rel / p_rel * 10000) / 10000).alias("boost"),
+    )
