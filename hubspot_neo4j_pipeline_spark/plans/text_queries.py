@@ -827,3 +827,86 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= 5)
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+        WITH sh AS (
+            SELECT source, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+                   ))) AS shingle
+            FROM documents
+        ), dist AS (SELECT DISTINCT source, shingle FROM sh),
+        sizes AS (SELECT source, count(*) AS n FROM dist GROUP BY source)
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS shared_shingles,
+               sa.n AS n_a, sb.n AS n_b,
+               floor(CAST(count(*) AS DOUBLE)
+                     / (sa.n + sb.n - count(*)) * 10000) / 10000 AS jaccard
+        FROM dist a
+        JOIN dist b ON a.shingle = b.shingle AND a.source < b.source
+        JOIN sizes sa ON sa.source = a.source
+        JOIN sizes sb ON sb.source = b.source
+        GROUP BY a.source, b.source, sa.n, sb.n
+    """,
+    covers=("D1", "A9", "J1"),
+    doc=(
+        "Cross-source contamination matrix: for every source pair, the "
+        "number of distinct 5-gram shingles they share and the shingle "
+        "Jaccard — the audit a curation pipeline runs to find sources "
+        "that are near-copies of each other (mirror sites, re-crawls) "
+        "before weighting the mixture. Scale: shingles collapse to "
+        "DISTINCT (source, hash) first, so the self-join fan-out per "
+        "shingle is bounded by the number of SOURCES (tens), not by "
+        "document count — the blowup a doc-level pair join would have. "
+        "The hash is equality-only (xxhash64; see the hash-choice rule "
+        "in the module docstring) — the oracle uses the raw shingle "
+        "string, which has identical equality classes."
+    ),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dist = docs.select(
+        "source",
+        F.expr(
+            "explode(array_distinct(transform("
+            "sequence(1, size(split(text, ' ')) - 4), "
+            "i -> xxhash64(array_join(slice(split(text, ' '), cast(i as int), 5), ' '))"
+            ")))"
+        ).alias("h"),
+    ).distinct()
+    sizes = dist.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = dist.alias("a"), dist.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            (
+                F.floor(
+                    F.col("shared_shingles").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles"))
+                    * 10000
+                )
+                / 10000
+            ).alias("jaccard"),
+        )
+    )

@@ -112,3 +112,13 @@ def test_temperature_boost_monotone(spark):
     # the largest source is the fixed point: weight == mass == 1
     top = by_mass[-1]
     assert top["rel_mass"] == 1.0 and top["rel_weight"] == 1.0
+
+
+def test_source_overlap_matrix_shape(spark):
+    rows = QUERIES["source_overlap_matrix"].spark(spark, SF_DIR).collect()
+    # upper-triangle only, jaccard in (0, 1], overlap bounded by sizes
+    assert 0 < len(rows) <= 20 * 19 // 2
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["shared_shingles"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
