@@ -131,8 +131,16 @@ def _kmv_estimate(n_hashes, kth_min) -> F.Column:
 )
 def corpus_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # cache: the distinct (source, hash) relation feeds THREE branches
+    # (per-source k-min window, per-source exact count, global exact
+    # count) — without it the shingle explode + md5 + distinct shuffle
+    # runs once per branch. At 100 TB the exact-count branches are the
+    # audit luxury you'd drop first; the sketch itself reads `dist`
+    # once.
     dist = (
-        docs.select("source", F.expr(_SHINGLE_HASH_SPARK).alias("h")).distinct()
+        docs.select("source", F.expr(_SHINGLE_HASH_SPARK).alias("h"))
+        .distinct()
+        .cache()
     )
     w = Window.partitionBy("source").orderBy("h")
     kmin = (
