@@ -910,3 +910,75 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "doc_length_quantiles",
+    oracle="""
+        WITH lens AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT source, n_tokens,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_tokens, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS cnt
+            FROM lens
+        )
+        SELECT source,
+               max(cnt) AS n_docs,
+               max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                        THEN n_tokens END) AS p50_tokens,
+               max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+                        THEN n_tokens END) AS p90_tokens,
+               max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT)
+                        THEN n_tokens END) AS p99_tokens
+        FROM ranked GROUP BY source
+    """,
+    covers=("W1", "A9"),
+    doc=(
+        "Per-source document-length quantiles (exact p50/p90/p99 token "
+        "counts) — the length-distribution audit behind truncation and "
+        "packing decisions. Rank-selection, not interpolation: the "
+        "quantile is the value at rank ceil(q*n) with a doc_id "
+        "tie-break, so both engines pick the identical row (no "
+        "percentile_cont interpolation-mode ambiguity). Scale: one "
+        "shuffle on source; the per-source sort assumes a source fits "
+        "a partition (same contract as doc_shard_packing) — past that, "
+        "swap in approx_percentile or a two-pass rank search; the "
+        "output contract is unchanged."
+    ),
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=False)
+    lens = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = lens.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+
+    def at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")).cast("long"),
+                F.col("n_tokens"),
+            )
+        )
+
+    return ranked.groupBy("source").agg(
+        F.max("cnt").alias("n_docs"),
+        at(0.5).alias("p50_tokens"),
+        at(0.9).alias("p90_tokens"),
+        at(0.99).alias("p99_tokens"),
+    )
