@@ -697,3 +697,150 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(w_rel * 10000) / 10000).alias("rel_weight"),
         (F.floor(w_rel / p_rel * 10000) / 10000).alias("boost"),
     )
+
+
+@register(
+    "curation_funnel",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, n_chars, text,
+                   string_split(text, ' ') AS words
+            FROM documents
+        ), flags AS (
+            SELECT doc_id, source, n_chars, text,
+                   (len(words) >= 20 AND len(words) <= 5000
+                    AND CAST(n_chars - (len(words) - 1) AS DOUBLE) / len(words)
+                        BETWEEN 2 AND 12
+                    AND floor(CAST(len(list_filter(words,
+                              w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+                          / len(words) * 10000) / 10000 >= 0.6
+                    AND len(list_filter(words,
+                        w -> w = 'the' OR w = 'a' OR w = 'of')) > 0)
+                       AS keep_quality
+            FROM toks
+        ), dedup AS (
+            SELECT doc_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY sha256(text))
+                       AS keep_dedup
+            FROM flags
+        ), grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 7),
+                       i -> md5(array_to_string(
+                           string_split(text, ' ')[i:i+7], ' '))
+                   ))) AS gram
+            FROM documents
+        ), eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0
+        ), contaminated AS (
+            SELECT DISTINCT g.doc_id FROM grams g
+            JOIN eval_grams e ON g.gram = e.gram
+            WHERE g.doc_id % 29 <> 0
+        ), scored AS (
+            SELECT f.source, f.n_chars, f.keep_quality, d.keep_dedup,
+                   (f.doc_id % 29 <> 0 AND c.doc_id IS NULL) AS keep_decontam
+            FROM flags f
+            JOIN dedup d ON f.doc_id = d.doc_id
+            LEFT JOIN contaminated c ON f.doc_id = c.doc_id
+        )
+        SELECT source,
+               count(*) AS n_raw,
+               CAST(sum(CASE WHEN keep_quality THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality,
+               CAST(sum(CASE WHEN keep_quality AND keep_dedup
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+               CAST(sum(CASE WHEN keep_quality AND keep_dedup
+                              AND keep_decontam
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+               CAST(sum(CASE WHEN keep_quality AND keep_dedup
+                              AND keep_decontam
+                             THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS final_chars,
+               floor(CAST(sum(CASE WHEN keep_quality AND keep_dedup
+                                    AND keep_decontam
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 10000) / 10000 AS survival_rate
+        FROM scored GROUP BY source
+    """,
+    covers=("A8", "A9", "D1", "J12"),
+    doc=(
+        "The end-to-end curation funnel: per source, how many documents "
+        "survive quality gate -> exact dedup -> decontamination, plus "
+        "surviving char mass and survival rate — the single report a "
+        "pipeline owner reads before a training run. Composes the "
+        "registry's own stage definitions verbatim (doc_gopher_filter's "
+        "keep, exact-dedup canonical-min, doc_decontaminate's 8-gram "
+        "rule), so each stage's standalone query is the audit drill-down "
+        "for this roll-up. Scale: one window on the content hash, one "
+        "gram equi-join (eval side distinct + broadcastable), everything "
+        "else map-side; conditional aggregation keeps it one pass."
+    ),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    mean_len = (F.col("n_chars") - (n - 1)).cast("double") / n
+    alpha = _rate4(
+        F.size(F.filter(words, lambda w: w.rlike("^[a-z]+$"))).cast("double") / n
+    )
+    has_stop = (
+        F.size(F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of")))
+        > 0
+    )
+    keep_quality = (
+        (n >= 20)
+        & (n <= 5000)
+        & (mean_len >= 2)
+        & (mean_len <= 12)
+        & (alpha >= 0.6)
+        & has_stop
+    )
+    w_hash = Window.partitionBy(F.sha2("text", 256))
+    flags = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        keep_quality.alias("keep_quality"),
+        (F.col("doc_id") == F.min("doc_id").over(w_hash)).alias("keep_dedup"),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - 7),
+                    lambda i: F.xxhash64(F.array_join(F.slice(words, i, 8), " ")),
+                )
+            )
+        ).alias("gram"),
+    )
+    eval_grams = grams.where(F.col("doc_id") % 29 == 0).select("gram").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_dirty", F.lit(True))
+    )
+    keep_d = (F.col("doc_id") % 29 != 0) & F.col("_dirty").isNull()
+    scored = flags.join(contaminated, "doc_id", "left").select(
+        "source",
+        "n_chars",
+        "keep_quality",
+        "keep_dedup",
+        keep_d.alias("keep_decontam"),
+    )
+    kept = F.col("keep_quality") & F.col("keep_dedup") & F.col("keep_decontam")
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        one_if(F.col("keep_quality")).alias("n_quality"),
+        one_if(F.col("keep_quality") & F.col("keep_dedup")).alias("n_dedup"),
+        one_if(kept).alias("n_final"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("final_chars"),
+        (F.floor(one_if(kept).cast("double") / F.count("*") * 10000) / 10000).alias(
+            "survival_rate"
+        ),
+    )
