@@ -172,3 +172,99 @@ def corpus_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmv_estimate(F.col("n_hashes"), F.col("kth_min")).alias("kmv_estimate"),
     )
     return per_source.unionByName(g_row)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+MOD31 = 2147483648  # 2^31 — md5-derived base-hash range (as dedup.py)
+MERSENNE = 2147483647  # 2^31 - 1 — universal-hash modulus
+# (a, b) per CMS row — same family as operators/dedup.py _perm_coeffs
+_CMS_COEFFS = [(2 * i + 1, (i * 40503) % MERSENNE + 7) for i in range(CMS_DEPTH)]
+_CMS_VALUES_SQL = ",".join(f"({j},{a},{b})" for j, (a, b) in enumerate(_CMS_COEFFS))
+
+_TERM_HASH_SPARK = (
+    f"cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint) % {MOD31}L"
+)
+_TERM_HASH_DUCK = (
+    f"CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {MOD31}"
+)
+
+
+@register(
+    "term_cms_sketch",
+    oracle=f"""
+        WITH t3 AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ), terms AS (
+            SELECT term, {_TERM_HASH_DUCK} AS h
+            FROM t3 WHERE length(term) >= 3
+        ), counters AS (
+            SELECT c.j, ((h * c.a + c.b) % {MERSENNE}) % {CMS_WIDTH} AS bucket,
+                   count(*) AS cnt
+            FROM terms CROSS JOIN (VALUES {_CMS_VALUES_SQL}) AS c(j, a, b)
+            GROUP BY 1, 2
+        ), top10 AS (
+            SELECT term, count(*) AS exact_freq, min(h) AS h
+            FROM terms GROUP BY term
+            ORDER BY exact_freq DESC, term LIMIT 10
+        ), probes AS (
+            SELECT t.term, t.exact_freq, cnt.cnt
+            FROM top10 t
+            CROSS JOIN (VALUES {_CMS_VALUES_SQL}) AS c(j, a, b)
+            JOIN counters cnt
+              ON cnt.j = c.j
+             AND cnt.bucket = ((t.h * c.a + c.b) % {MERSENNE}) % {CMS_WIDTH}
+        )
+        SELECT term, exact_freq, min(cnt) AS cms_estimate,
+               CAST(min(cnt) - exact_freq AS BIGINT) AS overcount
+        FROM probes GROUP BY term, exact_freq
+    """,
+    covers=("A1", "W2", "J1"),
+    doc=(
+        "Count-min sketch over corpus term frequencies (4 rows x 1024 "
+        "buckets, md5-derived universal-hash family shared with the "
+        "MinHash layer), probed at the exact top-10 terms so the "
+        "overcount is auditable. CMS is the mergeable frequency "
+        "counterpart of the KMV cardinality sketch: counters are plain "
+        "sums, so per-partition sketches combine map-side and the "
+        "4x1024 integer grid is the ONLY state that leaves the "
+        "executors — at 100 TB that is a fixed few KB regardless of "
+        "vocabulary size, vs an unbounded term->count map. Like KMV it "
+        "is deterministic order statistics/counting over a shared hash, "
+        "so both engines produce the identical estimate, and the "
+        "estimate is never below the true count (pytest-asserted)."
+    ),
+)
+def term_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.length("term") >= 3)
+        .select("term", F.expr(_TERM_HASH_SPARK).alias("h"))
+    )
+    bucket_structs = ",".join(
+        f"struct({j} as j, ((h * {a}L + {b}L) % {MERSENNE}L) % {CMS_WIDTH}L as bucket)"
+        for j, (a, b) in enumerate(_CMS_COEFFS)
+    )
+    probes_expr = F.expr(f"explode(array({bucket_structs}))").alias("p")
+    counters = (
+        terms.select(probes_expr)
+        .select("p.j", "p.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top10 = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("exact_freq"), F.min("h").alias("h"))
+        .orderBy(F.desc("exact_freq"), F.asc("term"))
+        .limit(10)
+    )
+    probed = (
+        top10.select("term", "exact_freq", probes_expr)
+        .select("term", "exact_freq", "p.j", "p.bucket")
+        .join(F.broadcast(counters), ["j", "bucket"])
+    )
+    return probed.groupBy("term", "exact_freq").agg(
+        F.min("cnt").alias("cms_estimate"),
+        (F.min("cnt") - F.col("exact_freq")).alias("overcount"),
+    )

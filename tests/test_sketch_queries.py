@@ -122,3 +122,16 @@ def test_source_overlap_matrix_shape(spark):
         assert r["src_a"] < r["src_b"]
         assert 0 < r["shared_shingles"] <= min(r["n_a"], r["n_b"])
         assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_cms_never_undercounts_and_is_tight_at_this_scale(spark):
+    rows = QUERIES["term_cms_sketch"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # CMS property: estimate >= true count, always
+        assert r["overcount"] >= 0
+        assert r["cms_estimate"] == r["exact_freq"] + r["overcount"]
+    # with |vocab| << depth*width the sketch should be nearly exact for
+    # head terms: at least half the probes collide with nothing heavier
+    tight = sum(1 for r in rows if r["overcount"] <= r["exact_freq"])
+    assert tight >= 5
