@@ -1,0 +1,72 @@
+"""Shared count-min-sketch machinery: one definition of the counter
+grid used by the batch query (plans/sketch_queries.term_cms_sketch)
+and the streaming maintainer (streaming/sketches.py).
+
+The CMS grid is (j, bucket, cnt) rows over a DEPTH x WIDTH counter
+matrix. Counters are plain sums, which is the whole point: partial
+grids from any split of the data — partitions, micro-batches, days —
+merge by unionByName + sum into exactly the grid a single pass would
+have built. That additivity is what the streaming test asserts.
+
+Hash family: md5-derived 31-bit base through the same (a*h+b) mod p
+universal family as MinHash (operators/dedup.py) — the values must be
+reproducible in DuckDB for the batch oracle, so this is an md5 site,
+not an xxhash64 site (hash-choice rule in plans/text_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+MOD31 = 2147483648  # 2^31 — md5-derived base-hash range (as dedup.py)
+MERSENNE = 2147483647  # 2^31 - 1 — universal-hash modulus
+# (a, b) per CMS row — same family as operators/dedup.py _perm_coeffs
+CMS_COEFFS = [(2 * i + 1, (i * 40503) % MERSENNE + 7) for i in range(CMS_DEPTH)]
+
+TERM_HASH_SPARK = (
+    f"cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint) % {MOD31}L"
+)
+
+_BUCKET_STRUCTS = ",".join(
+    f"struct({j} as j, ((h * {a}L + {b}L) % {MERSENNE}L) % {CMS_WIDTH}L as bucket)"
+    for j, (a, b) in enumerate(CMS_COEFFS)
+)
+
+
+def term_probes(df_with_h: DataFrame, *keep_cols: str) -> DataFrame:
+    """Explode each hashed term into its DEPTH (j, bucket) probe cells."""
+    return df_with_h.select(
+        *keep_cols, F.expr(f"explode(array({_BUCKET_STRUCTS}))").alias("p")
+    ).select(*keep_cols, "p.j", "p.bucket")
+
+
+def hashed_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, h) rows: whitespace terms of length >= 3 with the shared
+    md5-derived 31-bit hash."""
+    return (
+        docs.select(F.explode(F.split(text_col, " ")).alias("term"))
+        .where(F.length("term") >= 3)
+        .select("term", F.expr(TERM_HASH_SPARK).alias("h"))
+    )
+
+
+def cms_grid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the (j, bucket, cnt) counter grid for a document set."""
+    return (
+        term_probes(hashed_terms(docs, text_col))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*grids: DataFrame) -> DataFrame:
+    """Merge partial grids by cell-wise sum — the additivity that makes
+    the sketch partition-, batch-, and stream-friendly."""
+    it = iter(grids)
+    out = next(it)
+    for g in it:
+        out = out.unionByName(g)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))

@@ -174,17 +174,18 @@ def corpus_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.unionByName(g_row)
 
 
-CMS_DEPTH = 4
-CMS_WIDTH = 1024
-MOD31 = 2147483648  # 2^31 — md5-derived base-hash range (as dedup.py)
-MERSENNE = 2147483647  # 2^31 - 1 — universal-hash modulus
-# (a, b) per CMS row — same family as operators/dedup.py _perm_coeffs
-_CMS_COEFFS = [(2 * i + 1, (i * 40503) % MERSENNE + 7) for i in range(CMS_DEPTH)]
-_CMS_VALUES_SQL = ",".join(f"({j},{a},{b})" for j, (a, b) in enumerate(_CMS_COEFFS))
-
-_TERM_HASH_SPARK = (
-    f"cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint) % {MOD31}L"
+# CMS machinery is shared with the streaming maintainer
+# (streaming/sketches.py): one grid definition, two execution modes.
+from ..operators.sketches import (  # noqa: E402
+    CMS_COEFFS,
+    CMS_WIDTH,
+    MERSENNE,
+    MOD31,
+    hashed_terms,
+    term_probes,
 )
+
+_CMS_VALUES_SQL = ",".join(f"({j},{a},{b})" for j, (a, b) in enumerate(CMS_COEFFS))
 _TERM_HASH_DUCK = (
     f"CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {MOD31}"
 )
@@ -237,21 +238,9 @@ _TERM_HASH_DUCK = (
 )
 def term_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    terms = (
-        docs.select(F.explode(F.split("text", " ")).alias("term"))
-        .where(F.length("term") >= 3)
-        .select("term", F.expr(_TERM_HASH_SPARK).alias("h"))
-    )
-    bucket_structs = ",".join(
-        f"struct({j} as j, ((h * {a}L + {b}L) % {MERSENNE}L) % {CMS_WIDTH}L as bucket)"
-        for j, (a, b) in enumerate(_CMS_COEFFS)
-    )
-    probes_expr = F.expr(f"explode(array({bucket_structs}))").alias("p")
+    terms = hashed_terms(docs)
     counters = (
-        terms.select(probes_expr)
-        .select("p.j", "p.bucket")
-        .groupBy("j", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        term_probes(terms).groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
     )
     top10 = (
         terms.groupBy("term")
@@ -259,10 +248,8 @@ def term_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_freq"), F.asc("term"))
         .limit(10)
     )
-    probed = (
-        top10.select("term", "exact_freq", probes_expr)
-        .select("term", "exact_freq", "p.j", "p.bucket")
-        .join(F.broadcast(counters), ["j", "bucket"])
+    probed = term_probes(top10, "term", "exact_freq").join(
+        F.broadcast(counters), ["j", "bucket"]
     )
     return probed.groupBy("term", "exact_freq").agg(
         F.min("cnt").alias("cms_estimate"),

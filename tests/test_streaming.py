@@ -219,3 +219,34 @@ def test_stream_static_enrichment_equals_batch(
         for r in spark.sql("SELECT * FROM enrich_test").collect()
     }
     assert streamed == batch
+
+
+def test_stream_cms_grid_equals_batch(spark, tmp_path_factory):
+    """Additivity end-to-end: the CMS grid maintained by foreachBatch
+    merges over 3 document micro-batches must be cell-identical to the
+    grid one batch pass builds."""
+    from hubspot_neo4j_pipeline_spark.operators.sketches import cms_grid
+    from hubspot_neo4j_pipeline_spark.streaming.sketches import (
+        stream_cms_into_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path_factory.mktemp("cms_src"))
+    store = str(tmp_path_factory.mktemp("cms_store")) + "/grid"
+    ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    assert stream.isStreaming
+    stream_cms_into_store(stream, store, ckpt)
+
+    batch = {
+        (r["j"], r["bucket"]): r["cnt"] for r in cms_grid(docs).collect()
+    }
+    streamed = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(store).collect()
+    }
+    assert streamed == batch
