@@ -70,3 +70,48 @@ def cms_merge(*grids: DataFrame) -> DataFrame:
     for g in it:
         out = out.unionByName(g)
     return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+# --- KMV (k-minimum-values) cardinality sketch -------------------------
+# Same 60-bit md5-derived shingle hash as plans/sketch_queries.py; the
+# sketch state is the k smallest DISTINCT hash values. Merge = union +
+# re-min, because any global k-minimum is a k-minimum of whichever part
+# contributed it — so per-batch sketches fold into the corpus sketch
+# without revisiting data.
+
+KMV_K = 64
+KMV_HASH_DOMAIN = float(1 << 60)
+
+SHINGLE_HASH_SPARK = (
+    "explode(array_distinct(transform("
+    "sequence(1, size(split(text, ' ')) - 4), "
+    "i -> cast(conv(substring(md5("
+    "array_join(slice(split(text, ' '), cast(i as int), 5), ' ')"
+    "), 1, 15), 16, 10) as bigint))))"
+)
+
+
+def kmv_kmin(docs: DataFrame, k: int = KMV_K, text_col: str = "text") -> DataFrame:
+    """The k smallest distinct shingle hashes of a document set —
+    the KMV sketch state, as a (h) DataFrame of <= k rows."""
+    hashes = docs.select(
+        F.expr(SHINGLE_HASH_SPARK.replace("text", text_col)).alias("h")
+    ).distinct()
+    return hashes.orderBy("h").limit(k)
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Union partial k-min sets, dedupe, keep the k smallest."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_value(kth_min: int, n_hashes: int, k: int = KMV_K) -> float:
+    """Driver-side estimate from a materialized sketch (exact when the
+    sketch holds the whole distinct set)."""
+    if n_hashes < k:
+        return float(n_hashes)
+    return float(int((k - 1) * (KMV_HASH_DOMAIN / float(kth_min))))

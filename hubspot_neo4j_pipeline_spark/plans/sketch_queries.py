@@ -39,20 +39,17 @@ from pyspark.sql import functions as F
 from ..sources.tpch import load_table
 from .registry import register
 
-KMV_K = 64
+# Sketch state/hash definitions are shared with the streaming
+# maintainer (streaming/sketches.py) via operators/sketches.py.
 # Hash domain: 15 hex digits of md5 → [0, 2^60). 2^60 as a double is
 # exact (power of two), as is (k-1)*anything with few significant bits.
-HASH_DOMAIN = float(1 << 60)
-
-# 60-bit shingle hash — identical expression family as the MinHash base
-# (operators/dedup.py): computable in DuckDB as
+# The 60-bit shingle hash is the same expression family as the MinHash
+# base (operators/dedup.py): computable in DuckDB as
 # ('0x' || substr(md5(s), 1, 15))::BIGINT.
-_SHINGLE_HASH_SPARK = (
-    "explode(array_distinct(transform("
-    "sequence(1, size(split(text, ' ')) - 4), "
-    "i -> cast(conv(substring(md5("
-    "array_join(slice(split(text, ' '), cast(i as int), 5), ' ')"
-    "), 1, 15), 16, 10) as bigint))))"
+from ..operators.sketches import (  # noqa: E402
+    KMV_HASH_DOMAIN as HASH_DOMAIN,
+    KMV_K,
+    SHINGLE_HASH_SPARK as _SHINGLE_HASH_SPARK,
 )
 
 _SHINGLE_HASH_DUCK = """

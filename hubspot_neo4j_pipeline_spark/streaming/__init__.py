@@ -6,12 +6,19 @@ from .event_analytics import (
     windowed_event_counts,
 )
 from .incremental import stream_dedup, stream_into_store, upsert_batch
-from .sketches import cms_update_batch, stream_cms_into_store
+from .sketches import (
+    cms_update_batch,
+    kmv_update_batch,
+    stream_cms_into_store,
+    stream_kmv_into_store,
+)
 from .stateful import running_user_stats, running_user_stats_batch
 
 __all__ = [
     "cms_update_batch",
+    "kmv_update_batch",
     "stream_cms_into_store",
+    "stream_kmv_into_store",
     "read_event_stream",
     "windowed_event_counts",
     "sessionize",

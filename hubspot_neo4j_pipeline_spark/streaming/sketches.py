@@ -55,3 +55,42 @@ def stream_cms_into_store(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def kmv_update_batch(
+    batch_docs: DataFrame, store_path: str, k: int | None = None
+) -> None:
+    """Merge one micro-batch's k-min set into the persisted KMV sketch."""
+    from ..operators.sketches import KMV_K, kmv_kmin, kmv_merge
+
+    k = k or KMV_K
+    spark = batch_docs.sparkSession
+    partial = kmv_kmin(batch_docs, k)
+    if os.path.exists(store_path):
+        existing = spark.read.parquet(store_path)
+        merged = kmv_merge(k, existing, partial)
+    else:
+        merged = partial
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
+
+
+def stream_kmv_into_store(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch driver: maintain the corpus cardinality sketch
+    incrementally — the state is <= k hash values however much text
+    has streamed past."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        kmv_update_batch(batch, store_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

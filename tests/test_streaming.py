@@ -250,3 +250,27 @@ def test_stream_cms_grid_equals_batch(spark, tmp_path_factory):
         for r in spark.read.parquet(store).collect()
     }
     assert streamed == batch
+
+
+def test_stream_kmv_sketch_equals_batch(spark, tmp_path_factory):
+    """Merge-identity end-to-end: the KMV k-min set maintained over 3
+    micro-batches equals the k-min set of a single batch pass."""
+    from hubspot_neo4j_pipeline_spark.operators.sketches import kmv_kmin
+    from hubspot_neo4j_pipeline_spark.streaming.sketches import (
+        stream_kmv_into_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path_factory.mktemp("kmv_src"))
+    store = str(tmp_path_factory.mktemp("kmv_store")) + "/sketch"
+    ckpt = str(tmp_path_factory.mktemp("kmv_ckpt"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    stream_kmv_into_store(stream, store, ckpt)
+
+    batch = sorted(r["h"] for r in kmv_kmin(docs).collect())
+    streamed = sorted(r["h"] for r in spark.read.parquet(store).collect())
+    assert streamed == batch
