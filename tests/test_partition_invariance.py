@@ -30,6 +30,9 @@ CASES = [
     "doc_minhash_lsh_pairs",
     "doc_dedup_keeplist",
     "user_value_trend",
+    "curation_funnel",
+    "term_cms_sketch",
+    "source_overlap_matrix",
 ]
 
 

@@ -172,3 +172,45 @@ def test_minhash_verified_jaccard_is_exact(spark, a, b):
     if pairs:
         exact = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
         assert abs(pairs[0]["jaccard"] - exact) < 1e-12
+
+
+@prop_settings
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=8)
+)
+def test_chunk_split_tiles_any_length(spark, n_tokens):
+    """doc_chunk_split's window arithmetic vs a Python reference for
+    arbitrary token counts: window count, starts, lengths, and full
+    coverage of the final token."""
+    from hubspot_neo4j_pipeline_spark.plans.curation_queries import (
+        CHUNK_STRIDE as S,
+        CHUNK_TOKENS as C,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [(i, " ".join("t%d" % j for j in range(n))) for i, n in enumerate(n_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk = F.expr(
+        f"explode(transform("
+        f"sequence(cast(0 as bigint), cast(floor("
+        f"(greatest(0, size(split(text, ' ')) - {C}) + {S - 1}) / {S}"
+        f") as bigint)), "
+        f"i -> struct(i as chunk_idx, i * {S} + 1 as chunk_start, "
+        f"cast(least({C}, size(split(text, ' ')) - i * {S}) as bigint) as chunk_len)))"
+    )
+    got = {
+        (r["ch"]["chunk_idx"], r["ch"]["chunk_start"], r["ch"]["chunk_len"])
+        for r in docs.select("doc_id", chunk.alias("ch")).collect()
+        for _ in [0]
+    }
+    expect = set()
+    for n in n_tokens:
+        n_extra = (max(0, n - C) + S - 1) // S
+        for i in range(n_extra + 1):
+            expect.add((i, i * S + 1, min(C, n - i * S)))
+    assert got == expect
+    # every chunk length positive and the last chunk reaches token n
+    for n in n_tokens:
+        n_extra = (max(0, n - C) + S - 1) // S
+        last_start, last_len = n_extra * S + 1, min(C, n - n_extra * S)
+        assert last_len >= 1 and last_start + last_len - 1 == n
