@@ -891,3 +891,71 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+FRAME_RATE = 24  # synthetic frames-per-"second" for the video stand-in
+FRAME_STRIDE = 8  # sample every 8th frame
+
+
+@register(
+    "frame_sample_plan",
+    oracle=f"""
+        WITH meta AS (
+            SELECT doc_id,
+                   n_chars % 240 + {FRAME_RATE} AS n_frames
+            FROM documents
+        ), frames AS (
+            SELECT doc_id, n_frames,
+                   unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS frame_idx
+            FROM meta
+        )
+        SELECT doc_id,
+               max(n_frames) AS n_frames,
+               count(*) AS n_sampled,
+               min(frame_idx) AS first_frame,
+               max(frame_idx) AS last_frame,
+               floor(CAST(count(*) AS DOUBLE) / max(n_frames) * 10000) / 10000
+                   AS sample_rate
+        FROM frames GROUP BY doc_id
+    """,
+    covers=("S9", "P6"),
+    doc=(
+        "Multimodal frame-sampling PLAN: from per-asset metadata "
+        "(synthetic n_frames derived deterministically from n_chars — "
+        "standing in for container-header probe results), schedule "
+        "every 8th frame and report per-asset sampling stats. This is "
+        "the metadata half of video ingestion a 100 TB pipeline runs "
+        "FIRST: the schedule is pure map-side arithmetic over tiny "
+        "metadata rows, and only the scheduled (asset, frame_idx) list "
+        "fans out to the Arrow-batched decode workers "
+        "(operators/multimodal.py — decode itself stays honestly "
+        "stubbed; the scheduling, fan-out shape, and batch accounting "
+        "are real and oracle-exact)."
+    ),
+)
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=False)
+    meta = docs.select(
+        "doc_id",
+        (F.col("n_chars") % 240 + FRAME_RATE).alias("n_frames"),
+    )
+    frames = meta.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("n_frames") - 1).cast("long"),
+                F.lit(FRAME_STRIDE).cast("long"),
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.groupBy("doc_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.count("*").alias("n_sampled"),
+        F.min("frame_idx").alias("first_frame"),
+        F.max("frame_idx").alias("last_frame"),
+        (
+            F.floor(F.count("*").cast("double") / F.max("n_frames") * 10000) / 10000
+        ).alias("sample_rate"),
+    )
