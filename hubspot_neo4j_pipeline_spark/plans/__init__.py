@@ -17,18 +17,27 @@ from . import vector_queries  # noqa: F401,E402
 # temporal/SCD2 layer (its core differentiator, incl. the golden 8-scenario
 # merge), and one flagship per LLM-pipeline family (shard packing, trend,
 # exact dedup, MinHash-LSH, ANN, embedding near-dup, as-of join,
-# sessionization). Everything else (remaining text/vector/sequence/curation
-# and the beyond-reference analytics extras) follows. Two §2-redundant
-# queries are deliberately demoted past the prefix to make room for the
-# sequence flagships: contacts_without_company (J12 stays green in-window
-# via engaged_contacts) and point_in_time_state (T9 via current_state /
-# recent_changes / scd2_version_chain). The tail beyond the prefix is NOT
-# unchecked: tools/verify_queries.py runs the FULL registry against the
-# DuckDB oracles with an exact cell-by-cell compare and is a required local
-# gate (CORRECTNESS_LOCAL artifacts), so prefix ordering cannot mask tail
-# regressions.
+# sessionization, plus — rotated in late round 4 — the KMV sketch and the
+# end-to-end curation funnel). Everything else (remaining
+# text/vector/sequence/curation and the beyond-reference analytics extras)
+# follows. Four §2-redundant queries are deliberately demoted past the
+# prefix to make room: contacts_without_company (J12 stays green in-window
+# via engaged_contacts / curation_funnel), point_in_time_state (T9 via
+# current_state / recent_changes / scd2_version_chain),
+# companies_by_industry (A1 via contacts_by_lifecycle_stage), and
+# status_set_difference (U3 via relationship_diff's two-way anti, U1/U2
+# via combined_entity_view / active_archived_union). The tail beyond the
+# prefix is NOT unchecked: tools/verify_queries.py runs the FULL registry
+# against the DuckDB oracles with an exact cell-by-cell compare and is a
+# required local gate (CORRECTNESS_LOCAL artifacts), so prefix ordering
+# cannot mask tail regressions.
 # ---------------------------------------------------------------------------
-_DEMOTED = {"contacts_without_company", "point_in_time_state"}
+_DEMOTED = {
+    "contacts_without_company",
+    "point_in_time_state",
+    "companies_by_industry",
+    "status_set_difference",
+}
 
 _PRIORITY = [
     # reference query library (core) — registration order within the module
@@ -52,6 +61,8 @@ _PRIORITY = [
     "embedding_near_dup_pairs",
     "asof_order_before_event",
     "event_sessionization",
+    "corpus_kmv_sketch",
+    "curation_funnel",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

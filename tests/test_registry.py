@@ -54,8 +54,9 @@ def test_priority_prefix_spans_all_families():
     """The correctness harness checks a bounded prefix of the registry
     in dict order; the first 50 names must keep spanning the reference
     query library, the full temporal/SCD2 family (incl. both golden
-    queries), and ALL EIGHT LLM-pipeline flagships (incl. the sequence
-    pair rotated in for round 4)."""
+    queries), and ALL TEN LLM-pipeline flagships (the sequence pair
+    rotated in for round 4, plus the KMV sketch and curation funnel
+    rotated in late round 4)."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
 
     prefix = list(QUERIES)[:50]
@@ -78,24 +79,35 @@ def test_priority_prefix_spans_all_families():
         "embedding_near_dup_pairs",
         "asof_order_before_event",
         "event_sessionization",
+        "corpus_kmv_sketch",
+        "curation_funnel",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """contacts_without_company / point_in_time_state were rotated past
-    the driver's 50-query window to admit the sequence flagships; they
+    """Four §2-redundant queries were rotated past the driver's
+    50-query window to admit the sequence/sketch/funnel flagships; they
     must stay registered (and oracle-checked by tools/verify_queries.py)
-    and their §2 ids must keep an in-window representative."""
+    and every §2 id they carry must keep an in-window representative."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
-    prefix = names[:50]
-    for demoted in ("contacts_without_company", "point_in_time_state"):
-        assert demoted in names, f"{demoted} fell out of the registry entirely"
-        assert demoted in get_oracles(), f"{demoted} lost its oracle"
-    # §2 coverage retained inside the window: J12 via engaged_contacts,
-    # T9 via current_state / recent_changes.
-    assert "engaged_contacts" in prefix
-    assert "current_state" in prefix
-    assert "recent_changes" in prefix
+    prefix = set(names[:50])
+    demoted = (
+        "contacts_without_company",
+        "point_in_time_state",
+        "companies_by_industry",
+        "status_set_difference",
+    )
+    for name in demoted:
+        assert name in names, f"{name} fell out of the registry entirely"
+        assert name in get_oracles(), f"{name} lost its oracle"
+        assert name not in prefix
+    # every §2 id carried by a demoted query keeps in-window coverage
+    in_window_ids = {
+        c for n in prefix for c in QUERIES[n].covers
+    }
+    for name in demoted:
+        for c in QUERIES[name].covers:
+            assert c in in_window_ids, f"§2 id {c} lost in-window coverage"
