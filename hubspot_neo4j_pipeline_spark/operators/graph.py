@@ -46,7 +46,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # step 1 — hash-min: adopt the min label among self + neighbors
         nbr_min = (
             sym.join(labels, sym.a == labels.id)
@@ -75,10 +75,16 @@ def connected_components(
             ).alias("new_comp"),
         )
         proposed = proposed.localCheckpoint(eager=True)
-        changed = proposed.where(F.col("new_comp") < F.col("comp")).limit(1).count()
         labels = proposed.select("id", F.col("new_comp").alias("comp"))
-        if changed == 0:
-            break
+        # Round 0 always changes something when edges exist (every label
+        # starts as self, so any vertex adjacent to a smaller id moves),
+        # so the convergence probe — a separate job — starts at round 1.
+        if it > 0:
+            changed = (
+                proposed.where(F.col("new_comp") < F.col("comp")).limit(1).count()
+            )
+            if changed == 0:
+                break
     return labels
 
 
