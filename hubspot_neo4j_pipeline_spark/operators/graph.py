@@ -76,9 +76,13 @@ def connected_components(
         )
         proposed = proposed.localCheckpoint(eager=True)
         labels = proposed.select("id", F.col("new_comp").alias("comp"))
-        # Round 0 always changes something when edges exist (every label
-        # starts as self, so any vertex adjacent to a smaller id moves),
-        # so the convergence probe — a separate job — starts at round 1.
+        # The convergence probe — a separate job — starts at round 1:
+        # with any proper edge (src != dst) round 0 moves at least one
+        # label (labels start as self, so the larger endpoint adopts the
+        # smaller), making a round-0 probe a guaranteed-wasted job. For
+        # degenerate inputs (empty or self-loop-only edge sets) this
+        # trades the probe for one extra round over empty/converged
+        # frames — accepted: those joins are near-free.
         if it > 0:
             changed = (
                 proposed.where(F.col("new_comp") < F.col("comp")).limit(1).count()

@@ -111,7 +111,10 @@ def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
 
 def kmv_estimate_value(kth_min: int, n_hashes: int, k: int = KMV_K) -> float:
     """Driver-side estimate from a materialized sketch (exact when the
-    sketch holds the whole distinct set)."""
+    sketch holds the whole distinct set). Column-expression twin:
+    plans/sketch_queries._kmv_estimate — keep the two formulas in
+    lockstep (the streaming test pins this one against a batch-built
+    sketch)."""
     if n_hashes < k:
         return float(n_hashes)
     return float(int((k - 1) * (KMV_HASH_DOMAIN / float(kth_min))))

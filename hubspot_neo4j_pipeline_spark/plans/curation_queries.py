@@ -584,6 +584,25 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 64  # training-sequence window size (tokens)
 CHUNK_STRIDE = 32  # window stride — 50% overlap
 
+# The chunk-window expression is a module constant so the production
+# query and the hypothesis property test exercise the SAME expression
+# (tests/test_properties.py) — a private copy in the test could drift.
+CHUNK_EXPR_SQL = (
+    f"explode(transform("
+    f"sequence(cast(0 as bigint), cast(floor("
+    f"(greatest(0, size(split(text, ' ')) - {CHUNK_TOKENS}) + {CHUNK_STRIDE - 1})"
+    f" / {CHUNK_STRIDE}"
+    f") as bigint)), "
+    f"i -> struct("
+    f"i as chunk_idx, "
+    f"i * {CHUNK_STRIDE} + 1 as chunk_start, "
+    f"cast(least({CHUNK_TOKENS}, size(split(text, ' ')) - i * {CHUNK_STRIDE}) as bigint)"
+    f" as chunk_len, "
+    f"md5(array_join(slice(split(text, ' '), cast(i * {CHUNK_STRIDE} + 1 as int),"
+    f" {CHUNK_TOKENS}), ' ')) as chunk_hash"
+    f")))"
+)
+
 
 @register(
     "doc_chunk_split",
@@ -623,21 +642,9 @@ CHUNK_STRIDE = 32  # window stride — 50% overlap
 )
 def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    c, s = CHUNK_TOKENS, CHUNK_STRIDE
     # Single SQL parse; struct-per-chunk then explode, so every chunk
     # column is computed in one pass over the token array.
-    chunk = F.expr(
-        f"explode(transform("
-        f"sequence(cast(0 as bigint), cast(floor("
-        f"(greatest(0, size(split(text, ' ')) - {c}) + {s - 1}) / {s}"
-        f") as bigint)), "
-        f"i -> struct("
-        f"i as chunk_idx, "
-        f"i * {s} + 1 as chunk_start, "
-        f"cast(least({c}, size(split(text, ' ')) - i * {s}) as bigint) as chunk_len, "
-        f"md5(array_join(slice(split(text, ' '), cast(i * {s} + 1 as int), {c}), ' ')) as chunk_hash"
-        f")))"
-    )
+    chunk = F.expr(CHUNK_EXPR_SQL)
     return docs.select("doc_id", chunk.alias("ch")).select(
         "doc_id", "ch.chunk_idx", "ch.chunk_start", "ch.chunk_len", "ch.chunk_hash"
     )

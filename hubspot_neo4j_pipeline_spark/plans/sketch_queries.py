@@ -235,7 +235,11 @@ _TERM_HASH_DUCK = (
 )
 def term_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    terms = hashed_terms(docs)
+    # cache: the hashed term explode feeds BOTH the counter grid and
+    # the exact top-10 branch — same multi-consumer discipline as
+    # corpus_kmv_sketch's dist cache (per-run scratch; at 100 TB use a
+    # disk-spilling persist or accept the recompute).
+    terms = hashed_terms(docs).cache()
     counters = (
         term_probes(terms).groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
     )

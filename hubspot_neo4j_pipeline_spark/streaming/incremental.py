@@ -76,6 +76,35 @@ def upsert_batch(
     history_append.write.mode("append").parquet(os.path.join(store_path, "history"))
 
 
+def run_foreach_batch(
+    stream_df: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Shared foreachBatch driver (SCD2 upserts, sketch maintainers):
+    availableNow trigger, then await completion.
+
+    awaitTermination's boolean result is CHECKED: on timeout the query
+    is stopped and a TimeoutError raised — returning silently would
+    hand the caller a store missing the tail micro-batches while an
+    orphaned query keeps mutating it in the background.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout_sec}s; "
+            "stopped — the store may be missing tail micro-batches"
+        )
+
+
 def stream_into_store(
     stream_df: DataFrame,
     store_path: str,
@@ -91,10 +120,4 @@ def stream_into_store(
         now = f"2024-01-01 00:{batch_id:02d}:00"
         upsert_batch(batch, store_path, key, now)
 
-    q = (
-        stream_df.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    run_foreach_batch(stream_df, _sink, checkpoint_dir, timeout_sec)

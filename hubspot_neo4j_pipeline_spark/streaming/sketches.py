@@ -1,14 +1,22 @@
-"""Streaming sketch maintenance: a count-min grid kept current by
-foreachBatch merges.
+"""Streaming sketch maintenance: count-min and KMV sketches kept
+current by foreachBatch merges.
 
-Because the CMS grid is additive (operators/sketches.cms_merge), the
+Because both sketches are mergeable (operators/sketches.py), the
 streaming path needs no custom state store: each micro-batch builds
-its partial grid and cell-wise-sums it into the persisted one. The
-persisted state is the DEPTH x WIDTH counter grid — a fixed few KB no
-matter how much text has streamed past, which is exactly why a 100 TB
-ingest keeps a frequency sketch instead of a term->count table. The
-stream ≡ batch test (tests/test_streaming.py) asserts the streamed
-grid is IDENTICAL to the one a single batch pass builds.
+its partial sketch and folds it into the persisted one. The persisted
+state is the DEPTH x WIDTH counter grid / the <= k hash set — a fixed
+few KB no matter how much text has streamed past, which is exactly why
+a 100 TB ingest keeps sketches instead of a term->count table. The
+stream ≡ batch tests (tests/test_streaming.py) assert the streamed
+state is IDENTICAL to what a single batch pass builds.
+
+Replay safety: foreachBatch is at-least-once — a crash between the
+store write and the streaming checkpoint commit re-delivers the same
+micro-batch on restart. KMV is idempotent by construction (distinct
+union + re-min), but CMS counters are NOT, so the CMS grid carries the
+last applied batch_id and `cms_update_batch` skips batches it has
+already summed in. The batch_id rides ON the grid rows, so state and
+watermark update in one write — no second file to get out of sync.
 """
 
 from __future__ import annotations
@@ -16,24 +24,35 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.sketches import cms_grid, cms_merge
+from .incremental import run_foreach_batch
 
 
-def cms_update_batch(batch_docs: DataFrame, store_path: str) -> None:
+def cms_update_batch(
+    batch_docs: DataFrame, store_path: str, batch_id: int = 0
+) -> None:
     """Merge one micro-batch's partial grid into the persisted grid.
 
-    localCheckpoint materializes the merged grid before the overwrite
-    (same read-then-overwrite discipline as incremental.upsert_batch).
+    Skips batches whose id is <= the grid's recorded last_batch_id
+    (at-least-once replay protection). localCheckpoint materializes
+    the merged grid before the overwrite (same read-then-overwrite
+    discipline as incremental.upsert_batch).
     """
     spark = batch_docs.sparkSession
     partial = cms_grid(batch_docs)
     if os.path.exists(store_path):
         existing = spark.read.parquet(store_path)
-        merged = cms_merge(existing, partial)
+        last = existing.agg(F.max("last_batch_id")).collect()[0][0]
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch — already summed in
+        merged = cms_merge(existing.select("j", "bucket", "cnt"), partial)
     else:
         merged = partial
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
+    merged.withColumn(
+        "last_batch_id", F.lit(batch_id).cast("long")
+    ).localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
 
 
 def stream_cms_into_store(
@@ -44,23 +63,22 @@ def stream_cms_into_store(
 ) -> None:
     """foreachBatch driver: maintain the corpus CMS grid incrementally
     as documents stream in."""
-
-    def _sink(batch: DataFrame, batch_id: int) -> None:
-        cms_update_batch(batch, store_path)
-
-    q = (
-        stream_df.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_foreach_batch(
+        stream_df,
+        lambda batch, batch_id: cms_update_batch(batch, store_path, batch_id),
+        checkpoint_dir,
+        timeout_sec,
     )
-    q.awaitTermination(timeout_sec)
 
 
 def kmv_update_batch(
     batch_docs: DataFrame, store_path: str, k: int | None = None
 ) -> None:
-    """Merge one micro-batch's k-min set into the persisted KMV sketch."""
+    """Merge one micro-batch's k-min set into the persisted KMV sketch.
+
+    Idempotent under replay: re-merging a batch's k-mins is a no-op
+    (distinct union + re-min), so no batch_id watermark is needed.
+    """
     from ..operators.sketches import KMV_K, kmv_kmin, kmv_merge
 
     k = k or KMV_K
@@ -79,18 +97,14 @@ def stream_kmv_into_store(
     store_path: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    k: int | None = None,
 ) -> None:
     """foreachBatch driver: maintain the corpus cardinality sketch
     incrementally — the state is <= k hash values however much text
     has streamed past."""
-
-    def _sink(batch: DataFrame, batch_id: int) -> None:
-        kmv_update_batch(batch, store_path)
-
-    q = (
-        stream_df.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_foreach_batch(
+        stream_df,
+        lambda batch, batch_id: kmv_update_batch(batch, store_path, k),
+        checkpoint_dir,
+        timeout_sec,
     )
-    q.awaitTermination(timeout_sec)

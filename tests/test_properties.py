@@ -179,10 +179,12 @@ def test_minhash_verified_jaccard_is_exact(spark, a, b):
     n_tokens=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=8)
 )
 def test_chunk_split_tiles_any_length(spark, n_tokens):
-    """doc_chunk_split's window arithmetic vs a Python reference for
-    arbitrary token counts: window count, starts, lengths, and full
-    coverage of the final token."""
+    """doc_chunk_split's PRODUCTION window expression (CHUNK_EXPR_SQL —
+    the exact string the registered query parses) vs a Python reference
+    for arbitrary token counts: window count, starts, lengths, and full
+    coverage of the final token, compared per document."""
     from hubspot_neo4j_pipeline_spark.plans.curation_queries import (
+        CHUNK_EXPR_SQL,
         CHUNK_STRIDE as S,
         CHUNK_TOKENS as C,
     )
@@ -190,24 +192,15 @@ def test_chunk_split_tiles_any_length(spark, n_tokens):
 
     rows = [(i, " ".join("t%d" % j for j in range(n))) for i, n in enumerate(n_tokens)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    chunk = F.expr(
-        f"explode(transform("
-        f"sequence(cast(0 as bigint), cast(floor("
-        f"(greatest(0, size(split(text, ' ')) - {C}) + {S - 1}) / {S}"
-        f") as bigint)), "
-        f"i -> struct(i as chunk_idx, i * {S} + 1 as chunk_start, "
-        f"cast(least({C}, size(split(text, ' ')) - i * {S}) as bigint) as chunk_len)))"
-    )
     got = {
-        (r["ch"]["chunk_idx"], r["ch"]["chunk_start"], r["ch"]["chunk_len"])
-        for r in docs.select("doc_id", chunk.alias("ch")).collect()
-        for _ in [0]
+        (r["doc_id"], r["ch"]["chunk_idx"], r["ch"]["chunk_start"], r["ch"]["chunk_len"])
+        for r in docs.select("doc_id", F.expr(CHUNK_EXPR_SQL).alias("ch")).collect()
     }
     expect = set()
-    for n in n_tokens:
+    for d, n in enumerate(n_tokens):
         n_extra = (max(0, n - C) + S - 1) // S
         for i in range(n_extra + 1):
-            expect.add((i, i * S + 1, min(C, n - i * S)))
+            expect.add((d, i, i * S + 1, min(C, n - i * S)))
     assert got == expect
     # every chunk length positive and the last chunk reaches token n
     for n in n_tokens:

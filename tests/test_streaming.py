@@ -251,6 +251,20 @@ def test_stream_cms_grid_equals_batch(spark, tmp_path_factory):
     }
     assert streamed == batch
 
+    # at-least-once replay protection: re-applying an already-summed
+    # micro-batch (same batch_id) must leave every counter unchanged
+    from hubspot_neo4j_pipeline_spark.streaming.sketches import cms_update_batch
+
+    last = max(
+        r["last_batch_id"] for r in spark.read.parquet(store).collect()
+    )
+    cms_update_batch(docs, store, batch_id=last)  # replay of final batch
+    replayed = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(store).collect()
+    }
+    assert replayed == batch
+
 
 def test_stream_kmv_sketch_equals_batch(spark, tmp_path_factory):
     """Merge-identity end-to-end: the KMV k-min set maintained over 3
@@ -274,3 +288,13 @@ def test_stream_kmv_sketch_equals_batch(spark, tmp_path_factory):
     batch = sorted(r["h"] for r in kmv_kmin(docs).collect())
     streamed = sorted(r["h"] for r in spark.read.parquet(store).collect())
     assert streamed == batch
+
+    # the driver-side estimator over the streamed sketch must agree
+    # with the estimate computed from the directly-built batch sketch
+    from hubspot_neo4j_pipeline_spark.operators.sketches import (
+        kmv_estimate_value,
+    )
+
+    assert kmv_estimate_value(max(streamed), len(streamed)) == kmv_estimate_value(
+        max(batch), len(batch)
+    )
