@@ -982,3 +982,91 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.9).alias("p90_tokens"),
         at(0.99).alias("p99_tokens"),
     )
+
+
+def _agreement_oracle() -> str:
+    """Composes the two existing oracle pipelines (shingle-overlap and
+    MinHash-LSH verified) into one pair-set agreement report — the
+    Spark side composes the same two operators, so drift in either
+    pipeline breaks this oracle too."""
+    return f"""
+        WITH mh AS ({_minhash_oracle()}),
+        shingled2 AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> md5(array_to_string(string_split(text, ' ')[i:i+4], ' '))
+                   ))) AS shingle
+            FROM documents
+        ),
+        sp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM shingled2 a JOIN shingled2 b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
+        ),
+        bb AS (SELECT id_a, id_b FROM mh),
+        na AS (SELECT count(*) AS n_shingle_pairs FROM sp),
+        nb AS (SELECT count(*) AS n_minhash_pairs FROM bb),
+        nboth AS (
+            SELECT count(*) AS n_both FROM sp JOIN bb USING (id_a, id_b)
+        )
+        SELECT n_shingle_pairs, n_minhash_pairs, n_both,
+               n_shingle_pairs - n_both AS n_only_shingle,
+               n_minhash_pairs - n_both AS n_only_minhash,
+               CASE WHEN n_shingle_pairs + n_minhash_pairs - n_both = 0
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE floor(CAST(n_both AS DOUBLE)
+                         / (n_shingle_pairs + n_minhash_pairs - n_both)
+                         * 10000) / 10000
+               END AS agreement
+        FROM na CROSS JOIN nb CROSS JOIN nboth
+    """
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=_agreement_oracle(),
+    covers=("D1", "U3", "A8"),
+    doc=(
+        "Dedup method-agreement audit: the pair sets found by exact "
+        "shingle overlap (>= 3 shared 5-grams) and by MinHash-LSH with "
+        "verified Jaccard >= 0.5 are compared — counts unique to each, "
+        "shared, and the pair-set Jaccard. This is the calibration "
+        "report a pipeline owner reads before trusting a cheaper "
+        "signal at full scale: if the probabilistic method misses "
+        "pairs the exact one finds (or vice versa), the thresholds "
+        "need adjusting BEFORE a 100 TB run, not after. Scale: both "
+        "pair generators are the registry's own bucket-join operators; "
+        "the comparison joins id-pairs only (slim rows), and the final "
+        "roll-up is three 1-row frames."
+    ),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = _dup_pairs(docs).select("id_a", "id_b")
+    mh = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text").select(
+        "id_a", "id_b"
+    )
+    na = sp.agg(F.count("*").alias("n_shingle_pairs"))
+    nb = mh.agg(F.count("*").alias("n_minhash_pairs"))
+    nboth = sp.join(mh, ["id_a", "id_b"]).agg(F.count("*").alias("n_both"))
+    denom = (
+        F.col("n_shingle_pairs") + F.col("n_minhash_pairs") - F.col("n_both")
+    )
+    return (
+        na.join(F.broadcast(nb))
+        .join(F.broadcast(nboth))
+        .select(
+            "n_shingle_pairs",
+            "n_minhash_pairs",
+            "n_both",
+            (F.col("n_shingle_pairs") - F.col("n_both")).alias("n_only_shingle"),
+            (F.col("n_minhash_pairs") - F.col("n_both")).alias("n_only_minhash"),
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(F.floor(F.col("n_both").cast("double") / denom * 10000) / 10000)
+            .alias("agreement"),
+        )
+    )

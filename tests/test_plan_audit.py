@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "source_mixture_sample",  # 1-row global-min char-mass target
     "source_temperature_weights",  # 1-row global-max char-mass anchor
     "corpus_kmv_sketch",  # 1-row merged-sketch (kth-min) frame
+    "dedup_method_agreement",  # three 1-row count frames joined
 }
 
 
