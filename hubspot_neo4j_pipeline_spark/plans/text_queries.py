@@ -1046,9 +1046,14 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sp = _dup_pairs(docs).select("id_a", "id_b")
-    mh = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text").select(
-        "id_a", "id_b"
+    # cache: each pair set feeds two consumers (its own count and the
+    # intersection) — without it both full pair pipelines run twice.
+    # The cached frames are id-pairs only, tiny at any scale.
+    sp = _dup_pairs(docs).select("id_a", "id_b").cache()
+    mh = (
+        minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+        .select("id_a", "id_b")
+        .cache()
     )
     na = sp.agg(F.count("*").alias("n_shingle_pairs"))
     nb = mh.agg(F.count("*").alias("n_minhash_pairs"))
