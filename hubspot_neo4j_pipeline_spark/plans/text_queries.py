@@ -1075,3 +1075,58 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("agreement"),
         )
     )
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    """Chunk-bucketed SimHash pairs, composed over the signature
+    oracle: 60 bits split into max_hamming+1 contiguous chunks
+    (pigeonhole recall), exact Hamming verify via bit_count(xor)."""
+    from ..operators.dedup import SIMHASH_BITS, _chunk_bounds
+
+    bounds = _chunk_bounds(SIMHASH_BITS, max_hamming + 1)
+    values = ",".join(
+        f"({c},{s},{w})" for c, (s, w) in enumerate(bounds)
+    )
+    return f"""
+        WITH sigs AS ({_simhash_oracle()}),
+        chunks AS (
+            SELECT doc_id, simhash, c.chunk_id,
+                   (simhash >> c.s) & ((CAST(1 AS BIGINT) << c.w) - 1) AS chunk
+            FROM sigs CROSS JOIN (VALUES {values}) AS c(chunk_id, s, w)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS h_a, b.simhash AS h_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+    """
+
+
+@register(
+    "doc_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    covers=("D1", "J1"),
+    doc=(
+        "SimHash near-dup PAIRS (Hamming <= 3 over the 60-bit "
+        "signatures), candidate-bucketed on 4 contiguous bit chunks — "
+        "the pigeonhole guarantees a <=3-bit pair shares at least one "
+        "exact chunk, so recall at the radius is exact (tested "
+        "exhaustively vs brute-force Hamming in tests/test_dedup.py). "
+        "Now fully oracle-checked end-to-end: bit_count(xor(...)) "
+        "evaluates identically in Spark and DuckDB, closing the r3 "
+        "note that the pair stage was pytest-only. Scale: the bucket "
+        "join shuffles (chunk_id, chunk, id, sig) rows only; chunk "
+        "count tracks the radius, never document count."
+    ),
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
