@@ -31,27 +31,47 @@ from .incremental import run_foreach_batch
 
 
 def cms_update_batch(
-    batch_docs: DataFrame, store_path: str, batch_id: int = 0
+    batch_docs: DataFrame, store_path: str, batch_id: int | None = None
 ) -> None:
     """Merge one micro-batch's partial grid into the persisted grid.
 
-    Skips batches whose id is <= the grid's recorded last_batch_id
-    (at-least-once replay protection). localCheckpoint materializes
+    With a ``batch_id`` (the streaming path), batches whose id is <=
+    the grid's recorded last_batch_id are skipped — at-least-once
+    replay protection. Without one (direct batch-driven maintenance),
+    every call merges unconditionally, preserving the original
+    contract, and the stored watermark is left as-is.
+
+    Lifecycle contract for the guard: batch_ids are scoped to ONE
+    streaming checkpoint, so the store and its checkpoint_dir must
+    live and die together. Pointing a FRESH checkpoint at an existing
+    store would restart ids at 0 and the guard would skip real data —
+    delete or rebuild the store when you reset the checkpoint.
+
+    Stores written before the watermark existed (no last_batch_id
+    column) are migrated on first touch. localCheckpoint materializes
     the merged grid before the overwrite (same read-then-overwrite
     discipline as incremental.upsert_batch).
     """
     spark = batch_docs.sparkSession
     partial = cms_grid(batch_docs)
+    last = None
     if os.path.exists(store_path):
         existing = spark.read.parquet(store_path)
-        last = existing.agg(F.max("last_batch_id")).collect()[0][0]
-        if last is not None and batch_id <= last:
+        if "last_batch_id" in existing.columns:
+            last = existing.agg(F.max("last_batch_id")).collect()[0][0]
+        if batch_id is not None and last is not None and batch_id <= last:
             return  # replayed micro-batch — already summed in
         merged = cms_merge(existing.select("j", "bucket", "cnt"), partial)
     else:
         merged = partial
+    if batch_id is not None:
+        new_last = batch_id
+    elif last is not None:
+        new_last = last  # direct call: merge, keep the stream watermark
+    else:
+        new_last = -1  # no stream batch recorded yet
     merged.withColumn(
-        "last_batch_id", F.lit(batch_id).cast("long")
+        "last_batch_id", F.lit(new_last).cast("long")
     ).localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
 
 
@@ -62,7 +82,8 @@ def stream_cms_into_store(
     timeout_sec: int = 120,
 ) -> None:
     """foreachBatch driver: maintain the corpus CMS grid incrementally
-    as documents stream in."""
+    as documents stream in. store_path and checkpoint_dir must live
+    and die together (see cms_update_batch's lifecycle contract)."""
     run_foreach_batch(
         stream_df,
         lambda batch, batch_id: cms_update_batch(batch, store_path, batch_id),

@@ -298,3 +298,31 @@ def test_stream_kmv_sketch_equals_batch(spark, tmp_path_factory):
     assert kmv_estimate_value(max(streamed), len(streamed)) == kmv_estimate_value(
         max(batch), len(batch)
     )
+
+
+def test_cms_direct_batch_calls_always_merge(spark, tmp_path_factory):
+    """The exported batch API (no batch_id) must merge on EVERY call —
+    the replay guard applies only to the streaming path — and a store
+    written before the watermark column existed must migrate cleanly."""
+    from hubspot_neo4j_pipeline_spark.operators.sketches import cms_grid
+    from hubspot_neo4j_pipeline_spark.streaming.sketches import cms_update_batch
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = str(tmp_path_factory.mktemp("cms_direct")) + "/grid"
+
+    # legacy store: grid WITHOUT last_batch_id (pre-watermark layout)
+    cms_grid(docs).write.mode("overwrite").parquet(store)
+    cms_update_batch(docs, store)  # direct call over legacy store
+    doubled = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(store).collect()
+    }
+    single = {(r["j"], r["bucket"]): r["cnt"] for r in cms_grid(docs).collect()}
+    assert doubled == {k: 2 * v for k, v in single.items()}
+    # second direct call merges again (no silent no-op)
+    cms_update_batch(docs, store)
+    tripled = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(store).collect()
+    }
+    assert tripled == {k: 3 * v for k, v in single.items()}

@@ -122,6 +122,11 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            # several operators cache multi-consumer intermediates
+            # (LSH buckets, MinHash sigs, pair sets, term explodes);
+            # drop them between queries so a 111-query run does not
+            # accumulate dead cached blocks (bench.py does the same)
+            spark.catalog.clearCache()
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             results[name] = {"status": "fail", "err": "spark raised"}
