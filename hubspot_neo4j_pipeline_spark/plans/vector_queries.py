@@ -577,3 +577,79 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "qcosine", "rank")
     )
+
+
+@register(
+    "semantic_dedup",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), seeds AS (
+            SELECT v.label AS cell, v.e AS se
+            FROM v JOIN (SELECT label, min(vec_id) AS mid
+                         FROM v GROUP BY label) m
+              ON v.vec_id = m.mid
+        ), assigned AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT v.vec_id, v.e, s.cell,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           list_reduce(list_transform(generate_series(1, 64),
+                               i -> (v.e[i] - s.se[i]) * (v.e[i] - s.se[i])),
+                               (a, b) -> a + b),
+                           s.cell) AS rn
+                FROM v CROSS JOIN seeds s) WHERE rn = 1
+        ), dup_pairs AS (
+            SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS kept_cand
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_reduce(list_transform(generate_series(1, 64),
+                      i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                      (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                                        (x, y) -> x + y)))
+                  >= 0.35
+        )
+        SELECT vec_id, cell, min(kept_cand) AS kept_id
+        FROM dup_pairs GROUP BY vec_id, cell
+    """,
+    covers=("D1", "J1", "A4"),
+    doc=(
+        "SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+        "arXiv:2303.09540): partition the corpus into embedding "
+        "clusters (deterministic min-id seeds via ivf_seeds/ivf_assign "
+        "— swap in kmeans_seeds at production), then drop any vector "
+        "whose within-cluster cosine to a SMALLER-id vector clears the "
+        "threshold (0.35 on this synthetic corpus; the paper uses "
+        "~0.95+ on real embeddings). Output: dropped vec_id, its "
+        "cluster, and the smallest surviving duplicate it matched "
+        "(kept_id). Deterministic: assignment ties break on cell id, "
+        "the keep rule is pure integer min — no RNG. Scale: the seed "
+        "join is a broadcast (k centroids), the pairwise stage is an "
+        "equi-join on cell — all-pairs WITHIN a cluster only, which is "
+        "SemDeDup's own cost model (cluster count k is tuned so "
+        "|cluster| ~ N/k keeps the quadratic term bounded); never a "
+        "global crossJoin. Reference analog: URL/campaign dedup "
+        "(pipeline.py:209) lifted to vector space."
+    ),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine, ivf_assign, ivf_seeds
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, ivf_seeds(emb), n_probe=1).cache()
+    a = assigned.select(
+        F.col("vec_id").alias("kept_cand"), "cell", F.col("e").alias("e_a")
+    )
+    b = assigned.select("vec_id", "cell", F.col("e").alias("e_b"))
+    dup_pairs = (
+        a.join(b, "cell")
+        .where(F.col("kept_cand") < F.col("vec_id"))
+        .select("vec_id", "cell", "kept_cand", cosine("e_a", "e_b").alias("cos"))
+        .where(F.col("cos") >= 0.35)
+    )
+    return dup_pairs.groupBy("vec_id", "cell").agg(
+        F.min("kept_cand").alias("kept_id")
+    )

@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "ann_lsh_topk",  # hyperplane table <= 32 rows
     "ann_ivf_topk",  # 25 seed centroids
     "ivf_assignment",  # 25 seed centroids
+    "semantic_dedup",  # <=10 seed centroids (ivf_assign broadcast)
     "embedding_near_dup_pairs",  # plane table
     "vector_norms",
     "embedding_centroids",
