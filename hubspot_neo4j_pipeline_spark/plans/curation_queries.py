@@ -966,3 +966,83 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.count("*").cast("double") / F.max("n_frames") * 10000) / 10000
         ).alias("sample_rate"),
     )
+
+
+@register(
+    "source_length_drift",
+    oracle="""
+        WITH b AS (
+            SELECT source, n_chars // 64 AS bkt FROM documents
+        ), per_sb AS (
+            SELECT source, bkt, count(*) AS c FROM b GROUP BY source, bkt
+        ), per_s AS (
+            SELECT source, count(*) AS n_docs FROM b GROUP BY source
+        ), per_b AS (
+            SELECT bkt, count(*) AS d FROM b GROUP BY bkt
+        ), tot AS (
+            SELECT count(*) AS m FROM b
+        ), terms AS (
+            SELECT g.source, g.n_docs,
+                   abs(CAST(COALESCE(sb.c, 0) AS DECIMAL(13,0))
+                           * CAST(t.m AS DECIMAL(19,0))
+                       - CAST(g.d AS DECIMAL(13,0))
+                           * CAST(g.n_docs AS DECIMAL(19,0))) AS term,
+                   CAST(2 * g.n_docs AS DECIMAL(19,0))
+                       * CAST(t.m AS DECIMAL(19,0)) AS denom
+            FROM (SELECT s.source, s.n_docs, p.bkt, p.d
+                  FROM per_s s CROSS JOIN per_b p) g
+            CROSS JOIN tot t
+            LEFT JOIN per_sb sb ON g.source = sb.source AND g.bkt = sb.bkt
+        )
+        SELECT source, any_value(n_docs) AS n_docs,
+               CAST(sum(term) AS DECIMAL(38,0)) AS tv_num,
+               CAST(any_value(denom) AS DECIMAL(38,0)) AS tv_denom
+        FROM terms GROUP BY source
+    """,
+    covers=("A1", "A9", "J4", "U3"),
+    doc=(
+        "Per-source length-distribution drift vs the whole corpus, as "
+        "an EXACT total-variation distance: TV(s) = tv_num / tv_denom "
+        "where tv_num = sum_b |c_sb*M - d_b*N_s| and tv_denom = "
+        "2*N_s*M, kept as a rational pair in DECIMAL so the result is "
+        "bit-identical cross-engine AND overflow-safe at corpus sizes "
+        "where a BIGINT product (c*M ~ 1e12*1e13) would wrap — the same "
+        "exactness discipline as mixture_keep. The bucket grid is the "
+        "cross product of two tiny aggregates (sources x 64-char "
+        "length buckets), so missing (source,bucket) cells count as "
+        "c=0 rather than silently dropping mass — the usual "
+        "inner-join drift bug. Scale: three map-side-combinable "
+        "count aggregates + a bounded-frame broadcast cross join; "
+        "the per-document pass is pure map work. The monitoring "
+        "counterpart of source_temperature_weights: run per ingest "
+        "batch and alert when a source's length profile shifts."
+    ),
+)
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=False).select(
+        "source", F.expr("n_chars DIV 64").alias("bkt")
+    )
+    per_sb = docs.groupBy("source", "bkt").agg(F.count("*").alias("c"))
+    per_s = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    per_b = docs.groupBy("bkt").agg(F.count("*").alias("d"))
+    tot = docs.agg(F.count("*").alias("m"))
+    grid = per_s.crossJoin(F.broadcast(per_b)).join(F.broadcast(tot))
+    terms = grid.join(per_sb, ["source", "bkt"], "left").select(
+        "source",
+        "n_docs",
+        F.abs(
+            F.coalesce(F.col("c"), F.lit(0)).cast("decimal(13,0)")
+            * F.col("m").cast("decimal(19,0)")
+            - F.col("d").cast("decimal(13,0)")
+            * F.col("n_docs").cast("decimal(19,0)")
+        ).alias("term"),
+        (
+            (F.lit(2) * F.col("n_docs")).cast("decimal(19,0)")
+            * F.col("m").cast("decimal(19,0)")
+        ).alias("denom"),
+    )
+    return terms.groupBy("source").agg(
+        F.any_value("n_docs").alias("n_docs"),
+        F.sum("term").cast("decimal(38,0)").alias("tv_num"),
+        F.any_value("denom").cast("decimal(38,0)").alias("tv_denom"),
+    )

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_topk",  # 25 seed centroids
     "ivf_assignment",  # 25 seed centroids
     "semantic_dedup",  # <=10 seed centroids (ivf_assign broadcast)
+    "source_length_drift",  # bounded grid: sources x length-buckets + 1-row total
     "embedding_near_dup_pairs",  # plane table
     "vector_norms",
     "embedding_centroids",
