@@ -69,3 +69,27 @@ def test_lsh_bucket_determinism(emb):
     b1 = {(r["vec_id"], r["bucket"]) for r in lsh_buckets(emb).collect()}
     b2 = {(r["vec_id"], r["bucket"]) for r in lsh_buckets(emb).collect()}
     assert b1 == b2
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    """A vector that is an exact copy of a smaller-id cluster-mate must
+    be dropped with kept_id = that mate; well-separated vectors
+    survive (semantic_dedup's smaller-id-wins contract)."""
+    from hubspot_neo4j_pipeline_spark.plans.vector_queries import semantic_dedup
+
+    import tempfile
+
+    base = [1.0] + [0.0] * 63
+    far = [0.0] * 63 + [1.0]
+    rows = [
+        (0, base, 0),          # cluster 0 seed (min id per label)
+        (1, far, 1),           # cluster 1 seed
+        (2, base, 0),          # exact dup of vec 0 → dropped, kept_id=0
+        (3, [0.0, 1.0] + [0.0] * 62, 1),  # orthogonal to both seeds → survives
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = {r["vec_id"]: r for r in semantic_dedup(spark, d).collect()}
+    assert set(out) == {2}
+    assert out[2]["kept_id"] == 0

@@ -105,3 +105,30 @@ def test_hard_negatives_exclude_same_label(spark, sf_dir):
     for qid in {r["query_id"] for r in rows}:
         ranks = sorted(r["rank"] for r in rows if r["query_id"] == qid)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_source_length_drift_zero_for_identical_distribution(spark):
+    """Two sources with identical length histograms must both get the
+    exact tv_num a hand computation gives — and 0 when every source
+    matches the corpus distribution exactly."""
+    import tempfile
+
+    from hubspot_neo4j_pipeline_spark.plans.curation_queries import (
+        source_length_drift,
+    )
+
+    rows = [
+        (i, "t", "en", src, n)
+        for i, (src, n) in enumerate(
+            [("a", 10), ("a", 100), ("b", 10), ("b", 100)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = {r["source"]: r for r in source_length_drift(spark, d).collect()}
+    # both sources mirror the corpus 50/50 split across buckets 0 and 1
+    assert out["a"]["tv_num"] == 0 and out["b"]["tv_num"] == 0
+    assert out["a"]["tv_denom"] == 2 * 2 * 4
