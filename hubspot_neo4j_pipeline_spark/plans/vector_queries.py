@@ -653,3 +653,66 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_pairs.groupBy("vec_id", "cell").agg(
         F.min("kept_cand").alias("kept_id")
     )
+
+
+CLUSTER_SAMPLE_CAP = 20  # max vectors kept per semantic cluster
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), seeds AS (
+            SELECT v.label AS cell, v.e AS se
+            FROM v JOIN (SELECT label, min(vec_id) AS mid
+                         FROM v GROUP BY label) m
+              ON v.vec_id = m.mid
+        ), assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, s.cell,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           list_reduce(list_transform(generate_series(1, 64),
+                               i -> (v.e[i] - s.se[i]) * (v.e[i] - s.se[i])),
+                               (a, b) -> a + b),
+                           s.cell) AS rn
+                FROM v CROSS JOIN seeds s) WHERE rn = 1
+        )
+        SELECT cell, vec_id, rnk FROM (
+            SELECT cell, vec_id,
+                   row_number() OVER (PARTITION BY cell ORDER BY
+                       md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+            FROM assigned)
+        WHERE rnk <= {CLUSTER_SAMPLE_CAP}
+    """,
+    covers=("W1", "W2", "D1"),
+    doc=(
+        "Cluster-balanced diversity sampling: cap each semantic "
+        "cluster (same deterministic ivf_seeds/ivf_assign partition as "
+        "semantic_dedup) at CLUSTER_SAMPLE_CAP vectors, chosen by "
+        "md5-of-id pseudo-random order — over-represented regions of "
+        "embedding space are down-weighted instead of letting corpus "
+        "frequency dictate training mix (the semantic counterpart of "
+        "the per-SOURCE stratified_doc_sample). RNG-free: the md5 "
+        "order is reproducible in both engines, ties impossible (id "
+        "appended). Scale: assignment is a broadcast argmin over k "
+        "centroids; the cap is a rank-limit window WHERE Spark "
+        "rewrites into WindowGroupLimit, pruning to <= cap rows per "
+        "cell map-side before the single (cell) shuffle."
+    ),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assign, ivf_seeds
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, ivf_seeds(emb), n_probe=1).select("vec_id", "cell")
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= CLUSTER_SAMPLE_CAP)
+        .select("cell", "vec_id", "rnk")
+    )

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "ivf_assignment",  # 25 seed centroids
     "semantic_dedup",  # <=10 seed centroids (ivf_assign broadcast)
     "source_length_drift",  # bounded grid: sources x length-buckets + 1-row total
+    "cluster_balanced_sample",  # <=10 seed centroids (ivf_assign broadcast)
     "embedding_near_dup_pairs",  # plane table
     "vector_norms",
     "embedding_centroids",
