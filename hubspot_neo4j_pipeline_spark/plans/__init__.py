@@ -17,16 +17,19 @@ from . import vector_queries  # noqa: F401,E402
 # temporal/SCD2 layer (its core differentiator, incl. the golden 8-scenario
 # merge), and one flagship per LLM-pipeline family (shard packing, trend,
 # exact dedup, MinHash-LSH, ANN, embedding near-dup, as-of join,
-# sessionization, plus — rotated in late round 4 — the KMV sketch and the
-# end-to-end curation funnel). Everything else (remaining
+# sessionization, plus — rotated in late round 4 — the KMV sketch, the
+# end-to-end curation funnel, and SemDeDup-style semantic_dedup). Everything
+# else (remaining
 # text/vector/sequence/curation and the beyond-reference analytics extras)
-# follows. Four §2-redundant queries are deliberately demoted past the
+# follows. Five §2-redundant queries are deliberately demoted past the
 # prefix to make room: contacts_without_company (J12 stays green in-window
 # via engaged_contacts / curation_funnel), point_in_time_state (T9 via
 # current_state / recent_changes / scd2_version_chain),
-# companies_by_industry (A1 via contacts_by_lifecycle_stage), and
+# companies_by_industry (A1 via contacts_by_lifecycle_stage),
 # status_set_difference (U3 via relationship_diff's two-way anti, U1/U2
-# via combined_entity_view / active_archived_union). The tail beyond the
+# via combined_entity_view / active_archived_union), and pricing_summary
+# (A3 via deals_by_company / quarterly_deal_trend, A9 via
+# status_priority_counts / windowed_event_counts). The tail beyond the
 # prefix is NOT unchecked: tools/verify_queries.py runs the FULL registry
 # against the DuckDB oracles with an exact cell-by-cell compare and is a
 # required local gate (CORRECTNESS_LOCAL artifacts), so prefix ordering
@@ -37,6 +40,9 @@ _DEMOTED = {
     "point_in_time_state",
     "companies_by_industry",
     "status_set_difference",
+    # A3 stays in-window via deals_by_company/quarterly_deal_trend,
+    # A9 via status_priority_counts — demoted to admit semantic_dedup
+    "pricing_summary",
 }
 
 _PRIORITY = [
@@ -63,6 +69,7 @@ _PRIORITY = [
     "event_sessionization",
     "corpus_kmv_sketch",
     "curation_funnel",
+    "semantic_dedup",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -54,9 +54,9 @@ def test_priority_prefix_spans_all_families():
     """The correctness harness checks a bounded prefix of the registry
     in dict order; the first 50 names must keep spanning the reference
     query library, the full temporal/SCD2 family (incl. both golden
-    queries), and ALL TEN LLM-pipeline flagships (the sequence pair
-    rotated in for round 4, plus the KMV sketch and curation funnel
-    rotated in late round 4)."""
+    queries), and ALL ELEVEN LLM-pipeline flagships (the sequence pair
+    rotated in for round 4, plus the KMV sketch, curation funnel, and
+    SemDeDup-style semantic_dedup rotated in late round 4)."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
 
     prefix = list(QUERIES)[:50]
@@ -81,13 +81,15 @@ def test_priority_prefix_spans_all_families():
         "event_sessionization",
         "corpus_kmv_sketch",
         "curation_funnel",
+        "semantic_dedup",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Four §2-redundant queries were rotated past the driver's
-    50-query window to admit the sequence/sketch/funnel flagships; they
+    """Five §2-redundant queries were rotated past the driver's
+    50-query window to admit the sequence/sketch/funnel/semantic-dedup
+    flagships; they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
@@ -99,6 +101,7 @@ def test_demoted_queries_still_registered_with_oracles():
         "point_in_time_state",
         "companies_by_industry",
         "status_set_difference",
+        "pricing_summary",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"
