@@ -329,3 +329,52 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_assign_map(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only nearest-cell assignment: the k centroids are folded
+    into a LITERAL array<struct<cell, se>> column, and a per-row
+    ``aggregate`` fold finds the argmin — no join, no window, no
+    shuffle. Same semantics as ``ivf_assign(n_probe=1)`` including the
+    (d2, cell) tie-break (candidates are sorted by cell and only a
+    STRICTLY smaller d2 replaces the running best, so the lowest cell
+    wins ties).
+
+    This is the streaming-safe form (``ivf_assign``'s row_number
+    window is not allowed on unbounded streams) and the 100 TB hot
+    path: each task carries k·dim doubles of plan-constant centroids
+    and touches each vector exactly once — assignment throughput is
+    pure map parallelism, with no exchange for AQE to mis-size.
+    ``seeds`` is collected at plan-build time (bounded: k centroids,
+    the same driver-state class as kmeans_seeds' per-round state).
+    """
+    rows = sorted(seeds.collect(), key=lambda r: r["cell"])
+    if not rows:
+        raise ValueError("ivf_assign_map: seeds frame is empty")
+    cands = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["se"]]).alias("se"),
+            )
+            for r in rows
+        ]
+    )
+    v = df.select(
+        F.col(id_col), as_double(vec_col).alias("e"), cands.alias("_cands")
+    )
+    best = F.expr(
+        "aggregate(_cands, "
+        "cast(struct(cast('Infinity' as double), -1) as struct<d2: double, cell: int>), "
+        "(acc, c) -> CASE WHEN aggregate(zip_with(e, c.se, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (a2, v2) -> a2 + v2) < acc.d2 "
+        "THEN struct(aggregate(zip_with(e, c.se, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (a2, v2) -> a2 + v2) as d2, c.cell as cell) "
+        "ELSE acc END)"
+    )
+    return v.select(F.col(id_col), best.getField("cell").alias("cell"), "e")

@@ -93,3 +93,30 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
         out = {r["vec_id"]: r for r in semantic_dedup(spark, d).collect()}
     assert set(out) == {2}
     assert out[2]["kept_id"] == 0
+
+
+def test_ivf_assign_map_equals_window_form(spark):
+    """The map-only literal-centroid argmin must reproduce
+    ivf_assign(n_probe=1) exactly, including the (d2, cell) tie-break."""
+    from hubspot_neo4j_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_map,
+        ivf_seeds,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = ivf_seeds(emb)
+    win = {(r["vec_id"], r["cell"]) for r in ivf_assign(emb, seeds).collect()}
+    mp = {(r["vec_id"], r["cell"]) for r in ivf_assign_map(emb, seeds).collect()}
+    assert win == mp
+
+    # explicit tie: equidistant from both seeds → lowest cell must win
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 1),
+        (2, [0.5, 0.5], 7),  # d2 to both seeds identical
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    tie_seeds = ivf_seeds(df.where("vec_id < 2"))
+    out = {r["vec_id"]: r["cell"] for r in ivf_assign_map(df, tie_seeds).collect()}
+    assert out[2] == 0

@@ -326,3 +326,37 @@ def test_cms_direct_batch_calls_always_merge(spark, tmp_path_factory):
         for r in spark.read.parquet(store).collect()
     }
     assert tripled == {k: 3 * v for k, v in single.items()}
+
+
+def test_streaming_semantic_assignment_equals_batch(spark, tmp_path_factory):
+    """ivf_assign_map is shuffle-free pure map work, so it runs
+    unchanged on an unbounded stream — streamed assignments must equal
+    the batch window-form assignment row-for-row."""
+    from hubspot_neo4j_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_map,
+        ivf_seeds,
+    )
+
+    src = str(tmp_path_factory.mktemp("vec_src"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+    seeds = ivf_seeds(emb)
+
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        ivf_assign_map(stream, seeds)
+        .select("vec_id", "cell")
+        .writeStream.format("memory")
+        .queryName("semantic_assign_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.sql("SELECT * FROM semantic_assign_test").collect()
+    }
+    want = {(r["vec_id"], r["cell"]) for r in ivf_assign(emb, seeds).collect()}
+    assert got == want
