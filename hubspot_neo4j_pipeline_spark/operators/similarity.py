@@ -339,11 +339,14 @@ def ivf_assign_map(
 ) -> DataFrame:
     """Map-only nearest-cell assignment: the k centroids are folded
     into a LITERAL array<struct<cell, se>> column, and a per-row
-    ``aggregate`` fold finds the argmin — no join, no window, no
-    shuffle. Same semantics as ``ivf_assign(n_probe=1)`` including the
-    (d2, cell) tie-break (candidates are sorted by cell and only a
-    STRICTLY smaller d2 replaces the running best, so the lowest cell
-    wins ties).
+    ``array_min`` over struct(d2, cell) finds the argmin — no join, no
+    window, no shuffle, one distance fold per centroid. Same semantics
+    as ``ivf_assign(n_probe=1)`` including the (d2, cell) tie-break
+    (struct ordering compares d2 first, then cell) AND the degenerate
+    inputs: a NaN vector component makes every d2 NaN (ties → lowest
+    cell), a null embedding makes every d2 null (sorts first → lowest
+    cell) — both verified equal to the window form in
+    tests/test_similarity.py.
 
     This is the streaming-safe form (``ivf_assign``'s row_number
     window is not allowed on unbounded streams) and the 100 TB hot
@@ -369,12 +372,9 @@ def ivf_assign_map(
         F.col(id_col), as_double(vec_col).alias("e"), cands.alias("_cands")
     )
     best = F.expr(
-        "aggregate(_cands, "
-        "cast(struct(cast('Infinity' as double), -1) as struct<d2: double, cell: int>), "
-        "(acc, c) -> CASE WHEN aggregate(zip_with(e, c.se, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 as double), (a2, v2) -> a2 + v2) < acc.d2 "
-        "THEN struct(aggregate(zip_with(e, c.se, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 as double), (a2, v2) -> a2 + v2) as d2, c.cell as cell) "
-        "ELSE acc END)"
+        "array_min(transform(_cands, c -> struct("
+        "aggregate(zip_with(e, c.se, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (a2, v2) -> a2 + v2) as d2, "
+        "c.cell as cell)))"
     )
     return v.select(F.col(id_col), best.getField("cell").alias("cell"), "e")

@@ -983,9 +983,9 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT count(*) AS m FROM b
         ), terms AS (
             SELECT g.source, g.n_docs,
-                   abs(CAST(COALESCE(sb.c, 0) AS DECIMAL(13,0))
+                   abs(CAST(COALESCE(sb.c, 0) AS DECIMAL(16,0))
                            * CAST(t.m AS DECIMAL(19,0))
-                       - CAST(g.d AS DECIMAL(13,0))
+                       - CAST(g.d AS DECIMAL(16,0))
                            * CAST(g.n_docs AS DECIMAL(19,0))) AS term,
                    CAST(2 * g.n_docs AS DECIMAL(19,0))
                        * CAST(t.m AS DECIMAL(19,0)) AS denom
@@ -1007,7 +1007,11 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2*N_s*M, kept as a rational pair in DECIMAL so the result is "
         "bit-identical cross-engine AND overflow-safe at corpus sizes "
         "where a BIGINT product (c*M ~ 1e12*1e13) would wrap — the same "
-        "exactness discipline as mixture_keep. The bucket grid is the "
+        "exactness discipline as mixture_keep. Width budget: counts "
+        "carry DECIMAL(16,0) (exact to 1e16 docs per bucket — even a "
+        "fully-skewed 1e13-doc corpus fits), totals DECIMAL(19,0), so "
+        "products stay within DECIMAL(38,0) in both engines without "
+        "silent null-on-overflow. The bucket grid is the "
         "cross product of two tiny aggregates (sources x 64-char "
         "length buckets), so missing (source,bucket) cells count as "
         "c=0 rather than silently dropping mass — the usual "
@@ -1031,9 +1035,9 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         F.abs(
-            F.coalesce(F.col("c"), F.lit(0)).cast("decimal(13,0)")
+            F.coalesce(F.col("c"), F.lit(0)).cast("decimal(16,0)")
             * F.col("m").cast("decimal(19,0)")
-            - F.col("d").cast("decimal(13,0)")
+            - F.col("d").cast("decimal(16,0)")
             * F.col("n_docs").cast("decimal(19,0)")
         ).alias("term"),
         (

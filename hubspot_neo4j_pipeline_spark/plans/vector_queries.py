@@ -612,7 +612,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         (x, y) -> x + y)))
                   >= 0.35
         )
-        SELECT vec_id, cell, min(kept_cand) AS kept_id
+        SELECT vec_id, cell, min(kept_cand) AS dup_of
         FROM dup_pairs GROUP BY vec_id, cell
     """,
     covers=("D1", "J1", "A4"),
@@ -624,10 +624,23 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "whose within-cluster cosine to a SMALLER-id vector clears the "
         "threshold (0.35 on this synthetic corpus; the paper uses "
         "~0.95+ on real embeddings). Output: dropped vec_id, its "
-        "cluster, and the smallest surviving duplicate it matched "
-        "(kept_id). Deterministic: assignment ties break on cell id, "
+        "cluster, and its smallest smaller-id duplicate partner (dup_of). "
+        "NOTE the greedy contract: dup_of is the smallest PARTNER, not "
+        "necessarily a survivor — in a chain 0~1~2 (0~2 below "
+        "threshold) both 1 and 2 are dropped and 2's dup_of is the "
+        "dropped 1. Consumers that need transitive remapping to a "
+        "surviving representative should feed these pairs to "
+        "doc_dedup_keeplist's connected-components pass; the drop SET "
+        "itself is exactly {v : some smaller id is a near-dup}. "
+        "Deterministic: assignment ties break on cell id, "
         "the keep rule is pure integer min — no RNG. Scale: the seed "
-        "join is a broadcast (k centroids), the pairwise stage is an "
+        "join is a broadcast (k centroids); the window-form ivf_assign "
+        "used here (for the zero-driver-collect oracle path) shuffles "
+        "N*k slim (id, cell, d2) rows for its per-vector argmin — at "
+        "production scale swap in operators/similarity.ivf_assign_map "
+        "(equivalence-tested, incl. ties and NaN/null rows), which "
+        "folds the centroids into a plan literal and assigns with ZERO "
+        "shuffle. The pairwise stage is an "
         "equi-join on cell — all-pairs WITHIN a cluster only, which is "
         "SemDeDup's own cost model (cluster count k is tuned so "
         "|cluster| ~ N/k keeps the quadratic term bounded); never a "
@@ -651,7 +664,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= 0.35)
     )
     return dup_pairs.groupBy("vec_id", "cell").agg(
-        F.min("kept_cand").alias("kept_id")
+        F.min("kept_cand").alias("dup_of")
     )
 
 
@@ -697,8 +710,11 @@ CLUSTER_SAMPLE_CAP = 20  # max vectors kept per semantic cluster
         "frequency dictate training mix (the semantic counterpart of "
         "the per-SOURCE stratified_doc_sample). RNG-free: the md5 "
         "order is reproducible in both engines, ties impossible (id "
-        "appended). Scale: assignment is a broadcast argmin over k "
-        "centroids; the cap is a rank-limit window WHERE Spark "
+        "appended). Scale: assignment here is the window-form "
+        "ivf_assign (broadcast seeds + one N*k slim-row shuffle; the "
+        "zero-shuffle literal-centroid ivf_assign_map is the "
+        "equivalence-tested production swap); the cap is a rank-limit "
+        "window WHERE Spark "
         "rewrites into WindowGroupLimit, pruning to <= cap rows per "
         "cell map-side before the single (cell) shuffle."
     ),

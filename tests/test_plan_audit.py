@@ -113,3 +113,13 @@ def test_scans_prune_columns(plans):
     assert read, "no ReadSchema lines found"
     for ln in read:
         assert "o_comment" not in ln, "unpruned orders scan reads o_comment"
+
+
+def test_rank_limit_samples_get_window_group_limit(plans):
+    """The cap-per-group samplers advertise WindowGroupLimit pushdown
+    (rank filter applied map-side before the window shuffle) — pin it
+    so a query edit or Spark upgrade can't silently lose the rewrite."""
+    for name in ("cluster_balanced_sample", "stratified_doc_sample"):
+        assert "WindowGroupLimit" in plans[name], (
+            f"{name}: rank-limit window lost its WindowGroupLimit rewrite"
+        )

@@ -73,8 +73,11 @@ def test_lsh_bucket_determinism(emb):
 
 def test_semantic_dedup_drops_planted_duplicate(spark):
     """A vector that is an exact copy of a smaller-id cluster-mate must
-    be dropped with kept_id = that mate; well-separated vectors
-    survive (semantic_dedup's smaller-id-wins contract)."""
+    be dropped with dup_of = that mate; well-separated vectors
+    survive (semantic_dedup's smaller-id-wins contract). A chain
+    0~1~2 with 0~2 below threshold drops BOTH 1 and 2, and 2's
+    dup_of is the (itself dropped) 1 — the documented greedy
+    contract, transitive remapping being doc_dedup_keeplist's job."""
     from hubspot_neo4j_pipeline_spark.plans.vector_queries import semantic_dedup
 
     import tempfile
@@ -92,7 +95,21 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
         df.write.parquet(f"{d}/embeddings.parquet")
         out = {r["vec_id"]: r for r in semantic_dedup(spark, d).collect()}
     assert set(out) == {2}
-    assert out[2]["kept_id"] == 0
+    assert out[2]["dup_of"] == 0
+
+    # chain case: 10 ~ 11 ~ 12 but 10 !~ 12 (cos(10,12) < 0.35)
+    import math
+    a1, a2 = 0.0, math.acos(0.34) / 2  # pair-cos = cos(a2) ≈ 0.7 ≥ τ; end-cos = 0.34 < τ
+    chain = [
+        (10, [math.cos(0.0), math.sin(0.0)] + [0.0] * 62, 5),
+        (11, [math.cos(a2), math.sin(a2)] + [0.0] * 62, 5),
+        (12, [math.cos(2 * a2), math.sin(2 * a2)] + [0.0] * 62, 5),
+    ]
+    cdf = spark.createDataFrame(chain, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        cdf.write.parquet(f"{d}/embeddings.parquet")
+        out = {r["vec_id"]: r["dup_of"] for r in semantic_dedup(spark, d).collect()}
+    assert out == {11: 10, 12: 11}  # 12's dup_of is the dropped 11 (greedy)
 
 
 def test_ivf_assign_map_equals_window_form(spark):
@@ -120,3 +137,20 @@ def test_ivf_assign_map_equals_window_form(spark):
     tie_seeds = ivf_seeds(df.where("vec_id < 2"))
     out = {r["vec_id"]: r["cell"] for r in ivf_assign_map(df, tie_seeds).collect()}
     assert out[2] == 0
+
+    # degenerate rows must also match the window form: NaN component
+    # (all d2 NaN -> tie -> lowest cell) and null embedding (all d2
+    # null -> sorts first -> lowest cell)
+    deg = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 1),
+            (2, [float("nan"), 0.5], 3),
+            (3, None, 4),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    dseeds = ivf_seeds(deg.where("vec_id < 2"))
+    dwin = {(r["vec_id"], r["cell"]) for r in ivf_assign(deg, dseeds).collect()}
+    dmap = {(r["vec_id"], r["cell"]) for r in ivf_assign_map(deg, dseeds).collect()}
+    assert dwin == dmap
