@@ -87,7 +87,7 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
     rows = [
         (0, base, 0),          # cluster 0 seed (min id per label)
         (1, far, 1),           # cluster 1 seed
-        (2, base, 0),          # exact dup of vec 0 → dropped, kept_id=0
+        (2, base, 0),          # exact dup of vec 0 → dropped, dup_of=0
         (3, [0.0, 1.0] + [0.0] * 62, 1),  # orthogonal to both seeds → survives
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
