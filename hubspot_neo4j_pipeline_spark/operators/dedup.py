@@ -70,6 +70,35 @@ def shingle_set(text_col: str | Column, k: int = DEFAULT_SHINGLE) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def hashed_shingle_sql(
+    text_col: str,
+    k: int = DEFAULT_SHINGLE,
+    hash_sql: str = "xxhash64({gram})",
+) -> str:
+    """Guarded distinct k-gram hash array as ONE SQL string.
+
+    Docs with fewer than k words yield an EMPTY array, so explode()
+    emits no rows — exactly what the DuckDB oracles' generate_series(1,
+    n-k+1) does for n < k. Without the guard, sequence(1, n-k+1) with a
+    negative span steps -1 down through index 0 and slice(words, 0, k)
+    raises INVALID_PARAMETER_VALUE.START at runtime (one short doc in a
+    streaming micro-batch would kill the whole query).
+
+    `text_col` is interpolated as a quoted identifier — never via
+    post-hoc str.replace on a finished expression, which silently
+    corrupts expressions whose column name collides with another token.
+    `hash_sql` is a format template receiving the shingle string
+    expression as {gram}; the result type must be BIGINT.
+    """
+    w = f"split(`{text_col}`, ' ')"
+    gram = f"array_join(slice({w}, cast(i as int), {k}), ' ')"
+    h = hash_sql.format(gram=gram)
+    return (
+        f"if(size({w}) < {k}, cast(array() as array<bigint>), "
+        f"array_distinct(transform(sequence(1, size({w}) - {k - 1}), i -> {h})))"
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: keep the min-id row per identical content hash."""
     hashed = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))

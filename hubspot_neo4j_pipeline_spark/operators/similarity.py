@@ -122,12 +122,19 @@ def lsh_buckets(
     # groupBy shuffle dragging 32 copies of each embedding array (the
     # previous shape). The only join is the 1-row plane broadcast.
     ppt = planes_per_table
+    # Degenerate-corpus guard: with fewer than n_tables*ppt vectors the
+    # tail of `ps` is missing; ps[j] would be null and the sign bit
+    # would silently fold to 0, making every under-populated table emit
+    # bucket 0 for EVERY vector — an all-pairs candidate blowup. Only
+    # fully-populated tables participate (size(ps) div ppt of them);
+    # a corpus smaller than one table's planes yields no buckets at all.
     bucket_expr = F.expr(
-        f"transform(sequence(0, {n_tables - 1}), t -> "
+        f"if(size(ps) < {ppt}, cast(array() as array<bigint>), "
+        f"transform(sequence(0, size(ps) div {ppt} - 1), t -> "
         f"aggregate(sequence(0, {ppt - 1}), 0L, (acc, b) -> acc + "
         f"if(aggregate(zip_with(e, ps[t * {ppt} + b].pe, (x, y) -> x * y), "
         f"cast(0 as double), (a2, v2) -> a2 + v2) >= 0, "
-        f"shiftleft(1L, b), 0L)))"
+        f"shiftleft(1L, b), 0L))))"
     )
     return (
         v.join(F.broadcast(planes_row))

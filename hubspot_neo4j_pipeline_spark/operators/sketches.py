@@ -82,21 +82,35 @@ def cms_merge(*grids: DataFrame) -> DataFrame:
 KMV_K = 64
 KMV_HASH_DOMAIN = float(1 << 60)
 
-SHINGLE_HASH_SPARK = (
-    "explode(array_distinct(transform("
-    "sequence(1, size(split(text, ' ')) - 4), "
-    "i -> cast(conv(substring(md5("
-    "array_join(slice(split(text, ' '), cast(i as int), 5), ' ')"
-    "), 1, 15), 16, 10) as bigint))))"
-)
+# 60-bit md5-derived shingle hash (DuckDB twin:
+# ('0x' || substr(md5(s), 1, 15))::BIGINT) — passed as the {gram}
+# template to the shared guarded shingle builder.
+MD5_60BIT_HASH_SQL = "cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint)"
+
+
+def shingle_hash_sql(text_col: str = "text") -> str:
+    """Exploded guarded 5-gram md5-hash expression for `text_col`.
+
+    Short docs (< 5 words) contribute zero rows — the guard that keeps
+    one short doc in a streaming micro-batch from killing the query
+    (sequence(1, negative) would step through index 0 and crash slice;
+    see operators/dedup.py:hashed_shingle_sql). The column name is a
+    formatting parameter, not a str.replace target.
+    """
+    from .dedup import hashed_shingle_sql
+
+    return f"explode({hashed_shingle_sql(text_col, 5, MD5_60BIT_HASH_SQL)})"
+
+
+# Legacy constant form (the default text column) — kept for callers
+# that embed the expression in a larger SQL string.
+SHINGLE_HASH_SPARK = shingle_hash_sql("text")
 
 
 def kmv_kmin(docs: DataFrame, k: int = KMV_K, text_col: str = "text") -> DataFrame:
     """The k smallest distinct shingle hashes of a document set —
     the KMV sketch state, as a (h) DataFrame of <= k rows."""
-    hashes = docs.select(
-        F.expr(SHINGLE_HASH_SPARK.replace("text", text_col)).alias("h")
-    ).distinct()
+    hashes = docs.select(F.expr(shingle_hash_sql(text_col)).alias("h")).distinct()
     return hashes.orderBy("h").limit(k)
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import hashed_shingle_sql
 from ..sources.tpch import load_table
 from .registry import register
 
@@ -212,32 +213,30 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "8-gram with the held-out eval split (doc_id % 29 = 0 here; a real "
         "pipeline joins against the benchmark corpus). Scale: equi-join on "
         "the xxhash64 gram hash (uniform shuffle key), eval grams "
-        "distinct-ed first and broadcastable — never an all-pairs compare."
+        "distinct-ed first; AQE size-gates broadcast vs shuffle — never "
+        "an all-pairs compare, never a forced unbounded broadcast."
     ),
 )
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
     # xxhash64 gram key: equality-only use (the hash never reaches the
     # output), so it matches the oracle's md5-equality at a fraction of
-    # the hashing cost and shuffle width.
+    # the hashing cost and shuffle width. Short docs (< 8 words) emit
+    # zero grams — guard in hashed_shingle_sql.
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - 7),
-                    lambda i: F.xxhash64(F.array_join(F.slice(words, i, 8), " ")),
-                )
-            )
-        ).alias("gram"),
+        F.expr(f"explode({hashed_shingle_sql('text', 8)})").alias("gram"),
     )
     eval_grams = (
         grams.where(F.col("doc_id") % 29 == 0).select("gram").distinct()
     )
+    # No broadcast hint: the eval-gram set grows with the eval corpus
+    # (unbounded at 100 TB), so a forced broadcast is an OOM waiting to
+    # happen. AQE's size-gated strategy picks broadcast when it actually
+    # fits and a shuffle hash join when it doesn't.
     return (
         grams.where(F.col("doc_id") % 29 != 0)
-        .join(F.broadcast(eval_grams), "gram")
+        .join(eval_grams, "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared_grams"))
     )
@@ -814,19 +813,14 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - 7),
-                    lambda i: F.xxhash64(F.array_join(F.slice(words, i, 8), " ")),
-                )
-            )
-        ).alias("gram"),
+        F.expr(f"explode({hashed_shingle_sql('text', 8)})").alias("gram"),
     )
     eval_grams = grams.where(F.col("doc_id") % 29 == 0).select("gram").distinct()
+    # Unhinted join (see doc_decontaminate): eval grams are unbounded
+    # at corpus scale, so AQE decides broadcast-vs-shuffle by size.
     contaminated = (
         grams.where(F.col("doc_id") % 29 != 0)
-        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .join(eval_grams, "gram", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("_dirty", F.lit(True))

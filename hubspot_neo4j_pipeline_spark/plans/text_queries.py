@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import hashed_shingle_sql
 from ..sources.tpch import load_table
 from .registry import register
 
@@ -248,14 +249,7 @@ def doc_shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle rows carry an 8-byte long instead of a 32-char hex string.
     shingles = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - 4),
-                    lambda i: F.xxhash64(F.array_join(F.slice(words, i, 5), " ")),
-                )
-            )
-        ).alias("shingle"),
+        F.expr(f"explode({hashed_shingle_sql('text')})").alias("shingle"),
     )
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -442,17 +436,9 @@ def _dup_pairs(docs: DataFrame) -> DataFrame:
     never output), so it matches the oracle's md5-equality while being
     far cheaper to compute and 4x narrower on the shuffle wire.
     """
-    words = F.split("text", " ")
     shingles = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - 4),
-                    lambda i: F.xxhash64(F.array_join(F.slice(words, i, 5), " ")),
-                )
-            )
-        ).alias("shingle"),
+        F.expr(f"explode({hashed_shingle_sql('text')})").alias("shingle"),
     )
     a, b = shingles.alias("a"), shingles.alias("b")
     return (
@@ -558,12 +544,7 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
-        F.expr(
-            "explode(array_distinct(transform("
-            "sequence(1, size(split(text, ' ')) - 4), "
-            "i -> xxhash64(array_join(slice(split(text, ' '), cast(i as int), 5), ' '))"
-            ")))"
-        ).alias("shingle"),
+        F.expr(f"explode({hashed_shingle_sql('text')})").alias("shingle"),
     )
     first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
     novel = F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
@@ -870,12 +851,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dist = docs.select(
         "source",
-        F.expr(
-            "explode(array_distinct(transform("
-            "sequence(1, size(split(text, ' ')) - 4), "
-            "i -> xxhash64(array_join(slice(split(text, ' '), cast(i as int), 5), ' '))"
-            ")))"
-        ).alias("h"),
+        F.expr(f"explode({hashed_shingle_sql('text')})").alias("h"),
     ).distinct()
     sizes = dist.groupBy("source").agg(F.count("*").alias("n"))
     a, b = dist.alias("a"), dist.alias("b")
