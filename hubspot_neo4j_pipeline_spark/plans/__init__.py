@@ -5,6 +5,7 @@ from . import analytics_queries  # noqa: F401,E402
 from . import core_queries  # noqa: F401,E402
 from . import curation_queries  # noqa: F401,E402
 from . import sequence_queries  # noqa: F401,E402
+from . import sink_queries  # noqa: F401,E402
 from . import sketch_queries  # noqa: F401,E402
 from . import temporal_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
@@ -18,11 +19,13 @@ from . import vector_queries  # noqa: F401,E402
 # merge), and one flagship per LLM-pipeline family (shard packing, trend,
 # exact dedup, MinHash-LSH, ANN, embedding near-dup, as-of join,
 # sessionization, plus — rotated in late round 4 — the KMV sketch, the
-# end-to-end curation funnel, and SemDeDup-style semantic_dedup). Everything
+# end-to-end curation funnel, and SemDeDup-style semantic_dedup; round 5
+# adds the sink round-trips and the real media decode). Everything
 # else (remaining
 # text/vector/sequence/curation and the beyond-reference analytics extras)
-# follows. Five §2-redundant queries are deliberately demoted past the
-# prefix to make room: contacts_without_company (J12 stays green in-window
+# follows. Eight §2-redundant queries are deliberately demoted past the
+# prefix to make room (see _DEMOTED comments for the per-id in-window
+# representatives): contacts_without_company (J12 stays green in-window
 # via engaged_contacts / curation_funnel), point_in_time_state (T9 via
 # current_state / recent_changes / scd2_version_chain),
 # companies_by_industry (A1 via contacts_by_lifecycle_stage),
@@ -43,6 +46,17 @@ _DEMOTED = {
     # A3 stays in-window via deals_by_company/quarterly_deal_trend,
     # A9 via status_priority_counts — demoted to admit semantic_dedup
     "pricing_summary",
+    # Round 5: three more §2-redundant rows demoted to admit the sink
+    # round-trips (S11/S12/S15/D3 gain driver rows) and the REAL media
+    # decode. Each op id stays in-window via another prefix member:
+    # U1 via corpus_kmv_sketch; W1 via scd2_version_chain/current_state/
+    # doc_shard_packing/user_value_trend/asof/sessionization; A3 via
+    # doc_shard_packing/user_value_trend (+ shard_write_roundtrip);
+    # A4 via semantic_dedup/recent_activity; F10 via recent_activity/
+    # windowed_event_counts/recent_changes.
+    "combined_entity_view",
+    "latest_event_per_user",
+    "quarterly_deal_trend",
 }
 
 _PRIORITY = [
@@ -70,6 +84,10 @@ _PRIORITY = [
     "corpus_kmv_sketch",
     "curation_funnel",
     "semantic_dedup",
+    # round 5: sink family round-trips + the real media decode
+    "shard_write_roundtrip",
+    "upsert_idempotency_roundtrip",
+    "multimodal_decode",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1,0 +1,116 @@
+"""Sink round-trip queries: the write path exercised as REGISTERED,
+oracle-checked queries, not just unit tests.
+
+The sink family (S11/S12/S15 — reference reporting/neo4j_reporter.py
+213-345 and the loader MERGE upserts, loaders/neo4j_loader.py:80-162)
+is inherently side-effecting, so its correctness story was previously
+pytest-only. These queries close that gap: each performs the real
+distributed write to a scratch location, reads the result back through
+the same scan path a consumer would use, and returns an aggregate the
+DuckDB oracle predicts from the SOURCE tables alone — so a write that
+dropped, duplicated, or mis-partitioned rows cannot hash-match.
+
+Scratch location: /tmp/spark_graft_sinks/<query>/<sf tag>. Writes are
+mode=overwrite, so the queries are idempotent and safe to re-run at
+any SF; distinct SFs never collide. At 100 TB the same shapes hold:
+the shard write is one pass proportional to data written (partition
+count bounded by sources x shards), the upsert is one dedup shuffle on
+the key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sinks import upsert_nodes, write_training_shards
+from ..sources.tpch import load_table
+from .registry import register
+
+_SCRATCH = "/tmp/spark_graft_sinks"
+
+
+def _scratch(query: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"{_SCRATCH}/{query}/{tag}"
+
+
+@register(
+    "shard_write_roundtrip",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE doc_id % 8 = 3
+        GROUP BY source
+    """,
+    covers=("S11", "S15", "A1", "A3"),
+    doc=(
+        "Training-shard write + partition-pruned read-back: documents "
+        "are written as parquet partitioned by (source, shard_id = "
+        "doc_id % 8) via write_training_shards, then ONE shard is read "
+        "back with a partition filter and aggregated per source. The "
+        "oracle predicts the aggregate from the source table, so the "
+        "round-trip proves the writer placed every row in the correct "
+        "partition directory and the reader pruned to exactly one "
+        "shard (partition-filter plan pinned in "
+        "tests/test_sink_queries.py). Scale: the write is one pass "
+        "proportional to data volume with bounded partition count; the "
+        "read scans 1/8 of the files thanks to pruning — the layout "
+        "contract a 100 TB trainer relies on."
+    ),
+)
+def shard_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=False)
+    path = _scratch("shard_write_roundtrip", sf_dir)
+    write_training_shards(
+        docs.withColumn("shard_id", F.col("doc_id") % 8),
+        path,
+        partition_cols=("source", "shard_id"),
+    )
+    back = spark.read.parquet(path).where(F.col("shard_id") == 3)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "upsert_idempotency_roundtrip",
+    oracle="""
+        SELECT c_mktsegment,
+               count(*) AS n_nodes,
+               count(DISTINCT c_custkey) AS n_keys
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    covers=("S12", "D3", "A1", "A2"),
+    doc=(
+        "Node-upsert MERGE idempotency as a round-trip: a customer node "
+        "feed CONTAINING DUPLICATE KEYS (the table unioned with itself "
+        "— the re-extract case the reference MERGE absorbs, "
+        "loaders/neo4j_loader.py:80-123) is upserted TWICE through "
+        "upsert_nodes, then the stored table is read back and counted "
+        "per segment. n_nodes == n_keys in every group proves "
+        "MERGE-on-key semantics: duplicates collapsed, second upsert "
+        "changed nothing. The oracle predicts the counts from the raw "
+        "table. Scale: one dedup shuffle on the key per upsert — the "
+        "Delta/Hudi MERGE INTO shape on a transactional lake."
+    ),
+)
+def upsert_idempotency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    feed = cust.unionByName(cust)  # duplicate-key re-extract
+    path = _scratch("upsert_idempotency_roundtrip", sf_dir)
+    upsert_nodes(feed, path, key="c_custkey")
+    upsert_nodes(feed, path, key="c_custkey")  # idempotent re-upsert
+    back = spark.read.parquet(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+    )

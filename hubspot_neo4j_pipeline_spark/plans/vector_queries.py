@@ -442,6 +442,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               'image/x-portable-pixmap' AS mime,
+               CAST(9 + strlen(CAST(doc_id % 5 + 2 AS VARCHAR))
+                      + strlen(CAST(doc_id % 3 + 2 AS VARCHAR))
+                      + 3 * (doc_id % 5 + 2) * (doc_id % 3 + 2) AS BIGINT)
+                   AS n_bytes,
+               CAST(doc_id % 5 + 2 AS INTEGER) AS width,
+               CAST(doc_id % 3 + 2 AS INTEGER) AS height,
+               CAST(NULL AS INTEGER) AS sample_rate,
+               CAST(3 * (doc_id % 5 + 2) * (doc_id % 3 + 2) AS BIGINT)
+                   AS n_units,
+               CAST(list_sum(list_transform(
+                   generate_series(0, 3 * (doc_id % 5 + 2) * (doc_id % 3 + 2) - 1),
+                   i -> (doc_id * 7 + i) % 95 + 32)) AS BIGINT) AS unit_sum
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id,
+               'audio/x-wav' AS mime,
+               CAST(44 + 2 * (doc_id % 32 + 8) AS BIGINT) AS n_bytes,
+               CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height,
+               CAST(40 AS INTEGER) AS sample_rate,
+               CAST(doc_id % 32 + 8 AS BIGINT) AS n_units,
+               CAST(list_sum(list_transform(
+                   generate_series(0, doc_id % 32 + 8 - 1),
+                   i -> (doc_id * 11 + i * 3) % 95 + 32)) AS BIGINT) AS unit_sum
+        FROM documents WHERE doc_id % 2 = 1
+    """,
+    covers=("P6",),
+    doc=(
+        "REAL media decode through the multimodal plumbing: genuine P6 "
+        "PPM images (even doc_ids) and PCM16 WAV clips (odd doc_ids) are "
+        "built JVM-side as deterministic byte streams, then parsed "
+        "byte-for-byte by the pure-Python decoders "
+        "(operators/multimodal.py:decode_ppm/decode_wav — header "
+        "validation, RIFF chunk walk, int16 sample extraction) inside an "
+        "Arrow-batched mapInPandas. The oracle predicts every decoded "
+        "feature (dimensions, byte counts, pixel/sample sums) "
+        "arithmetically — if the parser misread a single byte the sums "
+        "would mismatch. Scale: map-only (zero shuffles); the decode is "
+        "the irreducible per-item codec step a PIL/soundfile call would "
+        "occupy on a full-codec cluster."
+    ),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import build_media, extract_media_features
+
+    docs = load_table(spark, sf_dir, "documents", spread=False)
+    return extract_media_features(build_media(docs))
+
+
+@register(
     "embedding_centroids",
     oracle="""
         WITH ex AS (

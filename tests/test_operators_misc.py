@@ -92,10 +92,13 @@ def test_multimodal_features(spark, sf_dir):
     assert all(rows2[k] == v["checksum"] for k, v in r.items())
 
 
-def test_decode_payload_stub_gated():
+def test_decode_payload_codec_gated():
+    """Formats needing external codec libs stay honestly gated; text
+    passes through as a real byte-level decode."""
     with pytest.raises(NotImplementedError):
         decode_payload(b"bytes", "image/png")
-    assert decode_payload(b"bytes", "image/png", fake=True) == b"bytes"
+    d = decode_payload(b"abc", "text/plain")
+    assert d["n_units"] == 3 and d["unit_sum"] == ord("a") + ord("b") + ord("c")
 
 
 def test_describe_tables(spark):

@@ -82,14 +82,19 @@ def test_priority_prefix_spans_all_families():
         "corpus_kmv_sketch",
         "curation_funnel",
         "semantic_dedup",
+        # round 5: sink round-trips + real media decode
+        "shard_write_roundtrip",
+        "upsert_idempotency_roundtrip",
+        "multimodal_decode",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Five §2-redundant queries were rotated past the driver's
-    50-query window to admit the sequence/sketch/funnel/semantic-dedup
-    flagships; they
+    """Eight §2-redundant queries are rotated past the driver's
+    50-query window (five in r4 for the sequence/sketch/funnel/
+    semantic-dedup flagships, three in r5 for the sink round-trips and
+    the real media decode); they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
@@ -102,6 +107,9 @@ def test_demoted_queries_still_registered_with_oracles():
         "companies_by_industry",
         "status_set_difference",
         "pricing_summary",
+        "combined_entity_view",
+        "latest_event_per_user",
+        "quarterly_deal_trend",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"
