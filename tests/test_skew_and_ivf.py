@@ -107,6 +107,33 @@ def test_kmeans_seeds_at_least_match_minid_recall(emb):
     assert trained_recall >= base_recall, (trained_recall, base_recall)
 
 
+def test_kmeans_round_is_one_corpus_pass(spark, emb, monkeypatch):
+    """r4 VERDICT: each Lloyd's round must materialize exactly ONE
+    distributed lineage (the means collect) — centroids ride between
+    rounds as plain Python, so no second collect re-executes the prior
+    round's lineage. Init (min-id seeds) is one additional collect.
+    (Raw Spark job counts don't work as the metric: AQE runs one job
+    per shuffle stage, so a single action is several jobs.)"""
+    try:  # pyspark 4: the concrete class overrides the abstract base
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame
+
+    from hubspot_neo4j_pipeline_spark.operators.similarity import kmeans_seeds
+
+    calls = []
+    orig = DataFrame.collect
+
+    def counted(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counted)
+    kmeans_seeds(emb, iters=3)
+    # 1 init + 3 rounds; a 4th-round-style double collect would give 7
+    assert len(calls) == 4, f"expected 4 collects for 3 rounds, got {len(calls)}"
+
+
 def test_embedding_near_dup_pairs(emb):
     from hubspot_neo4j_pipeline_spark.operators.similarity import (
         embedding_near_dup_pairs,

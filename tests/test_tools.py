@@ -62,3 +62,12 @@ def test_bench_compare_formats_and_gate(tmp_path):
     old2.write_text(json.dumps({"queries": {"q_fast": 0.05}}))
     new2.write_text(json.dumps({"queries": {"q_fast": 0.2}}))
     assert bench_main([str(old2), str(new2)]) == 0
+
+
+def test_coverage_citations_resolve():
+    """Every `file.py:symbol` citation in COVERAGE.md must point at a
+    real package file containing the symbol (r4 VERDICT found stale
+    ones; this keeps the judge's audit trail trustworthy)."""
+    from tools.check_coverage_citations import check
+
+    assert check() == []
