@@ -158,12 +158,24 @@ def minhash_lsh_pairs(
     n_perms: int = DEFAULT_PERMS,
     n_bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with verified shingle-Jaccard.
 
     LSH banding: signature split into n_bands bands; docs sharing any
     band hash become candidates (equi-join on the band key). Exact
     Jaccard is then computed from the shingle sets of candidates only.
+
+    ``max_band_df``: optional cap on a band bucket's document count
+    before the self-join. A bucket of k docs emits k² candidate rows,
+    so a boilerplate-dominated corpus (one text repeated across a large
+    fraction of docs — after exact dedup this means a hot TEMPLATE, not
+    true copies) turns one reducer quadratic. Capping drops those
+    buckets; pairs that also collide in a cold band are still found
+    (OR-construction recall), and a production pipeline runs
+    exact_dedup FIRST so identical texts never reach this join.
+    Default None preserves exact oracle semantics for the registered
+    query; the skew-stress tests pin the capped path.
     """
     rows = n_perms // n_bands
     # cache: the signature plan (n_perms array transforms) feeds three
@@ -189,6 +201,17 @@ def minhash_lsh_pairs(
     bands = sigs.select(
         id_col, F.expr(f"explode(array({band_structs}))").alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+    if max_band_df is not None:
+        # df computation reuses the (band_id, band_hash) shuffle key of
+        # the self-join that follows — one extra partial-agg pass, no
+        # new partitioning
+        cold = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_band_df)
+            .select("band_id", "band_hash")
+        )
+        bands = bands.join(cold, ["band_id", "band_hash"])
 
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")

@@ -1,0 +1,168 @@
+"""Synthesize a larger SF locally by structure-preserving replication
+of the driver's sf0.1 tables (r4 VERDICT task 1: turn the 100x-scale
+posture from argument into measurement).
+
+Usage: python tools/make_sf.py [dest_dir] [--mult N] [--src sf_dir]
+Default: 10x sf0.1 -> /root/repo/localdata/sf1.0 (~6M lineitem rows).
+
+Replication rules (copy c = 0..N-1; copy 0 is the original bytes):
+- Dense surrogate keys shift by c * key_range, preserving referential
+  integrity (orders->customer, lineitem->orders/part/supplier,
+  events.user_id->customer key space, embeddings<->documents id space).
+- Key-derived names (Customer#..., Supplier#...) are regenerated from
+  the NEW key so name-match operators (entity match, fuzzy pairs) see
+  10x unique entities, not 10 aliases of each — a naive copy would
+  manufacture a 100x name-join blowup that no real 10x corpus has.
+- Document text mutates per copy: every word at position p with
+  (p-1) % 7 == (c-1) % 7 becomes word~c. WITHIN a copy the mutation is
+  position-aligned, so exact-dup groups and shingle-overlap structure
+  replicate exactly (near-dup pair count scales linearly); ACROSS
+  copies only ~1/7 of 5-gram windows avoid both copies' mutated slots,
+  so cross-copy Jaccard lands far below the dedup thresholds — 10x
+  data means ~10x dup pairs, not 100x. n_chars is recomputed.
+- Embeddings rotate by c positions: within-copy cosines are preserved
+  exactly (near-dup/ANN structure replicates linearly); cross-copy
+  cosines decorrelate. vec_ids shift in DOCUMENT id space (c * 5000)
+  so the text<->embedding 1:1 audit join stays copy-aligned.
+- Timestamps are left as-is: 10x volume in the same window (event
+  density grows with scale; the calendar doesn't).
+
+Output timestamps are written by DuckDB as naive microsecond parquet
+TIMESTAMPs — the same read path (inferTimestampNTZ=false) both engines
+already use for the driver's files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+DEFAULT_SRC = "/root/testdata/sf0.1"
+DEFAULT_DEST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "localdata", "sf1.0"
+)
+
+# key ranges of the sf0.1 source (dense 0..N-1; asserted at run time)
+RANGES = {
+    "customer": 15_000,
+    "supplier": 1_000,
+    "part": 20_000,
+    "orders": 150_000,
+    "events": 100_000,
+    "documents": 5_000,
+    "embeddings": 2_000,
+}
+
+MUTATE_TEXT = """
+    CASE WHEN c = 0 THEN text ELSE array_to_string(
+        list_transform(string_split(text, ' '),
+            (w, p) -> CASE WHEN (p - 1) % 7 = (c - 1) % 7
+                           THEN w || '~' || c ELSE w END),
+        ' ') END
+"""
+
+
+def _copies(con: duckdb.DuckDBPyConnection, mult: int) -> None:
+    con.execute(f"CREATE OR REPLACE TEMP TABLE copies AS SELECT unnest(range({mult})) AS c")
+
+
+def generate(src: str, dest: str, mult: int) -> None:
+    os.makedirs(dest, exist_ok=True)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}/{t}.parquet'")
+    # sanity: dense key spaces as documented (a driver regeneration with
+    # different ranges must fail loudly, not silently corrupt joins)
+    for t, n in RANGES.items():
+        key = {
+            "customer": "c_custkey", "supplier": "s_suppkey",
+            "part": "p_partkey", "orders": "o_orderkey",
+            "events": "event_id", "documents": "doc_id",
+            "embeddings": "vec_id",
+        }[t]
+        lo, hi, cnt = con.execute(
+            f"SELECT min({key}), max({key}), count(*) FROM {t}"
+        ).fetchone()
+        assert (lo, hi, cnt) == (0, n - 1, n), f"{t}: unexpected key space {(lo, hi, cnt)}"
+
+    _copies(con, mult)
+    C, S, P, O, E, D = (
+        RANGES["customer"], RANGES["supplier"], RANGES["part"],
+        RANGES["orders"], RANGES["events"], RANGES["documents"],
+    )
+
+    def copy_out(name: str, sql: str) -> None:
+        out = f"{dest}/{name}.parquet"
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    copy_out("region", "SELECT * FROM region")
+    copy_out("nation", "SELECT * FROM nation")
+    copy_out("customer", f"""
+        SELECT c_custkey + c * {C} AS c_custkey,
+               'Customer#' || lpad(CAST(c_custkey + c * {C} AS VARCHAR), 9, '0')
+                   AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer, copies ORDER BY c_custkey""")
+    copy_out("supplier", f"""
+        SELECT s_suppkey + c * {S} AS s_suppkey,
+               'Supplier#' || lpad(CAST(s_suppkey + c * {S} AS VARCHAR), 9, '0')
+                   AS s_name,
+               s_nationkey, s_acctbal
+        FROM supplier, copies ORDER BY s_suppkey""")
+    copy_out("part", f"""
+        SELECT p_partkey + c * {P} AS p_partkey,
+               p_name, p_brand, p_type, p_size, p_retailprice
+        FROM part, copies ORDER BY p_partkey""")
+    copy_out("orders", f"""
+        SELECT o_orderkey + c * {O} AS o_orderkey,
+               o_custkey + c * {C} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders, copies ORDER BY o_orderkey""")
+    copy_out("lineitem", f"""
+        SELECT l_orderkey + c * {O} AS l_orderkey,
+               l_partkey + c * {P} AS l_partkey,
+               l_suppkey + c * {S} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM lineitem, copies ORDER BY l_orderkey, l_linenumber""")
+    copy_out("events", f"""
+        SELECT event_id + c * {E} AS event_id,
+               ts,
+               user_id + c * {C} AS user_id,
+               event_type, value, props
+        FROM events, copies ORDER BY event_id""")
+    copy_out("documents", f"""
+        WITH mutated AS (
+            SELECT doc_id + c * {D} AS doc_id,
+                   {MUTATE_TEXT} AS text,
+                   lang, source
+            FROM documents, copies
+        )
+        SELECT doc_id, text, lang, source,
+               CAST(strlen(text) AS BIGINT) AS n_chars
+        FROM mutated ORDER BY doc_id""")
+    copy_out("embeddings", f"""
+        SELECT vec_id + c * {D} AS vec_id,
+               CASE WHEN c = 0 THEN embedding
+                    ELSE CAST(list_concat(embedding[(c % 64) + 1:],
+                                          embedding[1:(c % 64)]) AS FLOAT[])
+               END AS embedding,
+               label
+        FROM embeddings, copies ORDER BY vec_id""")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dest", nargs="?", default=DEFAULT_DEST)
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default=DEFAULT_SRC)
+    args = ap.parse_args()
+    generate(args.src, args.dest, args.mult)
+    print(f"wrote {args.dest} ({args.mult}x {args.src})")
