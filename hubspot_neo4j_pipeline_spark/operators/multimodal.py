@@ -85,8 +85,10 @@ def decode_ppm(payload: bytes) -> dict:
         i = j
     i += 1  # the single whitespace byte after maxval
     width, height, maxval = tokens
-    if not (0 < maxval < 65536):
-        raise ValueError(f"PPM maxval out of range: {maxval}")
+    # maxval > 255 means TWO bytes per sample big-endian per the P6
+    # spec; this decoder reads one, so reject rather than mis-sum
+    if not (0 < maxval < 256):
+        raise ValueError(f"PPM maxval unsupported (need 1..255): {maxval}")
     n_sub = 3 * width * height
     raster = payload[i : i + n_sub]
     if len(raster) != n_sub:
@@ -113,6 +115,8 @@ def decode_wav(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csize > len(payload):
+            raise ValueError("WAV chunk overruns payload")
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
             audio_fmt, channels, rate, _byte_rate, _align, bits = (
@@ -126,6 +130,8 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(data) % 2:
+        raise ValueError("PCM16 data chunk has odd byte length")
     samples = struct.unpack(f"<{len(data) // 2}h", data)
     return {
         "kind": "audio",

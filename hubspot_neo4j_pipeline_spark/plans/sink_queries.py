@@ -10,7 +10,9 @@ the same scan path a consumer would use, and returns an aggregate the
 DuckDB oracle predicts from the SOURCE tables alone — so a write that
 dropped, duplicated, or mis-partitioned rows cannot hash-match.
 
-Scratch location: /tmp/spark_graft_sinks/<query>/<sf tag>. Writes are
+Scratch location: /tmp/spark_graft_sinks/<appId>/<query>/<sf tag> —
+the applicationId segment keeps concurrent runs (or two data dirs
+sharing a basename) from racing each other. Writes are
 mode=overwrite, so the queries are idempotent and safe to re-run at
 any SF; distinct SFs never collide. At 100 TB the same shapes hold:
 the shard write is one pass proportional to data written (partition
@@ -32,9 +34,12 @@ from .registry import register
 _SCRATCH = "/tmp/spark_graft_sinks"
 
 
-def _scratch(query: str, sf_dir: str) -> str:
+def _scratch(spark: SparkSession, query: str, sf_dir: str) -> str:
+    # applicationId in the path: two data dirs sharing a basename, or
+    # two concurrent runs of the same query+SF, must not race each
+    # other's overwrite-then-read-back
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"{_SCRATCH}/{query}/{tag}"
+    return f"{_SCRATCH}/{spark.sparkContext.applicationId}/{query}/{tag}"
 
 
 @register(
@@ -65,7 +70,7 @@ def _scratch(query: str, sf_dir: str) -> str:
 )
 def shard_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=False)
-    path = _scratch("shard_write_roundtrip", sf_dir)
+    path = _scratch(spark, "shard_write_roundtrip", sf_dir)
     write_training_shards(
         docs.withColumn("shard_id", F.col("doc_id") % 8),
         path,
@@ -106,7 +111,7 @@ def upsert_idempotency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment"
     )
     feed = cust.unionByName(cust)  # duplicate-key re-extract
-    path = _scratch("upsert_idempotency_roundtrip", sf_dir)
+    path = _scratch(spark, "upsert_idempotency_roundtrip", sf_dir)
     upsert_nodes(feed, path, key="c_custkey")
     upsert_nodes(feed, path, key="c_custkey")  # idempotent re-upsert
     back = spark.read.parquet(path)

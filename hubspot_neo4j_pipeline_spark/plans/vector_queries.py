@@ -756,22 +756,11 @@ MAX_CELL = 128  # sub-split bound: all-pairs groups never exceed this
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine, ivf_assign, ivf_seeds
+    from ..operators.skew import hash_subsplit
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = ivf_assign(emb, ivf_seeds(emb), n_probe=1).cache()
-    sizes = assigned.groupBy("cell").agg(
-        F.expr(f"cast((count(*) + {MAX_CELL - 1}) DIV {MAX_CELL} as bigint)").alias(
-            "n_sub"
-        )
-    )
-    subbed = assigned.join(F.broadcast(sizes), "cell").withColumn(
-        "sub",
-        F.expr(
-            "cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) "
-            "as bigint)"
-        )
-        % F.col("n_sub"),
-    )
+    subbed = hash_subsplit(assigned, "cell", "vec_id", MAX_CELL)
     a = subbed.select(
         F.col("vec_id").alias("kept_cand"), "cell", "sub", F.col("e").alias("e_a")
     )

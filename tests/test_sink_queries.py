@@ -20,7 +20,7 @@ from hubspot_neo4j_pipeline_spark.plans.sink_queries import (
 
 def test_shard_readback_prunes_partitions(spark, sf_dir):
     shard_write_roundtrip(spark, sf_dir).collect()  # materialize the store
-    back = spark.read.parquet(_scratch("shard_write_roundtrip", sf_dir)).where(
+    back = spark.read.parquet(_scratch(spark, "shard_write_roundtrip", sf_dir)).where(
         F.col("shard_id") == 3
     )
     plan = back._jdf.queryExecution().executedPlan().toString()
@@ -46,6 +46,6 @@ def test_upsert_collapses_duplicate_keys(spark, sf_dir):
     for r in rows:
         assert r.n_nodes == r.n_keys, f"duplicate keys survived in {r.c_mktsegment}"
     # store-level check: exactly one row per key despite the doubled feed
-    back = spark.read.parquet(_scratch("upsert_idempotency_roundtrip", sf_dir))
+    back = spark.read.parquet(_scratch(spark, "upsert_idempotency_roundtrip", sf_dir))
     total = back.count()
     assert total == back.select("c_custkey").distinct().count()

@@ -15,9 +15,12 @@ hot join key — and assert the mitigations hold:
 - the two-phase distinct + salted join shapes stay within a bounded
   factor of their uniform-key time.
 
-Timing bounds are deliberately generous (5x) — they catch quadratic
-behavior (which shows up as 20-100x at these sizes), not scheduler
-noise.
+Timing bounds are deliberately generous (5x with an 8 s floor) — they
+catch quadratic behavior (which shows up as 20-100x+ at these sizes),
+not scheduler noise; the floor absorbs a GC pause landing inside the
+uniform baseline on shared hardware. Candidate-count and plan-shape
+assertions are the primary signal throughout; the timings are a
+secondary tripwire.
 """
 
 from __future__ import annotations
@@ -85,7 +88,7 @@ def test_exact_dedup_hot_content_bounded(spark):
         .collect()
     )
     assert kept[0]["n"] == 6000 - 5400 + 1  # one survivor for the hot group
-    assert t_skew <= max(5 * warm, 3.0), (t_skew, warm)
+    assert t_skew <= max(5 * warm, 8.0), (t_skew, warm)
 
 
 def test_minhash_hot_band_cap_bounds_candidates(spark):
@@ -123,7 +126,7 @@ def test_minhash_hot_band_cap_bounds_candidates(spark):
     _, t_uniform = _timed(
         lambda: minhash_lsh_pairs(uniform, "doc_id", "text", threshold=0.5).count()
     )
-    assert t_capped <= max(5 * t_uniform, 3.0), (t_capped, t_uniform)
+    assert t_capped <= max(5 * t_uniform, 8.0), (t_capped, t_uniform)
 
 
 def test_ngram_cap_same_contract(spark):
@@ -161,7 +164,7 @@ def test_two_phase_distinct_hot_key(spark):
         for r in mk(True).groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert {r.k: r.n_distinct for r in got} == truth
-    assert t_hot <= max(5 * t_uniform, 3.0), (t_hot, t_uniform)
+    assert t_hot <= max(5 * t_uniform, 8.0), (t_hot, t_uniform)
 
 
 def test_salted_join_hot_key_bounded(spark):
@@ -179,4 +182,162 @@ def test_salted_join_hot_key_bounded(spark):
     _, t_uniform = _timed(lambda: salted_join(mk(False), dim, "k").count())
     cnt, t_hot = _timed(lambda: salted_join(mk(True), dim, "k").count())
     assert cnt == mk(True).join(dim, "k").count() == n
-    assert t_hot <= max(5 * t_uniform, 3.0), (t_hot, t_uniform)
+    assert t_hot <= max(5 * t_uniform, 8.0), (t_hot, t_uniform)
+
+
+# ---------------------------------------------------------------------------
+# Vector family (r5 VERDICT task 5): the two components that actually
+# blew up at sf1.0 — LSH bucket self-join and IVF fat-cell all-pairs —
+# under a zipfian embedding fixture (one dominant direction). Primary
+# assertions are CANDIDATE-COUNT / group-size based (plan-shape signal,
+# immune to scheduler noise); no wall-clock compares here.
+# ---------------------------------------------------------------------------
+
+from hubspot_neo4j_pipeline_spark.operators.similarity import (  # noqa: E402
+    auto_planes_per_table,
+    cosine,
+    embedding_near_dup_pairs,
+    lsh_buckets,
+)
+from hubspot_neo4j_pipeline_spark.operators.skew import hash_subsplit  # noqa: E402
+
+DIM = 16
+
+
+def _lcg_vec(seed: int, scale: float = 1.0) -> list:
+    x = seed * 2654435761 % 2**31
+    out = []
+    for _ in range(DIM):
+        x = (1103515245 * x + 12345) % 2**31
+        out.append(scale * ((x % 2001) - 1000) / 1000.0)
+    return out
+
+
+_HOT_DIR = _lcg_vec(999_983)
+
+
+def _skewed_vecs(spark, n, n_cold, n_planted_pairs=20):
+    """Embedding corpus with a dominant direction: ids < n_cold are
+    COLD (distinct pseudo-random directions; the first 2*n_planted_pairs
+    of them form planted near-dup pairs (2i, 2i+1) at cosine ≈ 1), ids
+    >= n_cold are HOT — tiny perturbations of one shared direction, so
+    they funnel into one LSH bucket per table / one IVF cell. Cold ids
+    come FIRST so the data-derived hyperplanes stay informative (an
+    all-hot plane set is the degenerate case lsh_buckets' bucket-0
+    guard already covers)."""
+    rows = []
+    for i in range(n):
+        if i < n_cold:
+            if i < 2 * n_planted_pairs:
+                base = _lcg_vec(500_000 + i // 2)
+                vec = [b + 1e-5 * p for b, p in zip(base, _lcg_vec(i))]
+            else:
+                vec = _lcg_vec(i)
+        else:
+            vec = [b + 1e-4 * p for b, p in zip(_HOT_DIR, _lcg_vec(i))]
+        rows.append((i, [float(v) for v in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_auto_planes_per_table_scaling():
+    """Integer-exact p = ceil(log2(N/64)) clamped to [4, 20]: the
+    expected bucket population 2^-p * N never exceeds 64 (above the
+    clamp floor), and p is minimal for that property."""
+    assert auto_planes_per_table(500) == 4
+    assert auto_planes_per_table(2000) == 5
+    assert auto_planes_per_table(20000) == 9
+    assert auto_planes_per_table(1) == 4
+    for n in (100, 1024 * 64, 1024 * 64 + 1, 10**7):
+        p = auto_planes_per_table(n)
+        assert (1 << p) * 64 >= n or p == 20
+        if p > 4:
+            assert (1 << (p - 1)) * 64 < n  # minimality
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """90 % of vectors share one direction -> one ~2700-vector bucket
+    per table -> ~29 M uncapped candidate pairs. max_bucket_df drops
+    those buckets BEFORE the self-join; surviving candidate volume must
+    collapse by >100x, computed from bucket populations (plan-level
+    signal, no timing)."""
+    n, n_cold = 3000, 300
+    vecs = _skewed_vecs(spark, n, n_cold)
+    sizes = (
+        lsh_buckets(vecs, planes_per_table=None)
+        .groupBy("table_id", "bucket")
+        .agg(F.count("*").alias("c"))
+        .select(
+            (F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+            F.col("c"),
+        )
+    )
+    uncapped = sizes.agg(F.sum("pairs")).collect()[0][0]
+    capped = (
+        sizes.where(F.col("c") <= 64).agg(F.sum("pairs")).collect()[0][0]
+    )
+    hot = n - n_cold
+    assert uncapped >= hot * (hot - 1) / 2  # blowup demonstrated
+    assert capped <= uncapped / 100, (capped, uncapped)
+
+
+def test_lsh_cap_preserves_cold_pair_recall(spark):
+    """Planted cold near-dup pairs (cosine ≈ 1, isolated directions)
+    must survive the hot-bucket cap: identical sign bits put both ids
+    of a pair in the same bucket in EVERY table, and at least one of
+    those buckets is cold (OR-construction). The hot mass (always the
+    same all-agree bucket) is dropped entirely, so no output pair may
+    touch a hot id."""
+    n, n_cold, planted = 3000, 300, 20
+    vecs = _skewed_vecs(spark, n, n_cold, n_planted_pairs=planted)
+    got = embedding_near_dup_pairs(
+        vecs, threshold=0.99, max_bucket_df=64
+    ).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in got}
+    for i in range(planted):
+        assert (2 * i, 2 * i + 1) in got_pairs, f"planted pair {i} lost"
+    assert all(a < n_cold and b < n_cold for a, b in got_pairs)
+
+
+def test_hash_subsplit_bounds_groups_and_keeps_recall(spark):
+    """One 2700-vector IVF cell: hash_subsplit must (a) yield exactly
+    ceil(2700/128) = 22 sub-groups for the fat cell with no group far
+    above the 128 target, (b) be the identity for small cells, and
+    (c) preserve within-sub-group dedup recall — every hot vector
+    except each sub-group's min id is still dropped by the
+    semantic-dedup pair rule."""
+    n, n_cold = 3000, 300
+    vecs = _skewed_vecs(spark, n, n_cold, n_planted_pairs=0)
+    assigned = vecs.select(
+        "vec_id",
+        F.when(F.col("vec_id") < n_cold, F.col("vec_id") % 9 + 1)
+        .otherwise(F.lit(0))
+        .alias("cell"),
+        F.col("embedding").alias("e"),
+    )
+    subbed = hash_subsplit(assigned, "cell", "vec_id", 128).cache()
+    stats = (
+        subbed.groupBy("cell", "sub")
+        .agg(F.count("*").alias("c"))
+        .groupBy("cell")
+        .agg(F.countDistinct("sub").alias("n_sub"), F.max("c").alias("mx"))
+        .collect()
+    )
+    by_cell = {r.cell: r for r in stats}
+    assert by_cell[0].n_sub == -(-2700 // 128)  # 22 sub-groups
+    assert by_cell[0].mx <= 2 * 128  # hash variance headroom, not 2700
+    for c in range(1, 10):
+        assert by_cell[c].n_sub == 1  # identity for small cells
+    a = subbed.select(
+        F.col("vec_id").alias("kept_cand"), "cell", "sub", F.col("e").alias("e_a")
+    )
+    b = subbed.select("vec_id", "cell", "sub", F.col("e").alias("e_b"))
+    dropped = (
+        a.join(b, ["cell", "sub"])
+        .where(F.col("kept_cand") < F.col("vec_id"))
+        .where(cosine("e_a", "e_b") >= 0.99)
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
+    # all hot vectors minus one survivor per sub-group
+    assert dropped == 2700 - by_cell[0].n_sub

@@ -48,7 +48,18 @@ def check(md_path: str = os.path.join(REPO, "COVERAGE.md")) -> list[str]:
         if not candidates:
             stale.append(f"{path}:{symbol} — file not found in package")
             continue
-        if not any(symbol in open(c).read() for c in candidates):
+        # word-boundary match, not substring: `shingle` must not pass
+        # because `shingle_set` exists; comments still count as a hit
+        # only when the exact token survives there, which is the
+        # documented contract for prose citations
+        pat = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(symbol)}(?![A-Za-z0-9_])")
+        found = False
+        for c in candidates:
+            with open(c) as src:
+                if pat.search(src.read()):
+                    found = True
+                    break
+        if not found:
             stale.append(f"{path}:{symbol} — symbol absent from {candidates}")
     return stale
 
