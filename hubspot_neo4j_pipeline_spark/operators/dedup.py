@@ -21,11 +21,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SHINGLE = 5
-# 8 bands × 2 rows: band-collision prob J^2 per band → recall at the
-# 0.5-Jaccard threshold is 1-(1-0.25)^8 ≈ 0.90 (4-row bands would give
-# only 0.40); false candidates are removed by exact verification.
+# 4 bands × 4 rows (r6; was 8 × 2): a band collides with prob J^rows,
+# so 4-row bands push the SUB-threshold candidate floor from J² to J⁴
+# — with 2-row bands, measured candidate growth at 10x data was 78x
+# against 10x true-pair growth (J≈0.3 shared-boilerplate pairs
+# colliding at 0.09/band; tools/candidate_counts.py, PERF.md r6 note),
+# a quadratic-in-N floor no df cap can absorb because it spreads over
+# many small buckets. Recall on the observed true-pair distribution
+# (95% of pairs at J≥0.9, none below 0.7): 1-(1-J⁴)⁴ ≥ 0.98 at J=0.9.
+# Production raises perms (128 = 16 bands × 8 rows, see PERF.md table)
+# rather than dropping rows: signature cost is linear, the floor falls
+# to J⁸.
 DEFAULT_PERMS = 16
-DEFAULT_BANDS = 8  # bands × rows_per_band == n_perms
+DEFAULT_BANDS = 4  # bands × rows_per_band == n_perms
 
 MOD31 = 2147483648  # 2^31 — base-hash range
 MERSENNE = 2147483647  # 2^31 - 1 — universal-hash modulus
@@ -151,6 +159,40 @@ def minhash_signature(
     )
 
 
+def minhash_bands(
+    sigs: DataFrame,
+    id_col: str,
+    n_perms: int = DEFAULT_PERMS,
+    n_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per band per doc, from a
+    ``minhash_signature`` frame.
+
+    Bands carry ONLY (id, band_id, band_hash) into the self-join —
+    shingle arrays would multiply the shuffle volume by the band
+    count; they re-attach after candidate pairs are deduped.
+    md5 over the joined band values — reproducible in the DuckDB
+    oracle (F.hash is Spark-internal). One SQL parse for the whole
+    band array (see minhash_signature's construction-cost note);
+    sig[i] is 0-based in SQL, matching element_at(sig, i+1).
+    Shared by minhash_lsh_pairs and tools/candidate_counts.py (the
+    scale probe that reports band-bucket candidate volume).
+    """
+    rows = n_perms // n_bands
+    band_structs = ",".join(
+        "named_struct('band_id', {b}, 'band_hash', md5(concat_ws('|', {vals})))".format(
+            b=b,
+            vals=", ".join(
+                f"cast(sig[{b * rows + r}] as string)" for r in range(rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return sigs.select(
+        id_col, F.expr(f"explode(array({band_structs}))").alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -177,30 +219,11 @@ def minhash_lsh_pairs(
     Default None preserves exact oracle semantics for the registered
     query; the skew-stress tests pin the capped path.
     """
-    rows = n_perms // n_bands
     # cache: the signature plan (n_perms array transforms) feeds three
     # downstream joins; caching cuts the expression tree so Catalyst
     # analyzes the big plan once, not once per consumer.
     sigs = minhash_signature(df, id_col, text_col, n_perms).cache()
-    # Bands carry ONLY (id, band_id, band_hash) into the self-join —
-    # shingle arrays would multiply the shuffle volume by the band
-    # count; they re-attach after candidate pairs are deduped.
-    # md5 over the joined band values — reproducible in the DuckDB
-    # oracle (F.hash is Spark-internal). One SQL parse for the whole
-    # band array (see minhash_signature's construction-cost note);
-    # sig[i] is 0-based in SQL, matching element_at(sig, i+1).
-    band_structs = ",".join(
-        "named_struct('band_id', {b}, 'band_hash', md5(concat_ws('|', {vals})))".format(
-            b=b,
-            vals=", ".join(
-                f"cast(sig[{b * rows + r}] as string)" for r in range(rows)
-            ),
-        )
-        for b in range(n_bands)
-    )
-    bands = sigs.select(
-        id_col, F.expr(f"explode(array({band_structs}))").alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    bands = minhash_bands(sigs, id_col, n_perms, n_bands)
     if max_band_df is not None:
         # df computation reuses the (band_id, band_hash) shuffle key of
         # the self-join that follows — one extra partial-agg pass, no
