@@ -70,3 +70,102 @@ def match_users_to_persons(users: DataFrame, persons: DataFrame) -> DataFrame:
         left_id="hubspot_id",
         right_id="person_id",
     )
+
+
+def _deletion_variants_sql(text_col: str, max_distance: int) -> str:
+    """All strings reachable from `text_col` by deleting ≤ max_distance
+    characters (including the string itself), distinct, as ONE SQL
+    array expression.
+
+    1-based SQL substring; deleting position p is
+    concat(substr(s,1,p-1), substr(s,p+1,L)); deleting p1 < p2 composes
+    the same way. array_distinct collapses the duplicates runs of
+    repeated characters produce (digit strings shrink a lot), which
+    directly shrinks the candidate join's fan-out.
+    """
+    if max_distance not in (1, 2):
+        raise ValueError("deletion-neighborhood join supports distance 1 or 2")
+    s = f"`{text_col}`"
+    d1 = (
+        f"transform(sequence(1, length({s})), p -> "
+        f"concat(substring({s}, 1, p - 1), substring({s}, p + 1, length({s}))))"
+    )
+    parts = [f"array({s})", d1]
+    if max_distance == 2:
+        # delete p1 < p2: middle piece spans (p1, p2) exclusive
+        parts.append(
+            f"flatten(transform(sequence(1, length({s})), p1 -> "
+            f"transform(sequence(least(p1 + 1, length({s})), length({s})), p2 -> "
+            f"if(p2 > p1, concat(substring({s}, 1, p1 - 1), "
+            f"substring({s}, p1 + 1, p2 - p1 - 1), "
+            f"substring({s}, p2 + 1, length({s}))), null))))"
+        )
+    return (
+        "array_distinct(filter(concat(" + ", ".join(parts) + "), v -> v is not null))"
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Exact edit-distance self-join: all pairs (id_a < id_b) with
+    levenshtein(text_a, text_b) <= max_distance, optionally restricted
+    to equal `block_col`.
+
+    Scale design (replaces the within-block all-pairs join, which is
+    O((N/blocks)²) with a FIXED block count — the r6 scale probe
+    measured 35x wall at 10x data for fuzzy_name_pairs): candidates
+    are pairs sharing ANY common ≤d-deletion variant. If
+    lev(a,b) <= d, an alignment touches <= d positions in each string,
+    so deleting those positions from each yields a COMMON string —
+    recall is exact, no cap, no tuning. Conversely a shared variant
+    only implies lev <= 2d, so candidates are a superset and the
+    levenshtein verify keeps the OUTPUT bit-identical to the naive
+    all-pairs join — the DuckDB oracle stays the plain blocked
+    self-join. Variant keys carry L-d exact characters, so bucket
+    population is bounded by local near-match density, not corpus
+    size (measured at 10k suppliers: 89 distinct variants/row after
+    array_distinct, max bucket 66, 1.4M pre-dedup candidate rows —
+    and candidate volume grows LINEARLY with N where the blocked
+    all-pairs join grows quadratically; scale probe: 35.4x → 4.8x
+    wall at 10x data). The join shuffles slim (block, variant, id)
+    rows. Per-row fan-out is <= 1 + L + L(L-1)/2 variants (172 for
+    L=18) — the classic deletion-neighborhood / Pass-Join family
+    (Li et al., VLDB 2011) expressed as DataFrame algebra.
+    """
+    cols = [F.col(id_col).alias("_eid"), F.col(text_col).alias("_s")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("_blk"))
+    base = df.select(*cols)
+    keys = base.select(
+        "_eid",
+        *(["_blk"] if block_col is not None else []),
+        F.explode(F.expr(_deletion_variants_sql("_s", max_distance))).alias("_v"),
+    )
+    blk = ["_blk"] if block_col is not None else []
+    join_on = ["_v"] + blk
+    a = keys.select(*(F.col(c).alias(c) for c in join_on), F.col("_eid").alias("id_a"))
+    b = keys.select("_v", *(F.col(c) for c in blk), F.col("_eid").alias("id_b"))
+    cand = (
+        a.join(b, join_on)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *blk)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = base.select("_eid", "_s")
+    dist = F.levenshtein(F.col("_sa"), F.col("_sb"))
+    out_blk = [F.col("_blk").alias(block_col)] if block_col is not None else []
+    return (
+        cand.join(
+            texts.select(F.col("_eid").alias("id_a"), F.col("_s").alias("_sa")), "id_a"
+        )
+        .join(
+            texts.select(F.col("_eid").alias("id_b"), F.col("_s").alias("_sb")), "id_b"
+        )
+        .where(dist <= max_distance)
+        .select("id_a", "id_b", dist.cast("long").alias("distance"), *out_blk)
+    )

@@ -106,3 +106,64 @@ def test_describe_tables(spark):
     out = describe_tables(spark, t).collect()
     assert out[0]["table_name"] == "t1"
     assert out[0]["n_columns"] == 1 and out[0]["n_rows"] == 1
+
+
+def test_edit_distance_pairs_equals_naive_join(spark):
+    """Deletion-neighborhood candidates are a provably-exact superset:
+    the verified output must be BIT-IDENTICAL to the naive within-block
+    all-pairs join (the contract that lets fuzzy_name_pairs keep its
+    plain-SQL oracle while scaling linearly). sf0.01 explicitly — the
+    sf0.001 supplier table has no lev<=2 pairs to compare."""
+    from hubspot_neo4j_pipeline_spark.operators.entity_match import (
+        edit_distance_pairs,
+    )
+
+    sup = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a, b = sup.alias("a"), sup.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    naive = {
+        (r.id_a, r.id_b, r.d)
+        for r in a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .where(dist <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("id_a"),
+            F.col("b.s_suppkey").alias("id_b"),
+            dist.alias("d"),
+        )
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs(
+            sup, "s_suppkey", "s_name", block_col="s_nationkey"
+        ).collect()
+    }
+    assert got == naive and naive
+
+
+def test_edit_distance_pairs_indel_and_unblocked(spark):
+    """Insert/delete pairs (not just substitutions) are found, and the
+    blockless path works: lev('abcdef','abdef')=1 (delete),
+    lev('abcdef','xbcdefy')=2 (two inserts), lev('abcdef','abcxyz')=3
+    (excluded at max_distance=2)."""
+    from hubspot_neo4j_pipeline_spark.operators.entity_match import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abdef"), (3, "xbcdefy"), (4, "abcxyz")],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs(df, "id", "name").collect()
+    }
+    assert (1, 2, 1) in got
+    assert (1, 3, 2) in got
+    assert all(4 not in (p[0], p[1]) for p in got)

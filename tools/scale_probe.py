@@ -34,12 +34,16 @@ DEFAULT_BOUND = 5.0
 # Per-query ratio bounds where >5x at 10x data is EXPECTED and
 # documented, not a defect. Keep each entry justified.
 ALLOWED_RATIOS: dict[str, float] = {
-    # True near-dup PAIR COUNT grows ~10x by the generator's design
-    # (dup groups scale with N), and signature build cost is
-    # per-doc-length; candidate counts quantified in PERF.md §sf1.0.
+    # True near-dup PAIR COUNT grows faster than N by the generator's
+    # design (sf1.0 plants dense dup clusters: shingle true pairs grow
+    # 462x at 10x docs — tools/candidate_counts.py), and signature
+    # build cost is per-doc-length; counts quantified in PERF.md.
     "doc_minhash_lsh_pairs": 12.0,
     "doc_shingle_candidates": 12.0,
     "doc_passage_dedup": 8.0,
+    # runs BOTH pair pipelines above and intersects them — inherits
+    # their pair-count-driven growth (measured 6.5x at 10x data).
+    "dedup_method_agreement": 12.0,
     # Candidate volume is ~N*MAX_CELL/2 (linear) but output pair
     # count itself grows ~N; 10x data → ~10x compute by design.
     "semantic_dedup": 15.0,
