@@ -207,3 +207,53 @@ def test_chunk_split_tiles_any_length(spark, n_tokens):
         n_extra = (max(0, n - C) + S - 1) // S
         last_start, last_len = n_extra * S + 1, min(C, n - n_extra * S)
         assert last_len >= 1 and last_start + last_len - 1 == n
+
+
+# --- deletion-neighborhood edit-distance join: randomized exactness ----
+
+# short alphanumeric-ish strings over a tiny alphabet so collisions and
+# near-matches (subs, indels, repeats) are dense
+name_strings = st.lists(
+    st.text(alphabet="ab1", min_size=0, max_size=6),
+    min_size=2,
+    max_size=10,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(names=name_strings, max_d=st.sampled_from([1, 2]))
+def test_edit_distance_pairs_matches_naive_on_random_strings(
+    spark, names, max_d
+):
+    """For ANY string set and distance bound, the deletion-neighborhood
+    join must equal the naive all-pairs join exactly — the superset +
+    verify contract, exercised over dense random repeats/indels rather
+    than just the supplier-name shape."""
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.operators.entity_match import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, s string")
+    a, b = df.alias("a"), df.alias("b")
+    dist = F.levenshtein(F.col("a.s"), F.col("b.s"))
+    naive = {
+        (r.id_a, r.id_b, r.d)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(dist <= max_d)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), dist.alias("d")
+        )
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in edit_distance_pairs(df, "id", "s", max_distance=max_d).collect()
+    }
+    assert got == naive
