@@ -378,12 +378,21 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_tables: int = 8,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = None,
     n_queries: int = 100,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any table's
     bucket with the query (equi-join on (table_id, bucket), dedup,
-    rank by exact cosine). Queries = first n_queries ids."""
+    rank by exact cosine). Queries = first n_queries ids.
+
+    planes_per_table=None auto-scales with ceil(log2(N/64)) (r6, same
+    fix as embedding_near_dup_pairs): with a FIXED plane count each
+    query's candidate set is O(n_tables · N/2^p) — a per-query
+    half-scan at large N; constant expected bucket size makes it
+    O(n_tables · 64) regardless of corpus size, the structural
+    requirement for ANN to beat brute force at all. Recall per table
+    drops as p grows — production raises n_tables to compensate
+    (linear cost)."""
     # cache: see embedding_near_dup_pairs — one analysis of the plane
     # fold tree instead of one per consumer.
     bucketed = lsh_buckets(df, id_col, vec_col, n_tables, planes_per_table).cache()

@@ -332,19 +332,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     oracle="""
-        WITH v AS (
+        WITH nn AS (SELECT count(*) AS n FROM embeddings
+        ), prm AS (
+            SELECT min(p) AS ppt FROM generate_series(4, 20) t(p), nn
+            WHERE (CAST(1 AS BIGINT) << p) * 64 >= nn.n
+        ), v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
+        ), numbered AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v
         ), planes AS (
-            SELECT CAST((row_number() OVER (ORDER BY vec_id) - 1) // 4 AS INT) AS table_id,
-                   (row_number() OVER (ORDER BY vec_id) - 1) % 4 AS bit,
+            SELECT CAST((rn - 1) // prm.ppt AS INT) AS table_id,
+                   (rn - 1) % prm.ppt AS bit,
                    e AS pe
-            FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 32)
+            FROM numbered, prm
+            WHERE rn <= 8 * prm.ppt
         ), scored AS (
             SELECT v.vec_id, v.e, p.table_id,
                    CASE WHEN list_reduce(list_transform(generate_series(1, 64),
                             i -> v.e[i] * p.pe[i]), (a,b) -> a+b) >= 0
-                        THEN CAST(power(2, p.bit) AS BIGINT) ELSE 0 END AS bit_val
+                        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END AS bit_val
             FROM v CROSS JOIN planes p
         ), bucketed AS (
             SELECT vec_id, table_id, sum(bit_val) AS bucket, any_value(e) AS e
@@ -368,7 +375,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rank <= 10
     """,
     covers=("J1", "W2"),
-    doc="Multi-table LSH ANN (8 tables × 4 hyperplane bits, OR-construction): bucket equi-join shrinks candidates, exact cosine ranks them — full cross-engine oracle; pytest additionally verifies recall vs brute force.",
+    doc=(
+        "Multi-table LSH ANN (8 tables, auto-scaled hyperplane bits = "
+        "ceil(log2(N/64)) so per-query candidates stay O(tables x 64) "
+        "at any corpus size — r6, same integer-exact prm-CTE mirror as "
+        "embedding_near_dup_pairs): bucket equi-join shrinks "
+        "candidates, exact cosine ranks them — full cross-engine "
+        "oracle; pytest additionally verifies recall vs brute force."
+    ),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_topk
