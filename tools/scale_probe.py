@@ -44,6 +44,12 @@ ALLOWED_RATIOS: dict[str, float] = {
     # runs BOTH pair pipelines above and intersects them — inherits
     # their pair-count-driven growth (measured 6.5x at 10x data).
     "dedup_method_agreement": 12.0,
+    # exact deletion-neighborhood join: variant-bucket population is
+    # bounded by LOCAL near-match density, which on the synthetic
+    # dense sequential keyspace grows ~N^0.5 (max bucket 66 → 192 for
+    # 10x; candidate rows 32x for 10x — still 4.5x below the naive
+    # blocked join and exact). Measured 4.8-6.2x wall at 10x data.
+    "fuzzy_name_pairs": 8.0,
     # Candidate volume is ~N*MAX_CELL/2 (linear) but output pair
     # count itself grows ~N; 10x data → ~10x compute by design.
     "semantic_dedup": 15.0,
