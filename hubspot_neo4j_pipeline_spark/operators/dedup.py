@@ -348,8 +348,30 @@ def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
     return bounds
 
 
+def _refine_masks(n_bits: int, bounds: list[tuple[int, int]], i: int, n_sub: int) -> list[int]:
+    """n_sub bit masks partitioning the positions OUTSIDE chunk i into
+    near-equal contiguous runs — the pigeonhole refinement keys for a
+    hot chunk bucket."""
+    s, w = bounds[i]
+    positions = [p for p in range(n_bits) if not s <= p < s + w]
+    base, extra = divmod(len(positions), n_sub)
+    masks, idx = [], 0
+    for j in range(n_sub):
+        width = base + (1 if j < extra else 0)
+        m = 0
+        for p in positions[idx : idx + width]:
+            m |= 1 << p
+        masks.append(m)
+        idx += width
+    return masks
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hot_chunk_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-bucketed
     on (max_hamming + 1) contiguous bit chunks.
@@ -362,10 +384,31 @@ def simhash_near_pairs(
     narrower chunks and hence more bucket collisions; the exact-
     Hamming post-filter keeps precision at 100%. Guarded by the recall
     test in tests/test_dedup.py (exhaustive compare vs brute-force
-    Hamming at radii 3 and 7)."""
+    Hamming at radii 3 and 7).
+
+    ``hot_chunk_df`` (r6): chunk values have LOW ENTROPY on real
+    corpora (common tokens bias the vote bits corpus-wide), so a
+    15-bit chunk bucket grows with N — measured 14,896 docs in one
+    bucket at 500k docs and 1.39 B candidate pairs (176x wall at 100x
+    data). Buckets above the bound are RE-SPLIT, not dropped: each hot
+    row emits max_hamming+1 refinement keys (chunk_id, chunk, sub_id,
+    simhash & mask) where the masks partition the bit positions
+    OUTSIDE the chunk into equal runs. A ≤ max_hamming pair sharing
+    the hot chunk has all its differing bits outside it, so some mask
+    group is untouched and the pair still shares a refinement key —
+    recall stays EXACT (the pigeonhole applied recursively), which is
+    why the registered query's oracle stays the simple unrefined SQL
+    and the output is bit-identical in every mode (equality pinned in
+    tests/test_dedup.py). A hot bucket of k docs collapses from k²/2
+    candidates to the sum over its sub-buckets — bounded by residual
+    bit entropy, measured 43x fewer candidates at 500k docs. Cold
+    buckets join exactly as before (their rows carry a sentinel
+    sub key), and a bucket is entirely hot or entirely cold, so the
+    union never cross-matches."""
     n_chunks = max_hamming + 1
     if n_chunks > SIMHASH_BITS:
         raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    bounds = _chunk_bounds(SIMHASH_BITS, n_chunks)
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         id_col,
@@ -379,22 +422,62 @@ def simhash_near_pairs(
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
-                    for c, (start, width) in enumerate(
-                        _chunk_bounds(SIMHASH_BITS, n_chunks)
-                    )
+                    for c, (start, width) in enumerate(bounds)
                 ]
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    if hot_chunk_df is not None:
+        # cache: the refined path consumes `chunks` four times (df
+        # count, size join, both join sides); without it the 60-vote
+        # simhash aggregation re-executes per consumer (measured 4x
+        # wall at sf0.1). The cached rows are slim (id, hash, chunk).
+        chunks = chunks.cache()
+        # df count reuses the (chunk_id, chunk) shuffle key of the
+        # self-join that follows — one extra partial-agg pass
+        sizes = chunks.groupBy("chunk_id", "chunk").agg(
+            F.count("*").alias("_cdf")
+        )
+        sized = chunks.join(sizes, ["chunk_id", "chunk"])
+        cold = sized.where(F.col("_cdf") <= hot_chunk_df).select(
+            id_col,
+            "simhash",
+            "chunk_id",
+            "chunk",
+            F.lit(-1).alias("sub_id"),
+            F.lit(0).cast("long").alias("sub_val"),
+        )
+        mask_cases = " ".join(
+            f"when chunk_id = {i} and sub_id = {j} then cast(simhash as bigint) & {m}L"
+            for i in range(n_chunks)
+            for j, m in enumerate(_refine_masks(SIMHASH_BITS, bounds, i, n_chunks))
+        )
+        hot = (
+            sized.where(F.col("_cdf") > hot_chunk_df)
+            .select(
+                id_col,
+                "simhash",
+                "chunk_id",
+                "chunk",
+                F.explode(F.array(*[F.lit(j) for j in range(n_chunks)])).alias(
+                    "sub_id"
+                ),
+            )
+            .withColumn("sub_val", F.expr(f"case {mask_cases} end"))
+        )
+        chunks = cold.unionByName(hot)
+        join_keys = ["chunk_id", "chunk", "sub_id", "sub_val"]
+    else:
+        join_keys = ["chunk_id", "chunk"]
     a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_id", "chunk"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), *join_keys
     )
     b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_id", "chunk"
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), *join_keys
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        a.join(b, ["chunk_id", "chunk"])
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", hamming.alias("hamming"))

