@@ -208,6 +208,15 @@ def minhash_lsh_pairs(
     band hash become candidates (equi-join on the band key). Exact
     Jaccard is then computed from the shingle sets of candidates only.
 
+    ``threshold`` is the VERIFY cutoff, not a recall promise: LSH
+    recall at Jaccard J is 1-(1-J^rows)^bands — with the 4×4 default
+    that is ≥0.98 at J≥0.9 but only ~0.23 at J=0.5. The default is
+    tuned for near-duplicate detection (high-J pairs); a caller who
+    needs recall down at J≈0.5 should raise n_perms and keep rows per
+    band ≥4 (e.g. 32 perms × 8 bands → 1-(1-J⁴)⁸ ≈ 0.41 at J=0.5,
+    128 × 32 → 0.87) rather than dropping to 2-row bands, whose J²
+    collision floor is quadratic in corpus size (see DEFAULT_BANDS).
+
     ``max_band_df``: optional cap on a band bucket's document count
     before the self-join. A bucket of k docs emits k² candidate rows,
     so a boilerplate-dominated corpus (one text repeated across a large

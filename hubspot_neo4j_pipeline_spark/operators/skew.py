@@ -57,10 +57,15 @@ def hash_subsplit(
     reproducible in a DuckDB oracle, unlike xxhash64). Joining on
     (group, sub) instead of (group) turns an O(s²) hot-group blowup
     into O(s·max_group) — linear in corpus size with max_group fixed.
-    The size frame is one row per group (bounded), broadcast back: no
-    window shuffle over the full frame. Groups at or under max_group
-    get n_sub=1, so the split is the identity for them — small-SF
-    results are unchanged.
+    The size frame is one row per group; the join back is NOT
+    broadcast-hinted — for a bounded group column (IVF cells, labels)
+    AQE broadcasts it from runtime size stats anyway, and a caller who
+    points this at a high-cardinality group column (band hashes,
+    shingle keys) degrades gracefully to a shuffle join on the group
+    key it already shuffled for, instead of collecting millions of
+    rows to the driver. Groups at or under max_group get n_sub=1, so
+    the split is the identity for them — small-SF results are
+    unchanged.
 
     Used by plans/vector_queries.semantic_dedup (the r5-judge-measured
     70x fat-cell quadratic) and available for any hot-group all-pairs
@@ -74,7 +79,7 @@ def hash_subsplit(
         )
     )
     return (
-        df.join(F.broadcast(sizes), group_col)
+        df.join(sizes, group_col)
         .withColumn(
             out_col,
             F.expr(

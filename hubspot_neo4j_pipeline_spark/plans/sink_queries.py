@@ -34,10 +34,31 @@ from .registry import register
 _SCRATCH = "/tmp/spark_graft_sinks"
 
 
+def _prune_stale(root: str, max_age_s: int = 86400) -> None:
+    """Best-effort removal of OTHER applications' scratch dirs older
+    than a day — the per-appId namespacing that prevents concurrent
+    runs from racing would otherwise leak one parquet copy of the
+    written tables per Spark application, filling /tmp linearly with
+    run count. Age-gating keeps any plausibly-live concurrent run's
+    dirs intact; failures are ignored (another process may prune
+    concurrently)."""
+    import shutil
+    import time
+
+    try:
+        for name in os.listdir(root):
+            path = os.path.join(root, name)
+            if time.time() - os.path.getmtime(path) > max_age_s:
+                shutil.rmtree(path, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _scratch(spark: SparkSession, query: str, sf_dir: str) -> str:
     # applicationId in the path: two data dirs sharing a basename, or
     # two concurrent runs of the same query+SF, must not race each
     # other's overwrite-then-read-back
+    _prune_stale(_SCRATCH)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return f"{_SCRATCH}/{spark.sparkContext.applicationId}/{query}/{tag}"
 

@@ -340,7 +340,14 @@ def _minhash_oracle() -> str:
     "doc_minhash_lsh_pairs",
     oracle=_minhash_oracle(),
     covers=("D1",),
-    doc="MinHash(16 perms, md5-based universal-hash family) + LSH(8 bands × 2 rows) near-dup pairs with verified Jaccard ≥ 0.5 — full cross-engine oracle.",
+    doc=(
+        "MinHash(16 perms, md5-based universal-hash family) + LSH(4 "
+        "bands × 4 rows, r6) near-dup pairs with verified Jaccard ≥ "
+        "0.5 — full cross-engine oracle. LSH recall at Jaccard J is "
+        "1-(1-J⁴)⁴ (≥0.98 at J≥0.9, where this corpus's true pairs "
+        "live); 4-row bands keep the sub-threshold candidate floor at "
+        "J⁴ — see DEFAULT_BANDS in operators/dedup.py."
+    ),
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs
@@ -1102,7 +1109,7 @@ def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
         "masked remaining bits (operators/dedup.simhash_near_pairs) — "
         "recall stays exact, so this oracle remains the simple "
         "unrefined SQL and output is bit-identical in every mode; "
-        "measured 176x → 9.2x wall at 100x data. The bucket join "
+        "measured 176x → 15.7x wall at 100x data. The bucket join "
         "shuffles (chunk_id, chunk, sub, id, sig) rows only."
     ),
 )

@@ -334,7 +334,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH nn AS (SELECT count(*) AS n FROM embeddings
         ), prm AS (
-            SELECT min(p) AS ppt FROM generate_series(4, 20) t(p), nn
+            -- coalesce mirrors auto_planes_per_table's clamp: above
+            -- 64*2^20 vectors no p satisfies the bound and Spark uses
+            -- hi=20; min(p) alone would be NULL and empty the planes
+            SELECT coalesce(min(p), 20) AS ppt FROM generate_series(4, 20) t(p), nn
             WHERE (CAST(1 AS BIGINT) << p) * 64 >= nn.n
         ), v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -342,11 +345,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), numbered AS (
             SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v
         ), planes AS (
-            SELECT CAST((rn - 1) // prm.ppt AS INT) AS table_id,
-                   (rn - 1) % prm.ppt AS bit,
-                   e AS pe
-            FROM numbered, prm
-            WHERE rn <= 8 * prm.ppt
+            -- only FULL tables participate, mirroring lsh_buckets'
+            -- degenerate-corpus guard (a table missing planes would
+            -- bucket coarsely and emit candidates Spark never sees)
+            SELECT table_id, bit, pe FROM (
+                SELECT CAST((rn - 1) // prm.ppt AS INT) AS table_id,
+                       (rn - 1) % prm.ppt AS bit,
+                       e AS pe,
+                       count(*) OVER (PARTITION BY (rn - 1) // prm.ppt)
+                           AS tn,
+                       prm.ppt AS ppt
+                FROM numbered, prm
+                WHERE rn <= 8 * prm.ppt)
+            WHERE tn = ppt
         ), scored AS (
             SELECT v.vec_id, v.e, p.table_id,
                    CASE WHEN list_reduce(list_transform(generate_series(1, 64),
@@ -399,7 +410,10 @@ MAX_BUCKET_DF = 1024  # LSH hot-bucket cap (16x the 64-vector target size)
     oracle=f"""
         WITH nn AS (SELECT count(*) AS n FROM embeddings
         ), prm AS (
-            SELECT min(p) AS ppt FROM generate_series(4, 20) t(p), nn
+            -- coalesce mirrors auto_planes_per_table's clamp: above
+            -- 64*2^20 vectors no p satisfies the bound and Spark uses
+            -- hi=20; min(p) alone would be NULL and empty the planes
+            SELECT coalesce(min(p), 20) AS ppt FROM generate_series(4, 20) t(p), nn
             WHERE (CAST(1 AS BIGINT) << p) * 64 >= nn.n
         ), v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -407,11 +421,19 @@ MAX_BUCKET_DF = 1024  # LSH hot-bucket cap (16x the 64-vector target size)
         ), numbered AS (
             SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v
         ), planes AS (
-            SELECT CAST((rn - 1) // prm.ppt AS INT) AS table_id,
-                   (rn - 1) % prm.ppt AS bit,
-                   e AS pe
-            FROM numbered, prm
-            WHERE rn <= 8 * prm.ppt
+            -- only FULL tables participate, mirroring lsh_buckets'
+            -- degenerate-corpus guard (a table missing planes would
+            -- bucket coarsely and emit candidates Spark never sees)
+            SELECT table_id, bit, pe FROM (
+                SELECT CAST((rn - 1) // prm.ppt AS INT) AS table_id,
+                       (rn - 1) % prm.ppt AS bit,
+                       e AS pe,
+                       count(*) OVER (PARTITION BY (rn - 1) // prm.ppt)
+                           AS tn,
+                       prm.ppt AS ppt
+                FROM numbered, prm
+                WHERE rn <= 8 * prm.ppt)
+            WHERE tn = ppt
         ), scored AS (
             SELECT v.vec_id, v.e, p.table_id,
                    CASE WHEN list_reduce(list_transform(generate_series(1, 64),
@@ -763,8 +785,9 @@ MAX_CELL = 128  # sub-split bound: all-pairs groups never exceed this
         "sub-splitting is the equivalent control applied after a "
         "data-independent assignment). At sf0.01 (50 vectors/cell) no "
         "cell exceeds MAX_CELL, so the split is the identity there. "
-        "The cell-size frame is k rows — broadcast back, no window "
-        "shuffle over N. Reference analog: URL/campaign dedup "
+        "The cell-size frame is k rows — AQE broadcasts it from "
+        "runtime stats, no window shuffle over N. Reference analog: "
+        "URL/campaign dedup "
         "(pipeline.py:209) lifted to vector space."
     ),
 )

@@ -99,9 +99,17 @@ def main() -> int:
             best = el if best is None or el < best else best
         return best
 
+    registry = get_queries()
+    unknown = only - set(registry)
+    if unknown:
+        # a typo'd filter must fail loudly, not probe zero queries and
+        # exit green — this is a GATE, silent passes defeat it
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+
     rows = []
     failures = []
-    for name, fn in sorted(get_queries().items()):
+    for name, fn in sorted(registry.items()):
         if only and name not in only:
             continue
         t_base = timed(fn, base_dir)
