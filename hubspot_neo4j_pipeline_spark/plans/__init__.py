@@ -57,6 +57,17 @@ _DEMOTED = {
     "combined_entity_view",
     "latest_event_per_user",
     "quarterly_deal_trend",
+    # Round 6: two more §2-redundant rows demoted to admit the round's
+    # two rewritten scale flagships (fuzzy_name_pairs: deletion-
+    # neighborhood exact edit-distance join; doc_simhash_pairs:
+    # hot-chunk pigeonhole refinement) so their driver rows record the
+    # NEW code paths. Coverage stays in-window: A8/A11 via
+    # funnel_conversion / edge_match_resolution / user_value_trend /
+    # curation_funnel; A9/A10 via windowed_event_counts /
+    # event_sessionization / change_summary (+ incoming
+    # fuzzy_name_pairs carries A9 itself).
+    "engagement_rates",
+    "status_priority_counts",
 }
 
 _PRIORITY = [
@@ -88,6 +99,9 @@ _PRIORITY = [
     "shard_write_roundtrip",
     "upsert_idempotency_roundtrip",
     "multimodal_decode",
+    # round 6: the two rewritten scale flagships (see _DEMOTED note)
+    "fuzzy_name_pairs",
+    "doc_simhash_pairs",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

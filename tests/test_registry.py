@@ -86,15 +86,20 @@ def test_priority_prefix_spans_all_families():
         "shard_write_roundtrip",
         "upsert_idempotency_roundtrip",
         "multimodal_decode",
+        # round 6: rewritten scale flagships (deletion-neighborhood
+        # edit-distance join; simhash hot-chunk pigeonhole refinement)
+        "fuzzy_name_pairs",
+        "doc_simhash_pairs",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Eight §2-redundant queries are rotated past the driver's
+    """Ten §2-redundant queries are rotated past the driver's
     50-query window (five in r4 for the sequence/sketch/funnel/
     semantic-dedup flagships, three in r5 for the sink round-trips and
-    the real media decode); they
+    the real media decode, two in r6 for the rewritten
+    fuzzy_name_pairs / doc_simhash_pairs scale flagships); they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
@@ -110,6 +115,8 @@ def test_demoted_queries_still_registered_with_oracles():
         "combined_entity_view",
         "latest_event_per_user",
         "quarterly_deal_trend",
+        "engagement_rates",
+        "status_priority_counts",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"
