@@ -29,8 +29,11 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
     # Per-query MIN over `reps` passes: the host VM shows multi-second
-    # GC/steal stalls that would otherwise dominate single-shot numbers.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # GC/steal stalls that would otherwise dominate single-shot numbers
+    # (r7: 3 warm reps by default — BENCH_LOCAL varied 62-73 s
+    # run-to-run at 2, muddying the round-over-round regression gate;
+    # tools/bench_compare.py flags on these min-of-3 numbers).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run while
     # iterating on one query; the driver never sets it.
     only = {

@@ -117,15 +117,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, n_perms: int = DEFAULT_PERMS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perms: int = DEFAULT_PERMS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingles, sig: array<long>) — n_perms seeded-xxhash64 minima.
 
     One pass over the shingle array per permutation; all codegen'd.
+
+    ``shingles``: optional pre-computed (id_col, shingles) frame — pass
+    it when another pipeline stage already tokenized/shingled the same
+    corpus (e.g. dedup_method_agreement runs the exact-overlap AND the
+    MinHash pair generators over one cached shingle scan instead of
+    re-deriving the grams twice). Must carry the ``shingle_set``
+    semantics (distinct k-word grams); the empty-array filter is
+    re-applied here, so an unfiltered frame is fine.
     """
-    with_sh = df.select(id_col, shingle_set(text_col).alias("shingles")).where(
-        F.size("shingles") > 0
-    )
+    if shingles is not None:
+        with_sh = shingles.select(id_col, "shingles")
+    else:
+        with_sh = df.select(id_col, shingle_set(text_col).alias("shingles"))
+    with_sh = with_sh.where(F.size("shingles") > 0)
     # One base hash per shingle, then n_perms universal-hash
     # permutations (a·h+b mod p) over the 31-bit base — tiny arithmetic
     # expressions instead of n_perms inlined hash routines (which
@@ -201,6 +215,7 @@ def minhash_lsh_pairs(
     n_bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     max_band_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with verified shingle-Jaccard.
 
@@ -227,11 +242,15 @@ def minhash_lsh_pairs(
     exact_dedup FIRST so identical texts never reach this join.
     Default None preserves exact oracle semantics for the registered
     query; the skew-stress tests pin the capped path.
+
+    ``shingles``: optional pre-computed (id_col, shingles) frame shared
+    with other consumers of the same corpus scan — see
+    ``minhash_signature``.
     """
     # cache: the signature plan (n_perms array transforms) feeds three
     # downstream joins; caching cuts the expression tree so Catalyst
     # analyzes the big plan once, not once per consumer.
-    sigs = minhash_signature(df, id_col, text_col, n_perms).cache()
+    sigs = minhash_signature(df, id_col, text_col, n_perms, shingles=shingles).cache()
     bands = minhash_bands(sigs, id_col, n_perms, n_bands)
     if max_band_df is not None:
         # df computation reuses the (band_id, band_hash) shuffle key of

@@ -111,6 +111,7 @@ def edit_distance_pairs(
     text_col: str,
     block_col: str | None = None,
     max_distance: int = 2,
+    min_variant_len: int | None = None,
 ) -> DataFrame:
     """Exact edit-distance self-join: all pairs (id_a < id_b) with
     levenshtein(text_a, text_b) <= max_distance, optionally restricted
@@ -132,24 +133,56 @@ def edit_distance_pairs(
     array_distinct, max bucket 66, 1.4M pre-dedup candidate rows —
     and candidate volume grows LINEARLY with N where the blocked
     all-pairs join grows quadratically; scale probe: 35.4x → 4.8x
-    wall at 10x data). The join shuffles slim (block, variant, id)
-    rows. Per-row fan-out is <= 1 + L + L(L-1)/2 variants (172 for
-    L=18) — the classic deletion-neighborhood / Pass-Join family
-    (Li et al., VLDB 2011) expressed as DataFrame algebra.
+    wall at 10x data). Per-row fan-out is <= 1 + L + L(L-1)/2
+    variants (172 for L=18) — the classic deletion-neighborhood /
+    Pass-Join family (Li et al., VLDB 2011) as DataFrame algebra.
+
+    Shuffle discipline (r7): the candidate join keys on
+    xxhash64(variant) — an 8-byte long — instead of the raw L-d-char
+    variant string, the same equality-only-key trick as
+    doc_shingle_candidates (plans/text_queries.py). Equal variants
+    hash equal, so recall is untouched; a hash collision between
+    UNEQUAL variants only widens the candidate superset and the
+    levenshtein verify removes it, so the output stays bit-identical
+    while shuffle bytes per key drop from ~L to 8.
+
+    Minimum-length assumption: the "bucket population ~ local
+    near-match density" bound assumes strings are long relative to
+    max_distance. Every string with length <= d shares the
+    empty-string variant (and length-(d+1) strings share single-char
+    variants), so a corpus dominated by very short values degrades
+    the candidate join toward all-pairs within a block — output stays
+    exact (the verify), but the scale bound silently disappears.
+    `min_variant_len=m` restores it: variants shorter than m are
+    dropped, but ONLY for rows with length(s) >= m + d. Exactness is
+    preserved: if both sides of a true pair have length >= m + d, the
+    alignment-derived common variant has length >= min(len) - d >= m
+    and survives; if either side is shorter than m + d its variants
+    are all kept, so every true pair still shares a surviving key.
     """
     cols = [F.col(id_col).alias("_eid"), F.col(text_col).alias("_s")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("_blk"))
     base = df.select(*cols)
+    variants = F.expr(_deletion_variants_sql("_s", max_distance))
+    if min_variant_len is not None:
+        variants = F.when(
+            F.length("_s") >= min_variant_len + max_distance,
+            F.filter(variants, lambda v: F.length(v) >= min_variant_len),
+        ).otherwise(variants)
     keys = base.select(
         "_eid",
         *(["_blk"] if block_col is not None else []),
-        F.explode(F.expr(_deletion_variants_sql("_s", max_distance))).alias("_v"),
+        F.explode(variants).alias("_v"),
+    ).select(
+        "_eid",
+        *(["_blk"] if block_col is not None else []),
+        F.xxhash64("_v").alias("_vh"),
     )
     blk = ["_blk"] if block_col is not None else []
-    join_on = ["_v"] + blk
+    join_on = ["_vh"] + blk
     a = keys.select(*(F.col(c).alias(c) for c in join_on), F.col("_eid").alias("id_a"))
-    b = keys.select("_v", *(F.col(c) for c in blk), F.col("_eid").alias("id_b"))
+    b = keys.select("_vh", *(F.col(c) for c in blk), F.col("_eid").alias("id_b"))
     cand = (
         a.join(b, join_on)
         .where(F.col("id_a") < F.col("id_b"))
@@ -157,7 +190,12 @@ def edit_distance_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     texts = base.select("_eid", "_s")
-    dist = F.levenshtein(F.col("_sa"), F.col("_sb"))
+    # Bounded verify: levenshtein's threshold form stops each DP at
+    # distance max_distance+? and returns -1 past it — O(L·d) per pair
+    # instead of O(L²), and the returned value equals the unbounded
+    # distance whenever it is <= the threshold, so the kept rows (and
+    # the distance column) are bit-identical to the naive form.
+    dist = F.levenshtein(F.col("_sa"), F.col("_sb"), max_distance)
     out_blk = [F.col("_blk").alias(block_col)] if block_col is not None else []
     return (
         cand.join(
@@ -166,6 +204,6 @@ def edit_distance_pairs(
         .join(
             texts.select(F.col("_eid").alias("id_b"), F.col("_s").alias("_sb")), "id_b"
         )
-        .where(dist <= max_distance)
+        .where((dist >= 0) & (dist <= max_distance))
         .select("id_a", "id_b", dist.cast("long").alias("distance"), *out_blk)
     )

@@ -12,9 +12,14 @@ reference batches by hand (loaders/neo4j_loader.py:80-102), and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
 
 NEO4J_FORMAT = "org.neo4j.spark.DataSource"
+
+# Reference batches bolt statements 100 rows at a time
+# (config/settings.py:59 BATCH_SIZE, loaders/neo4j_loader.py:89-101).
+DEFAULT_BATCH_SIZE = 100
 
 
 def connector_available(spark) -> bool:
@@ -135,6 +140,227 @@ def write_nodes(
     for k, v in node_write_options(label, key).items():
         w = w.option(k, v)
     w.mode("overwrite").save()
+
+
+# ---------------------------------------------------------------------------
+# Dry-run sink (r6 VERDICT task: "close the Neo4j sink gap executably").
+# No connector jar or server exists in this sandbox, so the executable
+# path emits the EXACT batched UNWIND/MERGE parameter payloads the
+# reference sends over bolt (loaders/neo4j_loader.py:80-162) as JSON
+# rows a later `cypher-shell`/driver replay — or the golden tests —
+# can consume. Batching (100 rows, settings.py:59), per-rel-type
+# grouping (neo4j_loader.py:109-116), the email-matched branch
+# (:126-128,148-162) and the SET-clause shapes are all replicated;
+# the reference's "list order" batching becomes deterministic key
+# order (a DataFrame has no input order to preserve).
+# ---------------------------------------------------------------------------
+
+
+def _json_array(row_json, *order_cols: Column) -> Column:
+    """Aggregate per-row JSON strings into one JSON array text,
+    ordered by the TYPED ``order_cols`` prefix.
+
+    Serializing each row before the collect keeps the pipeline
+    orderable (structs containing maps can't feed array_sort), and
+    sorting on the typed key columns — not the JSON text — keeps the
+    intra-batch order identical to the batching window's key order
+    (text order would put "10" before "2")."""
+    item = F.struct(*order_cols, row_json.alias("_j"))
+    arr = F.sort_array(F.collect_list(item))
+    return F.concat(
+        F.lit("["),
+        F.concat_ws(",", F.transform(arr, lambda x: x["_j"])),
+        F.lit("]"),
+    )
+
+
+def node_upsert_cypher(
+    label: str, key: str = "hubspot_id", custom_labels: tuple[str, ...] = ()
+) -> str:
+    """The per-batch node upsert statement (neo4j_loader.py:92-97):
+    UNWIND the batch, MERGE on the key, SET any custom labels then
+    replace all properties."""
+    extra = "".join(f"n:{cl}, " for cl in custom_labels)
+    return (
+        f"UNWIND $nodes AS node "
+        f"MERGE (n:{label} {{{key}: node.{key}}}) "
+        f"SET {extra}n = node"
+    )
+
+
+def edge_merge_cypher(
+    rel_type: str, from_label: str, to_label: str, email_matched: bool = False
+) -> str:
+    """The per-batch relationship statement. Standard form matches both
+    endpoints by hubspot_id (neo4j_loader.py:130-143); the
+    email-matched form anchors the source side on HUBSPOT_Contact.email
+    instead (:148-162), used when the transform only knows the
+    contact's address (S14)."""
+    if email_matched:
+        a = "MATCH (a:HUBSPOT_Contact {email: rel.from_email})"
+    else:
+        a = f"MATCH (a:{from_label} {{hubspot_id: rel.from_id}})"
+    return (
+        f"UNWIND $rels AS rel {a} "
+        f"MATCH (b:{to_label} {{hubspot_id: rel.to_id}}) "
+        f"MERGE (a)-[r:{rel_type}]->(b) "
+        f"SET r = rel.properties"
+    )
+
+
+def dry_run_node_payloads(
+    nodes: DataFrame,
+    label: str,
+    key: str = "hubspot_id",
+    custom_labels: tuple[str, ...] = (),
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> DataFrame:
+    """One row per bolt statement the reference would issue for this
+    node type: (label, batch_id, n_nodes, cypher, params_json).
+
+    params_json is the JSON array of node property maps for the
+    batch's UNWIND parameter, in ascending key order (batch membership
+    and intra-batch order are both key-ordered, so the payload set is
+    a pure function of the data — reference list order is an artifact
+    of extraction order). Scale note: a global row_number drives batch
+    assignment — inherently serial, matching the sink it emulates
+    (bolt executes these statements one session at a time); this sink
+    is for bounded upsert sets, not 100 TB table dumps.
+    """
+    cols = nodes.columns
+    ordered = [key] + [c for c in cols if c != key]
+    w = Window.orderBy(key)
+    batched = nodes.dropDuplicates([key]).select(
+        F.struct(*[F.col(c) for c in ordered]).alias("node"),
+        ((F.row_number().over(w) - 1) / batch_size).cast("long").alias("batch_id"),
+    )
+    return (
+        batched.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            _json_array(
+                F.to_json("node"), F.col("node").getField(key).alias("_k")
+            ).alias("params_json"),
+        )
+        .select(
+            F.lit(label).alias("label"),
+            "batch_id",
+            "n_nodes",
+            F.lit(node_upsert_cypher(label, key, custom_labels)).alias("cypher"),
+            "params_json",
+        )
+    )
+
+
+def dry_run_edge_payloads(
+    edges: DataFrame, batch_size: int = DEFAULT_BATCH_SIZE
+) -> DataFrame:
+    """One row per bolt statement for a heterogeneous edge frame with
+    columns (rel_type, from_type, to_type, to_id, from_id and/or
+    from_email, optional properties map).
+
+    Replicates the reference's relationship loading exactly
+    (neo4j_loader.py:104-162): rows group by
+    `{from_type}_{rel_type}_{to_type}` (:110), each group batches in
+    deterministic order, and a group whose rows carry a from_email
+    takes the email-matched MATCH branch (:126-128). Output:
+    (group_key, rel_type, from_type, to_type, email_matched, batch_id,
+    n_rels, cypher, params_json).
+    """
+    cols = set(edges.columns)
+    has_email = "from_email" in cols
+    has_id = "from_id" in cols
+    if not (has_email or has_id):
+        raise ValueError("edge frame needs a from_id or from_email column")
+    from_id = F.col("from_id") if has_id else F.lit(None).cast("string")
+    from_email = F.col("from_email") if has_email else F.lit(None).cast("string")
+    props = (
+        F.col("properties")
+        if "properties" in cols
+        else F.from_json(F.lit("{}"), "map<string,string>")
+    )
+    base = edges.select(
+        F.concat_ws("_", "from_type", "rel_type", "to_type").alias("group_key"),
+        F.col("rel_type"),
+        F.col("from_type"),
+        F.col("to_type"),
+        from_id.cast("string").alias("from_id"),
+        from_email.cast("string").alias("from_email"),
+        F.col("to_id").cast("string").alias("to_id"),
+        props.alias("properties"),
+    )
+    # the reference branches on the FIRST rel of each group (:126);
+    # with deterministic grouping the equivalent group-level fact is
+    # "this group's rows carry from_email" — mixed groups would be a
+    # data bug either way, surfaced here by max() picking email mode
+    # only when present
+    wg = Window.partitionBy("group_key")
+    wo = Window.partitionBy("group_key").orderBy("to_id", "from_id", "from_email")
+    batched = base.select(
+        "*",
+        F.max(F.col("from_email").isNotNull()).over(wg).alias("email_matched"),
+        ((F.row_number().over(wo) - 1) / batch_size).cast("long").alias("batch_id"),
+    )
+    rel_struct = F.struct(
+        F.col("to_id"),
+        F.col("from_id"),
+        F.col("from_email"),
+        F.col("rel_type").alias("type"),
+        F.col("from_type"),
+        F.col("to_type"),
+        F.col("properties"),
+    )
+    grouped = batched.groupBy(
+        "group_key", "rel_type", "from_type", "to_type", "email_matched", "batch_id"
+    ).agg(
+        F.count("*").alias("n_rels"),
+        _json_array(
+            F.to_json(rel_struct),
+            F.col("to_id").alias("_k1"),
+            F.col("from_id").alias("_k2"),
+            F.col("from_email").alias("_k3"),
+        ).alias("params_json"),
+    )
+    # the same templates as edge_merge_cypher, built as column exprs
+    # (tests pin the column-built text == the Python-built text)
+    std = F.concat(
+        F.lit("UNWIND $rels AS rel MATCH (a:"),
+        F.col("from_type"),
+        F.lit(" {hubspot_id: rel.from_id}) MATCH (b:"),
+        F.col("to_type"),
+        F.lit(" {hubspot_id: rel.to_id}) MERGE (a)-[r:"),
+        F.col("rel_type"),
+        F.lit("]->(b) SET r = rel.properties"),
+    )
+    eml = F.concat(
+        F.lit(
+            "UNWIND $rels AS rel MATCH (a:HUBSPOT_Contact "
+            "{email: rel.from_email}) MATCH (b:"
+        ),
+        F.col("to_type"),
+        F.lit(" {hubspot_id: rel.to_id}) MERGE (a)-[r:"),
+        F.col("rel_type"),
+        F.lit("]->(b) SET r = rel.properties"),
+    )
+    cypher = F.when(F.col("email_matched"), eml).otherwise(std)
+    return grouped.select(
+        "group_key",
+        "rel_type",
+        "from_type",
+        "to_type",
+        "email_matched",
+        "batch_id",
+        "n_rels",
+        cypher.alias("cypher"),
+        "params_json",
+    )
+
+
+def write_dry_run(payloads: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize dry-run payloads as a JSON-lines dataset (the
+    existing S11 sink) — one statement per line, replayable in group
+    then batch order."""
+    payloads.write.mode(mode).json(path)
 
 
 def write_edges(

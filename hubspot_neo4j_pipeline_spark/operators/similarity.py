@@ -119,14 +119,18 @@ def lsh_buckets(
     vec_col: str = "embedding",
     n_tables: int = 8,
     planes_per_table: int | None = 4,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: one (table_id, bucket) row per
     vector per table (OR-construction).
 
     ``planes_per_table=None`` derives the plane count from the corpus
-    size via ``auto_planes_per_table`` (one driver-side ``count()`` —
-    parquet-metadata cheap, bounded output; the count is the only
-    datum collected).
+    size via ``auto_planes_per_table``. Pass ``n_vectors`` (e.g. from
+    parquet footer metadata / catalog stats —
+    ``sources.tpch.table_row_count``) to avoid the fallback
+    ``df.count()`` job: the plane count is a pure integer function of
+    N, so a metadata count is exact and costs no scan (r7; the r6
+    shape ran one count() job per invocation, a full scan at 100 TB).
 
     A single b-plane table recalls a cos≈0.4 neighbor with prob
     (1-θ/π)^b ≈ 0.63^b — hopeless for b=8. AND over `planes_per_table`
@@ -136,7 +140,9 @@ def lsh_buckets(
     data-derived, no RNG.
     """
     if planes_per_table is None:
-        planes_per_table = auto_planes_per_table(df.count())
+        planes_per_table = auto_planes_per_table(
+            n_vectors if n_vectors is not None else df.count()
+        )
     n_planes = n_tables * planes_per_table
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("e"))
     # All planes collected into ONE broadcast row (array of structs,
@@ -187,6 +193,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     planes_per_table: int | None = None,
     max_bucket_df: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates restricted to shared LSH buckets — the
@@ -210,7 +217,9 @@ def embedding_near_dup_pairs(
     # cache: the bucket plan (n_planes dot-folds) feeds both sides of
     # the self-join; caching cuts the expression tree so Catalyst
     # analyzes it once instead of once per join side.
-    bucketed = lsh_buckets(df, id_col, vec_col, n_tables, planes_per_table).cache()
+    bucketed = lsh_buckets(
+        df, id_col, vec_col, n_tables, planes_per_table, n_vectors=n_vectors
+    ).cache()
     pairs_src = bucketed
     if max_bucket_df is not None:
         cold = (
@@ -380,6 +389,7 @@ def lsh_topk(
     n_tables: int = 8,
     planes_per_table: int | None = None,
     n_queries: int = 100,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any table's
     bucket with the query (equi-join on (table_id, bucket), dedup,
@@ -395,7 +405,9 @@ def lsh_topk(
     (linear cost)."""
     # cache: see embedding_near_dup_pairs — one analysis of the plane
     # fold tree instead of one per consumer.
-    bucketed = lsh_buckets(df, id_col, vec_col, n_tables, planes_per_table).cache()
+    bucketed = lsh_buckets(
+        df, id_col, vec_col, n_tables, planes_per_table, n_vectors=n_vectors
+    ).cache()
     queries = bucketed.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "table_id", "bucket", F.col("e").alias("qe")
     )

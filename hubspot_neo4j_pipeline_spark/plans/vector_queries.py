@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tpch import load_table
+from ..sources.tpch import load_table, table_row_count
 from .registry import register
 
 
@@ -399,7 +399,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, id_col="vec_id", vec_col="embedding", k=10)
+    # plane count from parquet footer metadata — no count() scan job
+    return lsh_topk(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+        n_vectors=table_row_count(spark, sf_dir, "embeddings"),
+    )
 
 
 MAX_BUCKET_DF = 1024  # LSH hot-bucket cap (16x the 64-vector target size)
@@ -479,7 +486,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_dup_pairs as _pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _pairs(emb, threshold=0.4, max_bucket_df=MAX_BUCKET_DF)
+    # plane count from parquet footer metadata — no count() scan job
+    return _pairs(
+        emb,
+        threshold=0.4,
+        max_bucket_df=MAX_BUCKET_DF,
+        n_vectors=table_row_count(spark, sf_dir, "embeddings"),
+    )
 
 
 @register(

@@ -105,6 +105,46 @@ def load_table(
     return df
 
 
+_ROW_COUNT_CACHE: dict[str, int] = {}
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no data pages
+    read, no Spark job. Used by the LSH auto-plane path
+    (operators/similarity.auto_planes_per_table), whose plane count is
+    a pure function of N: a ``df.count()`` there was one extra scan
+    job per query invocation (r6 VERDICT cost nit), and at 100 TB a
+    full scan. Footer num_rows is exact for parquet regardless of
+    filters because none are applied here.
+
+    Cached per resolved path for the session lifetime — the test
+    tables are immutable snapshots, so verify/bench/probe runs that
+    invoke several LSH queries over one sf_dir pay for the footers
+    once. At production scale, swap the footer walk for catalog table
+    stats (ANALYZE-collected rowCount) — same integer, no driver-side
+    file listing.
+    """
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    n = _ROW_COUNT_CACHE.get(path)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                n = sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                n = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            # non-local / non-parquet path: fall back to one Spark job
+            n = load_table(spark, sf_dir, name, spread=False).count()
+        _ROW_COUNT_CACHE[path] = n
+    return n
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -1,0 +1,211 @@
+"""Executed round-trip tests for the Neo4j DRY-RUN sink — the
+jar-free closure of the connector gap (r6 VERDICT task 6).
+
+The dry-run emits the exact batched UNWIND/MERGE parameter payloads
+the reference sends over bolt (loaders/neo4j_loader.py:80-162,
+config/settings.py:59 BATCH_SIZE=100). These tests pin:
+- batch boundaries (100-row batches, remainder last) against a pure
+  Python re-enactment of the reference's `range(0, len, BATCH_SIZE)`
+  slicing over the same deterministic order;
+- per-(from_type, rel_type, to_type) grouping, key text
+  `{from}_{type}_{to}` exactly as neo4j_loader.py:110 builds it;
+- the email-matched MATCH branch selection (:126-128);
+- the statement texts (node :92-97, standard edge :130-143, email
+  edge :148-162);
+- a full write → read-back → reconstruct round-trip through the JSON
+  sink, proving no row is lost or duplicated.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hubspot_neo4j_pipeline_spark.operators.neo4j_sink import (
+    dry_run_edge_payloads,
+    dry_run_node_payloads,
+    edge_merge_cypher,
+    node_upsert_cypher,
+    write_dry_run,
+)
+
+
+def _node_rows(n):
+    return [(i, f"user{i}@example.com", f"Name {i}") for i in range(n)]
+
+
+def test_node_batching_matches_reference_slicing(spark):
+    df = spark.createDataFrame(
+        _node_rows(250), "hubspot_id int, email string, name string"
+    )
+    out = dry_run_node_payloads(df, "HUBSPOT_Contact").orderBy("batch_id").collect()
+    # reference: range(0, 250, 100) -> batches of 100, 100, 50
+    assert [r["n_nodes"] for r in out] == [100, 100, 50]
+    assert [r["batch_id"] for r in out] == [0, 1, 2]
+    for r in out:
+        assert r["label"] == "HUBSPOT_Contact"
+        assert r["cypher"] == (
+            "UNWIND $nodes AS node "
+            "MERGE (n:HUBSPOT_Contact {hubspot_id: node.hubspot_id}) "
+            "SET n = node"
+        )
+    # batch membership is key order: batch 0 = ids 0..99, etc.
+    parsed = [json.loads(r["params_json"]) for r in out]
+    assert [n["hubspot_id"] for n in parsed[0]] == list(range(100))
+    assert [n["hubspot_id"] for n in parsed[2]] == list(range(200, 250))
+    # every input row appears exactly once across batches, fields intact
+    flat = [n for batch in parsed for n in batch]
+    assert len(flat) == 250
+    assert flat[7] == {
+        "hubspot_id": 7,
+        "email": "user7@example.com",
+        "name": "Name 7",
+    }
+
+
+def test_node_payloads_dedup_on_key_and_custom_labels(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "hubspot_id int, email string"
+    )
+    out = dry_run_node_payloads(
+        df, "HUBSPOT_Company", custom_labels=("Acme", "Priority")
+    ).collect()
+    assert len(out) == 1 and out[0]["n_nodes"] == 2  # MERGE-idempotent input
+    # custom label SET prefix, exactly the reference's layout (:85,96)
+    assert out[0]["cypher"] == (
+        "UNWIND $nodes AS node "
+        "MERGE (n:HUBSPOT_Company {hubspot_id: node.hubspot_id}) "
+        "SET n:Acme, n:Priority, n = node"
+    )
+    assert node_upsert_cypher("X", "url") == (
+        "UNWIND $nodes AS node MERGE (n:X {url: node.url}) SET n = node"
+    )
+
+
+EDGE_SCHEMA = (
+    "rel_type string, from_type string, to_type string, "
+    "from_id string, from_email string, to_id string, "
+    "properties map<string,string>"
+)
+
+
+def _edge_rows():
+    rows = [
+        # 120 standard WORKS_AT edges -> 2 batches in one group
+        (
+            "WORKS_AT",
+            "HUBSPOT_Contact",
+            "HUBSPOT_Company",
+            f"c{i:03d}",
+            None,
+            f"co{i:03d}",
+            {"since": str(2000 + i % 20)},
+        )
+        for i in range(120)
+    ]
+    # 5 email-matched PERFORMED edges (S14): no from_id, only from_email
+    rows += [
+        (
+            "PERFORMED",
+            "HUBSPOT_Contact",
+            "HUBSPOT_EmailOpenEvent",
+            None,
+            f"user{i}@example.com",
+            f"ev{i}",
+            {},
+        )
+        for i in range(5)
+    ]
+    # 3 BELONGS_TO edges, a second standard group
+    rows += [
+        ("BELONGS_TO", "HUBSPOT_Deal", "HUBSPOT_Company", f"d{i}", None, f"co{i}", {})
+        for i in range(3)
+    ]
+    return rows
+
+
+def test_edge_grouping_batching_and_branch_selection(spark):
+    df = spark.createDataFrame(_edge_rows(), EDGE_SCHEMA)
+    out = dry_run_edge_payloads(df).orderBy("group_key", "batch_id").collect()
+
+    # reference grouping key text (neo4j_loader.py:110)
+    groups = {}
+    for r in out:
+        groups.setdefault(r["group_key"], []).append(r)
+    assert set(groups) == {
+        "HUBSPOT_Contact_WORKS_AT_HUBSPOT_Company",
+        "HUBSPOT_Contact_PERFORMED_HUBSPOT_EmailOpenEvent",
+        "HUBSPOT_Deal_BELONGS_TO_HUBSPOT_Company",
+    }
+
+    # batch slicing per group, as range(0, len, 100) would produce
+    wa = groups["HUBSPOT_Contact_WORKS_AT_HUBSPOT_Company"]
+    assert [r["n_rels"] for r in wa] == [100, 20]
+    assert all(not r["email_matched"] for r in wa)
+    assert wa[0]["cypher"] == edge_merge_cypher(
+        "WORKS_AT", "HUBSPOT_Contact", "HUBSPOT_Company"
+    )
+    assert wa[0]["cypher"] == (
+        "UNWIND $rels AS rel "
+        "MATCH (a:HUBSPOT_Contact {hubspot_id: rel.from_id}) "
+        "MATCH (b:HUBSPOT_Company {hubspot_id: rel.to_id}) "
+        "MERGE (a)-[r:WORKS_AT]->(b) SET r = rel.properties"
+    )
+
+    # email group routes to the email-matched MATCH (:126-128,148-162)
+    pf = groups["HUBSPOT_Contact_PERFORMED_HUBSPOT_EmailOpenEvent"]
+    assert len(pf) == 1 and pf[0]["n_rels"] == 5 and pf[0]["email_matched"]
+    assert pf[0]["cypher"] == edge_merge_cypher(
+        "PERFORMED", "HUBSPOT_Contact", "HUBSPOT_EmailOpenEvent", email_matched=True
+    )
+    assert "MATCH (a:HUBSPOT_Contact {email: rel.from_email})" in pf[0]["cypher"]
+
+    # payload dicts carry the reference's rel-dict fields
+    rels = json.loads(pf[0]["params_json"])
+    assert {r["from_email"] for r in rels} == {
+        f"user{i}@example.com" for i in range(5)
+    }
+    assert all(r["type"] == "PERFORMED" and "from_id" not in r for r in rels)
+
+
+def test_edge_payload_roundtrip_through_json_sink(spark, tmp_path):
+    df = spark.createDataFrame(_edge_rows(), EDGE_SCHEMA)
+    path = str(tmp_path / "dryrun")
+    write_dry_run(dry_run_edge_payloads(df), path)
+    back = spark.read.json(path)
+    stmts = back.collect()
+    assert len(stmts) == 4  # 2 + 1 + 1 batches
+    # reconstruct every rel from the replayable payloads: nothing lost,
+    # nothing duplicated, properties intact
+    rebuilt = []
+    for s in stmts:
+        for rel in json.loads(s["params_json"]):
+            rebuilt.append(
+                (
+                    rel["type"],
+                    rel["from_type"],
+                    rel["to_type"],
+                    rel.get("from_id"),
+                    rel.get("from_email"),
+                    rel["to_id"],
+                    rel.get("properties", {}),
+                )
+            )
+    expect = {
+        (rt, ft, tt, fi, fe, ti, tuple(sorted((p or {}).items())))
+        for rt, ft, tt, fi, fe, ti, p in _edge_rows()
+    }
+    got = {
+        (rt, ft, tt, fi, fe, ti, tuple(sorted((p or {}).items())))
+        for rt, ft, tt, fi, fe, ti, p in rebuilt
+    }
+    assert got == expect and len(rebuilt) == 128
+
+
+def test_edge_frame_requires_a_source_key(spark):
+    df = spark.createDataFrame(
+        [("X", "A", "B", "t1")], "rel_type string, from_type string, to_type string, to_id string"
+    )
+    with pytest.raises(ValueError, match="from_id or from_email"):
+        dry_run_edge_payloads(df)
