@@ -216,6 +216,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_band_df: int | None = None,
     shingles: DataFrame | None = None,
+    band_slice: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with verified shingle-Jaccard.
 
@@ -246,6 +247,24 @@ def minhash_lsh_pairs(
     ``shingles``: optional pre-computed (id_col, shingles) frame shared
     with other consumers of the same corpus scan — see
     ``minhash_signature``.
+
+    Caching note: the signature frame is ``.cache()``d internally
+    (three downstream consumers). Spark caches are unpinned lazily, so
+    a long-lived session invoking this repeatedly accumulates cached
+    plans until storage eviction; batch tools call
+    ``spark.catalog.clearCache()`` between queries (bench.py,
+    tools/verify_queries.py do) — library callers with long sessions
+    should do the same. The same note applies to simhash_near_pairs'
+    chunk cache and the LSH bucket caches in operators/similarity.py.
+
+    ``band_slice=(K, r)``: keep only band buckets whose first two
+    band_hash hex digits satisfy ``int(hex2, 16) % K == r`` — a
+    deterministic 1/K sample OF BUCKETS (not documents). Both engines
+    compute the identical md5 band_hash, so the slice is cross-engine
+    exact: it makes full-pipeline oracle verification affordable at
+    100x data (the DuckDB candidate self-join shrinks Kx while Spark
+    still exercises the full signature/banding path). Verification
+    aid, not a recall knob — production leaves it None.
     """
     # cache: the signature plan (n_perms array transforms) feeds three
     # downstream joins; caching cuts the expression tree so Catalyst
@@ -263,13 +282,22 @@ def minhash_lsh_pairs(
             .select("band_id", "band_hash")
         )
         bands = bands.join(cold, ["band_id", "band_hash"])
+    if band_slice is not None:
+        k, r = band_slice
+        bands = bands.where(
+            F.expr(
+                f"cast(conv(substr(band_hash, 1, 2), 16, 10) as bigint) "
+                f"% {k} = {r}"
+            )
+        )
 
-    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    # in-bucket pair expansion (one shuffle, i < j only) instead of a
+    # two-sided band self-join — see operators/skew.bucket_self_pairs
+    from .skew import bucket_self_pairs
+
     candidates = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucket_self_pairs(bands, ["band_id", "band_hash"], id_col)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     sh = sigs.select(F.col(id_col), F.col("shingles"))
@@ -319,12 +347,13 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle")
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # in-bucket pair expansion — one row per shared shingle per pair,
+    # exactly what the count needs (see operators/skew.bucket_self_pairs)
+    from .skew import bucket_self_pairs
+
     return (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        bucket_self_pairs(sh, ["shingle"], id_col)
+        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count("*").alias("shared_shingles"))
         .where(F.col("shared_shingles") >= min_shared)
     )
@@ -400,6 +429,7 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     hot_chunk_df: int | None = None,
+    chunk_slice: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-bucketed
     on (max_hamming + 1) contiguous bit chunks.
@@ -432,7 +462,18 @@ def simhash_near_pairs(
     bit entropy, measured 43x fewer candidates at 500k docs. Cold
     buckets join exactly as before (their rows carry a sentinel
     sub key), and a bucket is entirely hot or entirely cold, so the
-    union never cross-matches."""
+    union never cross-matches.
+
+    Caching note: on the hot-chunk path ``chunks`` is ``.cache()``d
+    (four consumers) — see minhash_lsh_pairs' caching note for the
+    long-lived-session guidance.
+
+    ``chunk_slice=(K, r)``: keep only buckets with chunk % K == r — a
+    deterministic 1/K sample of CANDIDATE BUCKETS, identical in both
+    engines (chunk is a non-negative bit segment of the signature).
+    Applied before refinement, so hot-bucket handling is unchanged for
+    kept buckets. Verification aid for 100x-scale oracle runs (see
+    minhash_lsh_pairs.band_slice); production leaves it None."""
     n_chunks = max_hamming + 1
     if n_chunks > SIMHASH_BITS:
         raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
@@ -455,6 +496,9 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    if chunk_slice is not None:
+        k, r = chunk_slice
+        chunks = chunks.where(F.col("chunk") % k == r)
     if hot_chunk_df is not None:
         # cache: the refined path consumes `chunks` four times (df
         # count, size join, both join sides); without it the 60-vote
@@ -497,16 +541,22 @@ def simhash_near_pairs(
         join_keys = ["chunk_id", "chunk", "sub_id", "sub_val"]
     else:
         join_keys = ["chunk_id", "chunk"]
-    a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), *join_keys
-    )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), *join_keys
-    )
+    # in-bucket pair expansion (one shuffle, i < j only) instead of a
+    # two-sided chunk self-join — see operators/skew.bucket_self_pairs.
+    # The item struct leads with the id, so pair order is id order;
+    # the signature rides along and never needs a re-attach join.
+    from .skew import bucket_self_pairs
+
+    item = F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        a.join(b, join_keys)
-        .where(F.col("id_a") < F.col("id_b"))
+        bucket_self_pairs(chunks.select(id_col, "simhash", *join_keys), join_keys, item)
+        .select(
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)

@@ -194,6 +194,7 @@ def embedding_near_dup_pairs(
     planes_per_table: int | None = None,
     max_bucket_df: int | None = None,
     n_vectors: int | None = None,
+    bucket_slice: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates restricted to shared LSH buckets — the
@@ -213,7 +214,13 @@ def embedding_near_dup_pairs(
     that also collide in a colder table survive (OR-construction
     recall). The df count reuses the (table_id, bucket) shuffle key of
     the self-join that follows — one extra partial-agg pass, no new
-    partitioning."""
+    partitioning.
+
+    ``bucket_slice=(K, r)``: keep only buckets with bucket % K == r
+    after the cap — a deterministic 1/K sample of candidate buckets,
+    identical cross-engine (bucket is a non-negative sign-bit
+    pattern). Verification aid for 100x-scale oracle runs (see
+    minhash_lsh_pairs.band_slice); production leaves it None."""
     # cache: the bucket plan (n_planes dot-folds) feeds both sides of
     # the self-join; caching cuts the expression tree so Catalyst
     # analyzes it once instead of once per join side.
@@ -229,17 +236,26 @@ def embedding_near_dup_pairs(
             .select("table_id", "bucket")
         )
         pairs_src = bucketed.join(cold, ["table_id", "bucket"])
-    # Candidate generation carries ONLY ids: the bucket self-join and
-    # the pair-dedup shuffle move slim (table_id, bucket, id) rows, not
-    # two full embedding arrays per candidate. Vectors are re-attached
+    if bucket_slice is not None:
+        k, r = bucket_slice
+        pairs_src = pairs_src.where(F.col("bucket") % k == r)
+    # Candidate generation carries ONLY ids: the in-bucket pair
+    # expansion (operators/skew.bucket_self_pairs — one shuffle of
+    # slim (table_id, bucket, id) rows, i < j pairs only; replaced
+    # the two-sided bucket self-join in r7) and the pair-dedup
+    # shuffle never move embedding arrays. Vectors are re-attached
     # to the (much smaller) deduped pair set by equi-join afterwards —
     # at 100 TB this is the difference between shuffling ~1 GB/M-pairs
     # of arrays and a few MB of id pairs.
-    a = pairs_src.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
-    b = pairs_src.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    from .skew import bucket_self_pairs
+
     pairs = (
-        a.join(b, ["table_id", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        bucket_self_pairs(
+            pairs_src.select(id_col, "table_id", "bucket"),
+            ["table_id", "bucket"],
+            id_col,
+        )
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     vecs = bucketed.select(F.col(id_col).alias("_vid"), "e").dropDuplicates(["_vid"])
@@ -317,6 +333,90 @@ def kmeans_seeds(
         centroids.update({r["cell"]: list(r["se"]) for r in means.collect()})
     return spark.createDataFrame(
         [(c, centroids[c]) for c in sorted(centroids)], schema
+    )
+
+
+QUANT_SCALE = 1 << 20  # fixed-point scale for oracle-exact training
+QUANT_OFF = 1 << 23  # shift making floor-division numerators non-negative
+
+
+def quantized_vec_sql(vec_col: str, scale: int = QUANT_SCALE) -> str:
+    """array<bigint> fixed-point image of a float vector:
+    floor(x * scale) per component. floor on doubles and the IEEE
+    double multiply are bit-identical in Spark and DuckDB, so the
+    integer image — and everything computed from it with integer
+    arithmetic — is cross-engine exact. scale=2^20 keeps unit-norm
+    components (~±0.6 here) far inside int64 bounds: |xi| < 2^20,
+    per-dim squared diffs < 2^42, 64-dim sums < 2^48."""
+    return (
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale}) as bigint))"
+    )
+
+
+def kmeans_seeds_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ONE Lloyd's round in fixed-point integer arithmetic →
+    (cell, ci: array<bigint>) trained centroids — the oracle-exact
+    sibling of ``kmeans_seeds`` (same assign/update structure, same
+    min-id init, same empty-cell keep-previous rule) for queries that
+    need a DuckDB-checkable trained-centroid path.
+
+    Why integers: kmeans_seeds' per-dimension ``avg`` is a parallel
+    double reduction whose bits depend on partition layout, so its
+    output can't hash-match a SQL oracle. Here every step is integer:
+    quantize (exact, see quantized_vec_sql), integer-L2 argmin
+    assignment to the min-id seeds (ties → lowest cell), per-cell
+    per-dim int64 sums, and a floor-division mean
+    ``(S + n*2^23) div n - 2^23`` (the offset makes the numerator
+    non-negative, where Spark's truncating `div` and DuckDB's
+    flooring `//` agree). Quantization error is <= 2^-20 per
+    component — irrelevant to ANN recall, which the pytest floor pins
+    against the untrained min-id seeds. One corpus pass for init +
+    one for the round, all shuffles on (cell[, pos]) — k·dim keys.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("cell"),
+        F.expr(quantized_vec_sql(vec_col)).alias("xi"),
+    )
+    seed_ids = v.groupBy("cell").agg(F.min("_id").alias("_id")).select("_id")
+    seeds0 = v.join(seed_ids, "_id", "left_semi").select(
+        F.col("cell").alias("scell"), F.col("xi").alias("si")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(xi, si, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("_id").orderBy("d2", "scell")
+    a0 = (
+        v.join(F.broadcast(seeds0))
+        .select("_id", "xi", "scell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("scell").alias("cell"), "xi")
+    )
+    trained = (
+        a0.select("cell", F.posexplode("xi").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+        .select(
+            "cell",
+            "pos",
+            F.expr(f"(s + n * {QUANT_OFF}L) div n - {QUANT_OFF}L").alias("c"),
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("sc"))
+        .select("cell", F.transform("sc", lambda x: x["c"]).alias("tci"))
+    )
+    return (
+        seeds0.select(F.col("scell").alias("cell"), "si")
+        .join(trained, "cell", "left")
+        .select("cell", F.coalesce("tci", "si").alias("ci"))
     )
 
 

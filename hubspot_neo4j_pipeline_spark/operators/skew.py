@@ -102,3 +102,65 @@ def two_phase_count_distinct(
         .groupBy(key)
         .agg(F.count("*").alias(alias))
     )
+
+
+def bucket_self_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    item,
+    expand_cap: int = 4096,
+) -> DataFrame:
+    """All unordered item pairs (a < b) within each bucket — the
+    candidate-generation kernel shared by the bucketed pair operators
+    (deletion-variant, LSH, band, simhash-chunk joins).
+
+    Shape (r7): a bucket SELF-JOIN shuffles the key frame twice and
+    probes every ordered pair before the a < b filter; this kernel
+    instead groups once per bucket and expands ordered pairs from the
+    sorted item array with a flat transform — one shuffle, i < j pairs
+    only, no probe-side hash table (measured 94s → 39s on the 100x
+    edit-distance join, identical output).
+
+    Memory guard: the expansion materializes k(k-1)/2 structs per
+    bucket in one row, so buckets larger than ``expand_cap`` fall back
+    to the streaming self-join (their rows re-explode from the already
+    -grouped arrays — no second pass over ``df``). Upstream operators
+    bound bucket sizes structurally (auto-scaled plane counts, df
+    caps, deletion-variant locality); the cap only matters for
+    adversarial skew, where 4096² pairs/row would otherwise risk a
+    single-row OOM. Both paths emit the same pairs; a bucket is
+    entirely in one path.
+
+    ``item`` may be a column name or a struct Column; for structs the
+    first field must be the orderable identity (pair order compares it
+    first). Items are deduped per bucket (collect_set), so an item
+    never pairs with itself. Output: (*bucket_cols, a, b).
+    """
+    item_col = F.col(item) if isinstance(item, str) else item
+    grouped = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
+        .where(F.size("_items") > 1)
+    )
+    expand = F.expr(
+        "flatten(transform(_items, (x, i) -> "
+        "transform(slice(_items, i + 2, size(_items) - i - 1), "
+        "y -> struct(x as a, y as b))))"
+    )
+    small = (
+        grouped.where(F.size("_items") <= expand_cap)
+        .select(*bucket_cols, F.explode(expand).alias("_p"))
+        .select(*bucket_cols, F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+    big_src = grouped.where(F.size("_items") > expand_cap).select(
+        *bucket_cols, F.explode("_items").alias("_it")
+    )
+    big = (
+        big_src.alias("x")
+        .join(big_src.alias("y"), bucket_cols)
+        .where(F.col("x._it") < F.col("y._it"))
+        .select(
+            *bucket_cols, F.col("x._it").alias("a"), F.col("y._it").alias("b")
+        )
+    )
+    return small.unionByName(big)

@@ -68,6 +68,13 @@ _DEMOTED = {
     # fuzzy_name_pairs carries A9 itself).
     "engagement_rates",
     "status_priority_counts",
+    # Round 7: one §2-redundant temporal row demoted to admit the
+    # trained-centroid IVF flagship (ann_ivf_topk_trained: fixed-point
+    # Lloyd's round, fully oracle-mirrored — the r6 VERDICT task-5
+    # query). Coverage stays in-window: T9/W4 via current_state (+
+    # scd2_version_chain for T9), F10 via recent_activity /
+    # windowed_event_counts / ownership_change_history.
+    "recent_changes",
 }
 
 _PRIORITY = [
@@ -102,6 +109,9 @@ _PRIORITY = [
     # round 6: the two rewritten scale flagships (see _DEMOTED note)
     "fuzzy_name_pairs",
     "doc_simhash_pairs",
+    # round 7: trained-centroid IVF (fixed-point Lloyd's round, fully
+    # oracle-mirrored; see _DEMOTED note for the row it displaces)
+    "ann_ivf_topk_trained",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -34,19 +34,26 @@ from .registry import register
 _SCRATCH = "/tmp/spark_graft_sinks"
 
 
-def _prune_stale(root: str, max_age_s: int = 86400) -> None:
+def _prune_stale(root: str, max_age_s: int = 86400, keep: str | None = None) -> None:
     """Best-effort removal of OTHER applications' scratch dirs older
     than a day — the per-appId namespacing that prevents concurrent
     runs from racing would otherwise leak one parquet copy of the
     written tables per Spark application, filling /tmp linearly with
     run count. Age-gating keeps any plausibly-live concurrent run's
     dirs intact; failures are ignored (another process may prune
-    concurrently)."""
+    concurrently). ``keep`` names the CURRENT application's dir, which
+    is never removed regardless of age: a session alive for more than
+    a day would otherwise see its own earlier queries' parquet deleted
+    out from under a later read-back (the top-level dir's mtime only
+    moves when a direct child changes, so a live run's dir can look
+    stale)."""
     import shutil
     import time
 
     try:
         for name in os.listdir(root):
+            if keep is not None and name == keep:
+                continue
             path = os.path.join(root, name)
             if time.time() - os.path.getmtime(path) > max_age_s:
                 shutil.rmtree(path, ignore_errors=True)
@@ -58,7 +65,7 @@ def _scratch(spark: SparkSession, query: str, sf_dir: str) -> str:
     # applicationId in the path: two data dirs sharing a basename, or
     # two concurrent runs of the same query+SF, must not race each
     # other's overwrite-then-read-back
-    _prune_stale(_SCRATCH)
+    _prune_stale(_SCRATCH, keep=spark.sparkContext.applicationId)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return f"{_SCRATCH}/{spark.sparkContext.applicationId}/{query}/{tag}"
 

@@ -330,6 +330,130 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk_trained",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+                       AS xi,
+                   label
+            FROM embeddings
+        ), seeds0 AS (
+            SELECT label AS cell, xi AS si FROM v
+            WHERE vec_id IN (SELECT min(vec_id) FROM v GROUP BY label)
+        ), a0 AS (
+            SELECT vec_id, xi, cell FROM (
+                SELECT v.vec_id, v.xi, s.cell,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           list_reduce(list_transform(generate_series(1, 64),
+                               i -> (v.xi[i] - s.si[i]) * (v.xi[i] - s.si[i])),
+                               (a,b) -> a+b), s.cell) AS rn
+                FROM v CROSS JOIN seeds0 s)
+            WHERE rn = 1
+        ), dimsums AS (
+            SELECT cell, i.i AS pos, count(*) AS n, sum(xi[i.i]) AS s
+            FROM a0 CROSS JOIN generate_series(1, 64) i(i)
+            GROUP BY cell, i.i
+        ), trained AS (
+            SELECT cell,
+                   list((s + n * 8388608) // n - 8388608 ORDER BY pos) AS tci
+            FROM dimsums GROUP BY cell
+        ), cent AS (
+            SELECT s.cell, coalesce(t.tci, s.si) AS ci
+            FROM seeds0 s LEFT JOIN trained t USING (cell)
+        ), a1 AS (
+            SELECT vec_id, e, cell, rn FROM (
+                SELECT v.vec_id, v.e, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           list_reduce(list_transform(generate_series(1, 64),
+                               i -> (v.xi[i] - c.ci[i]) * (v.xi[i] - c.ci[i])),
+                               (a,b) -> a+b), c.cell) AS rn
+                FROM v CROSS JOIN cent c)
+        ), corpus AS (
+            SELECT vec_id AS neighbor_id, cell, e FROM a1 WHERE rn = 1
+        ), queries AS (
+            SELECT vec_id AS query_id, cell, e AS qe FROM a1
+            WHERE rn <= 3 AND vec_id < 20
+        ), pairs AS (
+            SELECT DISTINCT query_id, neighbor_id,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> qe[i] * e[i]), (a,b) -> a+b)
+                   / (sqrt(list_reduce(list_transform(qe, x -> x*x), (a,b) -> a+b))
+                      * sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)))
+                       AS cosine
+            FROM corpus JOIN queries USING (cell)
+            WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pairs)
+        WHERE rank <= 10
+    """,
+    covers=("J1", "W2", "A9"),
+    doc=(
+        "IVF ANN over TRAINED centroids — one Lloyd's round in "
+        "fixed-point integer arithmetic "
+        "(operators/similarity.kmeans_seeds_quantized: quantize via "
+        "floor(x*2^20), integer-L2 assign to min-id seeds, per-dim "
+        "int64 sums, floor-division mean), then the same "
+        "3-probe/cosine-rank search as ann_ivf_topk. Every training "
+        "step is integer, so the WHOLE pipeline — training included — "
+        "is a full cross-engine oracle; the double-arithmetic "
+        "production trainer (kmeans_seeds, same structure) is "
+        "equivalence- and recall-tested in pytest, where bitwise "
+        "cross-engine hashing doesn't apply. Scale: training adds one "
+        "corpus pass (shuffles on k·dim keys); search is unchanged."
+    ),
+)
+def ann_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_seeds_quantized, quantized_vec_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_seeds_quantized(emb)
+    v = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        F.expr(quantized_vec_sql("embedding")).alias("xi"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(xi, ci, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    a1 = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "e", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    corpus = a1.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "e"
+    )
+    queries = a1.where((F.col("rn") <= 3) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("query_id"), "cell", F.col("e").alias("qe")
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qe", "e") / (_norm("qe") * _norm("e"))).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
     "ann_lsh_topk",
     oracle="""
         WITH nn AS (SELECT count(*) AS n FROM embeddings
@@ -411,10 +535,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_BUCKET_DF = 1024  # LSH hot-bucket cap (16x the 64-vector target size)
 
+# Deterministic bucket-sample fraction for the *_slice verification
+# queries — see plans/text_queries.py VERIFY_SLICE_K for the recipe.
+VERIFY_SLICE_K = 8
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
+
+def _embedding_near_dup_oracle(bucket_slice: tuple[int, int] | None = None) -> str:
+    slice_pred = ""
+    if bucket_slice is not None:
+        k, r = bucket_slice
+        slice_pred = f" AND bucket % {k} = {r}"
+    return f"""
         WITH nn AS (SELECT count(*) AS n FROM embeddings
         ), prm AS (
             -- coalesce mirrors auto_planes_per_table's clamp: above
@@ -455,7 +586,7 @@ MAX_BUCKET_DF = 1024  # LSH hot-bucket cap (16x the 64-vector target size)
                 SELECT vec_id, table_id, bucket, e,
                        count(*) OVER (PARTITION BY table_id, bucket) AS bdf
                 FROM bucketed)
-            WHERE bdf <= {MAX_BUCKET_DF}
+            WHERE bdf <= {MAX_BUCKET_DF}{slice_pred}
         ), pairs AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                    list_reduce(list_transform(generate_series(1, 64),
@@ -468,7 +599,12 @@ MAX_BUCKET_DF = 1024  # LSH hot-bucket cap (16x the 64-vector target size)
              AND a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
-    """,
+    """
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=_embedding_near_dup_oracle(),
     covers=("D1", "J1"),
     doc=(
         "Embedding-cosine near-dup pairs via shared LSH buckets "
@@ -492,6 +628,32 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         max_bucket_df=MAX_BUCKET_DF,
         n_vectors=table_row_count(spark, sf_dir, "embeddings"),
+    )
+
+
+@register(
+    "embedding_near_dup_pairs_slice",
+    oracle=_embedding_near_dup_oracle(bucket_slice=(VERIFY_SLICE_K, 0)),
+    covers=("D1", "J1"),
+    doc=(
+        "embedding_near_dup_pairs restricted to the deterministic 1/8 "
+        "LSH-bucket slice (bucket % 8 == 0, applied after the hot-"
+        "bucket cap) — the 100x-scale exact-verification variant (r6 "
+        "VERDICT task 4). The bucket is a sign-bit pattern computed "
+        "identically in both engines, so the kept pair set is "
+        "cell-exact while the oracle's candidate join shrinks 8x."
+    ),
+)
+def embedding_near_dup_pairs_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs as _pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pairs(
+        emb,
+        threshold=0.4,
+        max_bucket_df=MAX_BUCKET_DF,
+        n_vectors=table_row_count(spark, sf_dir, "embeddings"),
+        bucket_slice=(VERIFY_SLICE_K, 0),
     )
 
 
@@ -711,9 +873,17 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CELL = 128  # sub-split bound: all-pairs groups never exceed this
 
 
-@register(
-    "semantic_dedup",
-    oracle=f"""
+def _semantic_dedup_oracle(sub_slice: tuple[int, int] | None = None) -> str:
+    """``sub_slice=(K, r)`` keeps only (cell, sub) groups with
+    sub % K == r — the deterministic 1/K group sample for 100x-scale
+    oracle runs (sub is the md5-derived non-negative sub-split key,
+    identical cross-engine). At SFs where no cell exceeds MAX_CELL
+    every sub is 0, so the r=0 slice equals the full query there."""
+    slice_pred = ""
+    if sub_slice is not None:
+        k, r = sub_slice
+        slice_pred = f"\n            WHERE sub % {k} = {r}"
+    return f"""
         WITH v AS (
             SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -738,10 +908,11 @@ MAX_CELL = 128  # sub-split bound: all-pairs groups never exceed this
                         // {MAX_CELL} AS BIGINT) AS n_sub
             FROM assigned
         ), subbed AS (
-            SELECT vec_id, e, cell,
-                   CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-                        AS BIGINT) % n_sub AS sub
-            FROM sized
+            SELECT vec_id, e, cell, sub FROM (
+                SELECT vec_id, e, cell,
+                       CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) % n_sub AS sub
+                FROM sized){slice_pred}
         ), dup_pairs AS (
             SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS kept_cand
             FROM subbed a JOIN subbed b
@@ -756,7 +927,12 @@ MAX_CELL = 128  # sub-split bound: all-pairs groups never exceed this
         )
         SELECT vec_id, cell, min(kept_cand) AS dup_of
         FROM dup_pairs GROUP BY vec_id, cell
-    """,
+    """
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
     covers=("D1", "J1", "A4"),
     doc=(
         "SemDeDup-style semantic deduplication (Abbas et al. 2023, "
@@ -805,12 +981,21 @@ MAX_CELL = 128  # sub-split bound: all-pairs groups never exceed this
     ),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semantic_dedup_frame(spark, sf_dir)
+
+
+def _semantic_dedup_frame(
+    spark: SparkSession, sf_dir: str, sub_slice: tuple[int, int] | None = None
+) -> DataFrame:
     from ..operators.similarity import cosine, ivf_assign, ivf_seeds
     from ..operators.skew import hash_subsplit
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = ivf_assign(emb, ivf_seeds(emb), n_probe=1).cache()
     subbed = hash_subsplit(assigned, "cell", "vec_id", MAX_CELL)
+    if sub_slice is not None:
+        k, r = sub_slice
+        subbed = subbed.where(F.col("sub") % k == r)
     a = subbed.select(
         F.col("vec_id").alias("kept_cand"), "cell", "sub", F.col("e").alias("e_a")
     )
@@ -824,6 +1009,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_pairs.groupBy("vec_id", "cell").agg(
         F.min("kept_cand").alias("dup_of")
     )
+
+
+@register(
+    "semantic_dedup_slice",
+    oracle=_semantic_dedup_oracle(sub_slice=(VERIFY_SLICE_K, 0)),
+    covers=("D1", "J1", "A4"),
+    doc=(
+        "semantic_dedup restricted to the deterministic 1/8 sub-group "
+        "slice (md5-derived sub-split key % 8 == 0) — the 100x-scale "
+        "exact-verification variant (r6 VERDICT task 4). At SFs where "
+        "no cell exceeds MAX_CELL every sub is 0 and the slice equals "
+        "the full query; at larger SFs both engines keep the identical "
+        "1/8 of sub-groups, so the result stays cell-exact while the "
+        "oracle's within-group all-pairs work shrinks 8x."
+    ),
+)
+def semantic_dedup_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semantic_dedup_frame(spark, sf_dir, sub_slice=(VERIFY_SLICE_K, 0))
 
 
 CLUSTER_SAMPLE_CAP = 20  # max vectors kept per semantic cluster

@@ -36,8 +36,11 @@ BNLJ_ALLOWED = {
     "ann_quantized_topk",  # bounded query set (quantized scale path)
     "ann_lsh_topk",  # hyperplane table <= 32 rows
     "ann_ivf_topk",  # 25 seed centroids
+    "ann_ivf_topk_trained",  # <=10 trained centroids (seed + assign broadcasts)
     "ivf_assignment",  # 25 seed centroids
     "semantic_dedup",  # <=10 seed centroids (ivf_assign broadcast)
+    "semantic_dedup_slice",  # same bounded seed broadcast (sliced variant)
+    "embedding_near_dup_pairs_slice",  # plane table (sliced variant)
     "source_length_drift",  # bounded grid: sources x length-buckets + 1-row total
     "cluster_balanced_sample",  # <=10 seed centroids (ivf_assign broadcast)
     "embedding_near_dup_pairs",  # plane table

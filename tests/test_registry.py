@@ -90,16 +90,20 @@ def test_priority_prefix_spans_all_families():
         # edit-distance join; simhash hot-chunk pigeonhole refinement)
         "fuzzy_name_pairs",
         "doc_simhash_pairs",
+        # round 7: trained-centroid IVF (fixed-point Lloyd's round,
+        # fully oracle-mirrored)
+        "ann_ivf_topk_trained",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Ten §2-redundant queries are rotated past the driver's
+    """Eleven §2-redundant queries are rotated past the driver's
     50-query window (five in r4 for the sequence/sketch/funnel/
     semantic-dedup flagships, three in r5 for the sink round-trips and
     the real media decode, two in r6 for the rewritten
-    fuzzy_name_pairs / doc_simhash_pairs scale flagships); they
+    fuzzy_name_pairs / doc_simhash_pairs scale flagships, one in r7
+    for the trained-centroid IVF flagship); they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
@@ -117,6 +121,9 @@ def test_demoted_queries_still_registered_with_oracles():
         "quarterly_deal_trend",
         "engagement_rates",
         "status_priority_counts",
+        # r7: demoted for ann_ivf_topk_trained (T9/W4 via
+        # current_state, F10 via recent_activity et al.)
+        "recent_changes",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"

@@ -147,3 +147,72 @@ def test_embedding_near_dup_pairs(emb):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {
         (r["id_a"], r["id_b"]) for r in again
     }
+
+
+def test_kmeans_seeds_quantized_matches_pure_python_reenactment(emb):
+    """The fixed-point one-round trainer (the oracle-exact path behind
+    ann_ivf_topk_trained) is deterministic integer arithmetic, so a
+    pure-Python re-enactment of the algorithm — quantize by
+    floor(x*2^20), integer-L2 assign to min-id seeds (ties → lowest
+    cell), per-cell sums, floor-division mean — must reproduce every
+    centroid EXACTLY. Also pins the recall floor: trained centroids
+    (cast back to double) must not lose IVF recall vs min-id seeds."""
+    import math
+
+    from hubspot_neo4j_pipeline_spark.operators.similarity import (
+        QUANT_OFF,
+        QUANT_SCALE,
+        kmeans_seeds_quantized,
+    )
+
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    xi = {
+        r["vec_id"]: [int(math.floor(float(x) * QUANT_SCALE)) for x in r["embedding"]]
+        for r in rows
+    }
+    label = {r["vec_id"]: r["label"] for r in rows}
+    cells = sorted({r["label"] for r in rows})
+    seed_id = {c: min(v for v in xi if label[v] == c) for c in cells}
+    si = {c: xi[seed_id[c]] for c in cells}
+
+    def d2(a, b):
+        return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+    members: dict[int, list[int]] = {c: [] for c in cells}
+    for v, vec in xi.items():
+        best = min(cells, key=lambda c: (d2(vec, si[c]), c))
+        members[best].append(v)
+    expect = {}
+    for c in cells:
+        if not members[c]:
+            expect[c] = si[c]  # empty cell keeps its seed
+            continue
+        n = len(members[c])
+        expect[c] = [
+            (sum(xi[v][j] for v in members[c]) + n * QUANT_OFF) // n - QUANT_OFF
+            for j in range(len(si[c]))
+        ]
+
+    got = {r["cell"]: list(r["ci"]) for r in kmeans_seeds_quantized(emb).collect()}
+    assert got == expect
+
+    # recall: trained fixed-point centroids (cast back to double) must
+    # not lose recall vs the min-id seeds
+    k = 10
+    q = emb.where("vec_id < 20").select(F.col("vec_id").alias("query_id"), "embedding")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+    seeds_q = kmeans_seeds_quantized(emb).select(
+        "cell", F.expr(f"transform(ci, x -> cast(x as double) / {QUANT_SCALE})").alias("se")
+    )
+
+    def recall(seeds):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, k=k, n_probe=3, n_queries=20, seeds=seeds).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    assert recall(seeds_q) >= recall(None)

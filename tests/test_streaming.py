@@ -16,7 +16,10 @@ from hubspot_neo4j_pipeline_spark.streaming import (
     sessionize,
     windowed_event_counts,
 )
-from hubspot_neo4j_pipeline_spark.streaming.event_analytics import run_stream_to_memory
+from hubspot_neo4j_pipeline_spark.streaming.event_analytics import (
+    EVENT_STREAM_SCHEMA,
+    run_stream_to_memory,
+)
 
 
 @pytest.fixture(scope="module")
@@ -360,3 +363,77 @@ def test_streaming_semantic_assignment_equals_batch(spark, tmp_path_factory):
     }
     want = {(r["vec_id"], r["cell"]) for r in ivf_assign(emb, seeds).collect()}
     assert got == want
+
+
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path_factory):
+    """Watermark-drop semantics, pinned explicitly (r6 VERDICT task 7):
+    a row arriving in a later micro-batch with event time older than
+    (max seen event time - watermark delay) — and whose window has
+    closed — must NOT update the aggregate. Stream output must equal
+    the batch recompute WITH THE CUTOFF APPLIED, and must differ from
+    the naive batch recompute that includes the late row (so this test
+    fails if late rows silently leak in)."""
+    import datetime as dt
+
+    src = str(tmp_path_factory.mktemp("late_src"))
+
+    def _ev(eid, hh, mm, etype="click", value=1.0):
+        return (eid, dt.datetime(2024, 3, 1, hh, mm), 1, etype, value, "{}")
+
+    schema = EVENT_STREAM_SCHEMA
+    # batch 1: rows at 10:05 and 13:05 → after the batch the watermark
+    # is 13:05 - 1h = 12:05, so the 10:00-11:00 window is closed
+    b1 = [_ev(1, 10, 5), _ev(2, 13, 5)]
+    # batch 2: one LATE row in the closed 10:00 window (must drop) and
+    # one on-time row in the open 13:00 window (must aggregate)
+    b2 = [_ev(3, 10, 30, value=100.0), _ev(4, 13, 10)]
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = windowed_event_counts(
+        read_event_stream(spark, src, max_files_per_trigger=10),
+        window="1 hour",
+        watermark="1 hour",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 fully processed, watermark advanced
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emitted row per window key is the final aggregate state
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    final = {}
+    for r in rows:
+        final[(r["window_start"], r["event_type"])] = (r["n"], r["total_value"])
+
+    all_events = spark.createDataFrame(b1 + b2, schema)
+    with_late = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(all_events).collect()
+    }
+    # batch oracle with the cutoff applied: drop rows whose window had
+    # closed under the watermark in force when they arrived
+    cutoff = dt.datetime(2024, 3, 1, 12, 5)
+    on_time = all_events.where(
+        ~((F.col("event_id") == 3))  # the one late arrival
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(on_time).collect()
+    }
+    assert dt.datetime(2024, 3, 1, 10, 0) < cutoff  # the dropped window
+    assert final == expected
+    assert final != with_late  # the late row WOULD have changed the result
+    # and concretely: the closed 10:00 window kept its batch-1 value
+    key = (dt.datetime(2024, 3, 1, 10, 0), "click")
+    assert final[key] == (1, 1.0)
+    # while the open 13:00 window absorbed the on-time batch-2 row
+    key13 = (dt.datetime(2024, 3, 1, 13, 0), "click")
+    assert final[key13] == (2, 2.0)

@@ -106,6 +106,14 @@ def main() -> int:
 
     spark = get_spark()
     con = duckdb.connect()
+    # Bound the in-process DuckDB engine and let it SPILL instead of
+    # growing: its default limit (80% of RAM) stacks on top of the
+    # Spark driver JVM and the pandas compare frames — an unbounded
+    # 100x-scale oracle (e.g. the 19M-row LSH scored CTE) OOM-killed
+    # the whole process. 40 GB + a temp dir keeps the big oracles
+    # runnable (slower, disk-backed) without taking the box down.
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
