@@ -147,3 +147,79 @@ def upsert_idempotency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.countDistinct("c_custkey").alias("n_keys"),
     )
+
+
+@register(
+    "neo4j_dryrun_batches",
+    oracle="""
+        WITH rels AS (
+            SELECT 'HUBSPOT_Deal_PLACED_BY_HUBSPOT_Contact' AS group_key,
+                   'PLACED_BY' AS rel_type,
+                   'HUBSPOT_Deal' AS from_type,
+                   'HUBSPOT_Contact' AS to_type,
+                   FALSE AS email_matched,
+                   count(*) AS n
+            FROM orders
+            UNION ALL
+            SELECT 'HUBSPOT_Contact_LOCATED_IN_HUBSPOT_Company',
+                   'LOCATED_IN', 'HUBSPOT_Contact', 'HUBSPOT_Company',
+                   TRUE, count(*)
+            FROM customer
+        )
+        SELECT group_key, rel_type, from_type, to_type, email_matched,
+               CAST((n + 99) // 100 AS BIGINT) AS n_batches,
+               CAST(n AS BIGINT) AS n_rels,
+               CAST(least(n, 100) AS BIGINT) AS max_batch,
+               CAST(n AS BIGINT) AS n_payload_rows
+        FROM rels
+    """,
+    covers=("S12", "S13", "S14"),
+    doc=(
+        "Executed Neo4j dry-run load (r7): two edge families built "
+        "from real tables — a standard hubspot_id-matched group "
+        "(orders -> customer as PLACED_BY) and an email-matched group "
+        "(customer -> nation as LOCATED_IN, S14's branch) — run "
+        "through operators/neo4j_sink.dry_run_edge_payloads, which "
+        "emits the exact batched UNWIND/MERGE bolt payloads the "
+        "reference sends (100-row batches, per-rel-type grouping — "
+        "loaders/neo4j_loader.py:80-162, settings.py:59). The result "
+        "re-parses every batch's params_json and rolls up per group: "
+        "batch count (= ceil(n/100)), rel count, max batch size, and "
+        "the PARSED payload row count — a payload that dropped or "
+        "duplicated a rel, or mis-batched, mismatches the oracle's "
+        "pure-SQL prediction. Scale note: the dry-run sink is for "
+        "bounded upsert sets (bolt is serial); the batching window is "
+        "per-group, matching the sink it emulates."
+    ),
+)
+def neo4j_dryrun_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.neo4j_sink import dry_run_edge_payloads
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    std = orders.select(
+        F.lit("PLACED_BY").alias("rel_type"),
+        F.lit("HUBSPOT_Deal").alias("from_type"),
+        F.lit("HUBSPOT_Contact").alias("to_type"),
+        F.col("o_orderkey").cast("string").alias("from_id"),
+        F.lit(None).cast("string").alias("from_email"),
+        F.col("o_custkey").cast("string").alias("to_id"),
+    )
+    eml = customer.select(
+        F.lit("LOCATED_IN").alias("rel_type"),
+        F.lit("HUBSPOT_Contact").alias("from_type"),
+        F.lit("HUBSPOT_Company").alias("to_type"),
+        F.lit(None).cast("string").alias("from_id"),
+        F.concat(F.col("c_name"), F.lit("@example.com")).alias("from_email"),
+        F.col("c_nationkey").cast("string").alias("to_id"),
+    )
+    payloads = dry_run_edge_payloads(std.unionByName(eml))
+    parsed = F.size(F.from_json("params_json", "array<struct<to_id:string>>"))
+    return payloads.groupBy(
+        "group_key", "rel_type", "from_type", "to_type", "email_matched"
+    ).agg(
+        F.count("*").alias("n_batches"),
+        F.sum("n_rels").alias("n_rels"),
+        F.max("n_rels").alias("max_batch"),
+        F.sum(parsed).alias("n_payload_rows"),
+    )

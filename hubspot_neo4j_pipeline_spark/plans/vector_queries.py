@@ -483,24 +483,33 @@ def ann_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE rn <= 8 * prm.ppt)
             WHERE tn = ppt
         ), scored AS (
-            SELECT v.vec_id, v.e, p.table_id,
+            -- slim: bit_val only — carrying v.e through this 19M-row
+            -- (at 100x) frame and the group-by OOM-killed DuckDB 1.0
+            -- past its memory_limit; vectors re-attach by vec_id at
+            -- the (tiny) pair stage instead. Result set unchanged.
+            SELECT v.vec_id, p.table_id,
                    CASE WHEN list_reduce(list_transform(generate_series(1, 64),
                             i -> v.e[i] * p.pe[i]), (a,b) -> a+b) >= 0
                         THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END AS bit_val
             FROM v CROSS JOIN planes p
         ), bucketed AS (
-            SELECT vec_id, table_id, sum(bit_val) AS bucket, any_value(e) AS e
+            SELECT vec_id, table_id, sum(bit_val) AS bucket
             FROM scored GROUP BY vec_id, table_id
-        ), pairs AS (
-            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   list_reduce(list_transform(generate_series(1, 64),
-                                              i -> q.e[i] * c.e[i]), (a,b) -> a+b)
-                   / (sqrt(list_reduce(list_transform(q.e, x -> x*x), (a,b) -> a+b))
-                      * sqrt(list_reduce(list_transform(c.e, x -> x*x), (a,b) -> a+b)))
-                       AS cosine
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
             FROM bucketed q JOIN bucketed c
               ON q.table_id = c.table_id AND q.bucket = c.bucket
             WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+        ), pairs AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> qv.e[i] * cv.e[i]), (a,b) -> a+b)
+                   / (sqrt(list_reduce(list_transform(qv.e, x -> x*x), (a,b) -> a+b))
+                      * sqrt(list_reduce(list_transform(cv.e, x -> x*x), (a,b) -> a+b)))
+                       AS cosine
+            FROM cand
+            JOIN v qv ON qv.vec_id = cand.query_id
+            JOIN v cv ON cv.vec_id = cand.neighbor_id
         )
         SELECT query_id, neighbor_id, cosine, rank FROM (
             SELECT query_id, neighbor_id, cosine,
@@ -573,30 +582,39 @@ def _embedding_near_dup_oracle(bucket_slice: tuple[int, int] | None = None) -> s
                 WHERE rn <= 8 * prm.ppt)
             WHERE tn = ppt
         ), scored AS (
-            SELECT v.vec_id, v.e, p.table_id,
+            -- slim: bit_val only — carrying v.e through this frame
+            -- (19M rows at 100x) OOM-killed DuckDB 1.0 past its
+            -- memory_limit; vectors re-attach by vec_id at the pair
+            -- stage. Result set unchanged.
+            SELECT v.vec_id, p.table_id,
                    CASE WHEN list_reduce(list_transform(generate_series(1, 64),
                             i -> v.e[i] * p.pe[i]), (a,b) -> a+b) >= 0
                         THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END AS bit_val
             FROM v CROSS JOIN planes p
         ), bucketed AS (
-            SELECT vec_id, table_id, sum(bit_val) AS bucket, any_value(e) AS e
+            SELECT vec_id, table_id, sum(bit_val) AS bucket
             FROM scored GROUP BY vec_id, table_id
         ), capped AS (
-            SELECT vec_id, table_id, bucket, e FROM (
-                SELECT vec_id, table_id, bucket, e,
+            SELECT vec_id, table_id, bucket FROM (
+                SELECT vec_id, table_id, bucket,
                        count(*) OVER (PARTITION BY table_id, bucket) AS bdf
                 FROM bucketed)
             WHERE bdf <= {MAX_BUCKET_DF}{slice_pred}
-        ), pairs AS (
-            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-                   list_reduce(list_transform(generate_series(1, 64),
-                                              i -> a.e[i] * b.e[i]), (x,y) -> x+y)
-                   / (sqrt(list_reduce(list_transform(a.e, x -> x*x), (x,y) -> x+y))
-                      * sqrt(list_reduce(list_transform(b.e, x -> x*x), (x,y) -> x+y)))
-                       AS cosine
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
             FROM capped a JOIN capped b
               ON a.table_id = b.table_id AND a.bucket = b.bucket
              AND a.vec_id < b.vec_id
+        ), pairs AS (
+            SELECT id_a, id_b,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> av.e[i] * bv.e[i]), (x,y) -> x+y)
+                   / (sqrt(list_reduce(list_transform(av.e, x -> x*x), (x,y) -> x+y))
+                      * sqrt(list_reduce(list_transform(bv.e, x -> x*x), (x,y) -> x+y)))
+                       AS cosine
+            FROM cand
+            JOIN v av ON av.vec_id = cand.id_a
+            JOIN v bv ON bv.vec_id = cand.id_b
         )
         SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
     """
@@ -894,8 +912,12 @@ def _semantic_dedup_oracle(sub_slice: tuple[int, int] | None = None) -> str:
                          FROM v GROUP BY label) m
               ON v.vec_id = m.mid
         ), assigned AS (
-            SELECT vec_id, e, cell FROM (
-                SELECT v.vec_id, v.e, s.cell,
+            -- slim: (vec_id, cell) only — carrying v.e through the
+            -- assignment window and the sub-group self-join OOM-killed
+            -- DuckDB 1.0 at 100x; vectors re-attach by vec_id at the
+            -- pair stage. Result set unchanged.
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, s.cell,
                        row_number() OVER (PARTITION BY v.vec_id ORDER BY
                            list_reduce(list_transform(generate_series(1, 64),
                                i -> (v.e[i] - s.se[i]) * (v.e[i] - s.se[i])),
@@ -903,25 +925,28 @@ def _semantic_dedup_oracle(sub_slice: tuple[int, int] | None = None) -> str:
                            s.cell) AS rn
                 FROM v CROSS JOIN seeds s) WHERE rn = 1
         ), sized AS (
-            SELECT vec_id, e, cell,
+            SELECT vec_id, cell,
                    CAST((count(*) OVER (PARTITION BY cell) + {MAX_CELL - 1})
                         // {MAX_CELL} AS BIGINT) AS n_sub
             FROM assigned
         ), subbed AS (
-            SELECT vec_id, e, cell, sub FROM (
-                SELECT vec_id, e, cell,
+            SELECT vec_id, cell, sub FROM (
+                SELECT vec_id, cell,
                        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
                             AS BIGINT) % n_sub AS sub
                 FROM sized){slice_pred}
         ), dup_pairs AS (
             SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS kept_cand
-            FROM subbed a JOIN subbed b
+            FROM subbed a
+            JOIN subbed b
               ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+            JOIN v av ON av.vec_id = a.vec_id
+            JOIN v bv ON bv.vec_id = b.vec_id
             WHERE list_reduce(list_transform(generate_series(1, 64),
-                      i -> a.e[i] * b.e[i]), (x, y) -> x + y)
-                  / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                      i -> av.e[i] * bv.e[i]), (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(av.e, x -> x * x),
                                       (x, y) -> x + y))
-                     * sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                     * sqrt(list_reduce(list_transform(bv.e, x -> x * x),
                                         (x, y) -> x + y)))
                   >= 0.35
         )

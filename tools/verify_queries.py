@@ -112,8 +112,13 @@ def main() -> int:
     # 100x-scale oracle (e.g. the 19M-row LSH scored CTE) OOM-killed
     # the whole process. 40 GB + a temp dir keeps the big oracles
     # runnable (slower, disk-backed) without taking the box down.
-    con.execute("SET memory_limit='40GB'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCKDB_MEM', '40GB')}'"
+    )
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(
+        f"SET threads={int(os.environ.get('SPARK_GRAFT_DUCKDB_THREADS', '16'))}"
+    )
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
