@@ -221,21 +221,26 @@ def embedding_near_dup_pairs(
     identical cross-engine (bucket is a non-negative sign-bit
     pattern). Verification aid for 100x-scale oracle runs (see
     minhash_lsh_pairs.band_slice); production leaves it None."""
-    # cache: the bucket plan (n_planes dot-folds) feeds both sides of
-    # the self-join; caching cuts the expression tree so Catalyst
-    # analyzes it once instead of once per join side.
+    # r7: no cache — the bucket frame has a SINGLE consumer now (the
+    # pair kernel; vectors re-attach from the source frame below), so
+    # the old both-join-sides justification is gone and the
+    # materialization pass was pure overhead.
     bucketed = lsh_buckets(
         df, id_col, vec_col, n_tables, planes_per_table, n_vectors=n_vectors
-    ).cache()
+    )
     pairs_src = bucketed
     if max_bucket_df is not None:
-        cold = (
-            bucketed.groupBy("table_id", "bucket")
-            .agg(F.count("*").alias("bdf"))
-            .where(F.col("bdf") <= max_bucket_df)
-            .select("table_id", "bucket")
+        # window count, not agg+join-back (r7): one shuffle on
+        # (table_id, bucket) whose output partitioning the pair
+        # kernel's groupBy then reuses — the agg+join form cost two
+        # extra exchanges per query. Same filter the oracle's capped
+        # CTE expresses with the identical window.
+        w = Window.partitionBy("table_id", "bucket")
+        pairs_src = (
+            bucketed.withColumn("_bdf", F.count("*").over(w))
+            .where(F.col("_bdf") <= max_bucket_df)
+            .drop("_bdf")
         )
-        pairs_src = bucketed.join(cold, ["table_id", "bucket"])
     if bucket_slice is not None:
         k, r = bucket_slice
         pairs_src = pairs_src.where(F.col("bucket") % k == r)
@@ -249,16 +254,24 @@ def embedding_near_dup_pairs(
     # of arrays and a few MB of id pairs.
     from .skew import bucket_self_pairs
 
+    # max_bucket_df already bounds every surviving bucket, so when it
+    # is at or under the expansion cap the fallback branch is provably
+    # dead — pure expansion (expand_cap=None) drops it from the plan
     pairs = (
         bucket_self_pairs(
             pairs_src.select(id_col, "table_id", "bucket"),
             ["table_id", "bucket"],
             id_col,
+            expand_cap=None
+            if (max_bucket_df is not None and max_bucket_df <= 4096)
+            else 4096,
         )
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = bucketed.select(F.col(id_col).alias("_vid"), "e").dropDuplicates(["_vid"])
+    # vectors re-attach from the SOURCE frame (unique per id — no
+    # dropDuplicates shuffle over the 8x-exploded bucket rows, r7)
+    vecs = df.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("e"))
     return (
         pairs.join(vecs.select(F.col("_vid").alias("id_a"), F.col("e").alias("e_a")), "id_a")
         .join(vecs.select(F.col("_vid").alias("id_b"), F.col("e").alias("e_b")), "id_b")

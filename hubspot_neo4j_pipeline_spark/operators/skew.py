@@ -108,7 +108,7 @@ def bucket_self_pairs(
     df: DataFrame,
     bucket_cols: list[str],
     item,
-    expand_cap: int = 4096,
+    expand_cap: int | None = 4096,
 ) -> DataFrame:
     """All unordered item pairs (a < b) within each bucket — the
     candidate-generation kernel shared by the bucketed pair operators
@@ -135,6 +135,21 @@ def bucket_self_pairs(
     first field must be the orderable identity (pair order compares it
     first). Items are deduped per bucket (collect_set), so an item
     never pairs with itself. Output: (*bucket_cols, a, b).
+
+    ``expand_cap=None`` drops the fallback branch entirely (pure
+    expansion): the plan embeds the upstream tree once instead of
+    three times (small + both fallback sides), which saves driver
+    analysis and two scheduled-but-empty stages per query. Correct
+    ONLY when the caller bounds bucket population structurally
+    (variant-key locality, auto-scaled plane counts, band-row
+    collision floors, hot-chunk refinement, df caps) — an unbounded
+    bucket under pure expansion is a single-row OOM, not a slow join.
+
+    With the fallback enabled, ``grouped`` is ``.cache()``d: the
+    fallback's two join sides would otherwise re-execute the groupBy
+    (A/B at 100x: 43s hybrid-uncached vs 33s cached ≈ pure for the
+    simhash pair query). Same long-lived-session caching note as
+    minhash_lsh_pairs — batch tools clearCache between queries.
     """
     item_col = F.col(item) if isinstance(item, str) else item
     grouped = (
@@ -142,11 +157,18 @@ def bucket_self_pairs(
         .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
         .where(F.size("_items") > 1)
     )
+    if expand_cap is not None:
+        grouped = grouped.cache()
     expand = F.expr(
         "flatten(transform(_items, (x, i) -> "
         "transform(slice(_items, i + 2, size(_items) - i - 1), "
         "y -> struct(x as a, y as b))))"
     )
+    if expand_cap is None:
+        return (
+            grouped.select(*bucket_cols, F.explode(expand).alias("_p"))
+            .select(*bucket_cols, F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        )
     small = (
         grouped.where(F.size("_items") <= expand_cap)
         .select(*bucket_cols, F.explode(expand).alias("_p"))
