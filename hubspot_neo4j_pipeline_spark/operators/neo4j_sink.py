@@ -174,6 +174,63 @@ def _json_array(row_json, *order_cols: Column) -> Column:
     )
 
 
+def _with_batch_ids(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    batch_size: int,
+) -> DataFrame:
+    """Append ``batch_id`` = (global rank within group, in order_cols
+    order) div batch_size — WITHOUT a single-partition rank window.
+
+    A plain ``row_number() over (partition by group)`` funnels each
+    group through ONE task — the r7 scale probe measured 6.1x wall at
+    10x data for the dry-run sink because one rel-type group held all
+    1.5M rows. Two-phase exact rank instead: split each group by a
+    DETERMINISTIC order-compatible sub-key derived from the first
+    order column (numeric: key div (64*batch_size); string: 2-char
+    prefix — in both cases sub-key order agrees with key order, so
+    sub-buckets are contiguous key ranges), rank locally per
+    (group, sub-key), then add broadcast per-sub-key row-count prefix
+    offsets. Data-derived — NOT repartitionByRange +
+    spark_partition_id, whose sampled range boundaries differ between
+    the rank branch and the offsets branch of the plan and corrupt
+    the ranks (caught by the oracle: a 173-row batch). Parallelism is
+    bounded by sub-key cardinality; ranks among exactly equal order
+    keys are arbitrary in any form, and identical rows produce
+    identical payload text, so batches stay byte-deterministic.
+    """
+    first = order_cols[0]
+    dtype = dict(df.dtypes)[first]
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        pfx = F.expr(f"`{first}` div {batch_size * 64}")
+    else:
+        pfx = F.substring(F.col(first), 1, 2)
+    sub = df.withColumn("_pfx", pfx)
+    wl = Window.partitionBy(*group_cols, "_pfx").orderBy(*order_cols)
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pfx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        sub.groupBy(*group_cols, "_pfx")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)))
+        .select(*group_cols, "_pfx", "_off")
+    )
+    return (
+        sub.join(F.broadcast(offsets), group_cols + ["_pfx"])
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(wl) - 1 + F.col("_off")) / batch_size).cast(
+                "long"
+            ),
+        )
+        .drop("_pfx", "_off")
+    )
+
+
 def node_upsert_cypher(
     label: str, key: str = "hubspot_id", custom_labels: tuple[str, ...] = ()
 ) -> str:
@@ -229,10 +286,10 @@ def dry_run_node_payloads(
     """
     cols = nodes.columns
     ordered = [key] + [c for c in cols if c != key]
-    w = Window.orderBy(key)
-    batched = nodes.dropDuplicates([key]).select(
-        F.struct(*[F.col(c) for c in ordered]).alias("node"),
-        ((F.row_number().over(w) - 1) / batch_size).cast("long").alias("batch_id"),
+    batched = _with_batch_ids(
+        nodes.dropDuplicates([key]), [], [key], batch_size
+    ).select(
+        F.struct(*[F.col(c) for c in ordered]).alias("node"), "batch_id"
     )
     return (
         batched.groupBy("batch_id")
@@ -293,13 +350,17 @@ def dry_run_edge_payloads(
     # with deterministic grouping the equivalent group-level fact is
     # "this group's rows carry from_email" — mixed groups would be a
     # data bug either way, surfaced here by max() picking email mode
-    # only when present
-    wg = Window.partitionBy("group_key")
-    wo = Window.partitionBy("group_key").orderBy("to_id", "from_id", "from_email")
-    batched = base.select(
-        "*",
-        F.max(F.col("from_email").isNotNull()).over(wg).alias("email_matched"),
-        ((F.row_number().over(wo) - 1) / batch_size).cast("long").alias("batch_id"),
+    # only when present. Computed as a partial-aggregating groupBy +
+    # broadcast join, not a whole-group window (which would funnel
+    # each rel-type group through one task — see _with_batch_ids).
+    flags = base.groupBy("group_key").agg(
+        F.max(F.col("from_email").isNotNull()).alias("email_matched")
+    )
+    batched = _with_batch_ids(
+        base.join(F.broadcast(flags), "group_key"),
+        ["group_key"],
+        ["to_id", "from_id", "from_email"],
+        batch_size,
     )
     rel_struct = F.struct(
         F.col("to_id"),

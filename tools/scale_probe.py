@@ -58,6 +58,16 @@ ALLOWED_RATIOS: dict[str, float] = {
     # linear per-round cost.
     "doc_dup_clusters": 8.0,
     "doc_dedup_keeplist": 8.0,
+    # r7 slice-verification variants: full signature/banding cost plus
+    # 1/K of the parent's pair-count-driven candidate work — inherit
+    # the parent's bound.
+    "doc_minhash_lsh_pairs_slice": 12.0,
+    "doc_simhash_pairs_slice": 12.0,
+    "embedding_near_dup_pairs_slice": 15.0,
+    "semantic_dedup_slice": 15.0,
+    # simhash pairs: pair-count-driven like minhash (r6 measured 1.3x
+    # at 10x, 15.7x at 100x post-refinement) — same family bound.
+    "doc_simhash_pairs": 12.0,
 }
 
 # Floor below which ratios are noise, not signal: a 0.2s query going
