@@ -174,6 +174,69 @@ def _json_array(row_json, *order_cols: Column) -> Column:
     )
 
 
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _subkeyed(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    batch_size: int,
+) -> DataFrame:
+    """Append the order-compatible ``_pfx`` sub-key `_with_batch_ids`
+    splits each group by, derived from the first order column.
+
+    Integer keys: ``key div (64*batch_size)`` — contiguous value
+    ranges, order trivially preserved. String keys: each group's rows
+    all start with lcp(min, max) (any string between two strings
+    shares their common prefix), so that longest common prefix is
+    stripped before taking a 2-char sub-key. Without the strip, an id
+    space sharing a constant prefix — every real HubSpot export:
+    ``contact_0000123`` — collapses into ONE sub-bucket and the rank
+    window funnels through a single task again, exactly what the
+    two-phase rank exists to avoid. lcp is computed per group from
+    min/max aggregates (partial-combining, no whole-group window) and
+    broadcast back. Any other dtype raises: a float/decimal cast to
+    string orders '9.5' after '10.5', breaking the contiguous-range
+    invariant and silently mis-sizing batches — callers cast such
+    keys explicitly.
+    """
+    first = order_cols[0]
+    dtype = dict(df.dtypes)[first]
+    if dtype in _INT_TYPES:
+        return df.withColumn("_pfx", F.expr(f"`{first}` div {batch_size * 64}"))
+    if dtype != "string":
+        raise ValueError(
+            f"batching key {first!r} has type {dtype}; only integer and "
+            "string keys have an order-compatible sub-key (float/decimal "
+            "string order would corrupt batch boundaries) — cast the key "
+            "to string or bigint first"
+        )
+    pair_len = F.least(F.length("_mn"), F.length("_mx"))
+    # positions where the two prefixes agree form a prefix-closed set,
+    # so counting agreeing positions IS the lcp length
+    agree = F.filter(
+        F.sequence(F.lit(1), pair_len),
+        lambda i: F.col("_mn").substr(F.lit(1), i)
+        == F.col("_mx").substr(F.lit(1), i),
+    )
+    lcp_len = (
+        F.when(pair_len >= 1, F.size(agree)).otherwise(F.lit(0)).alias("_lcp")
+    )
+    lcp = (
+        df.groupBy(*group_cols)
+        .agg(F.min(first).alias("_mn"), F.max(first).alias("_mx"))
+        .select(*group_cols, F.coalesce(lcp_len, F.lit(0)).alias("_lcp"))
+    )
+    if group_cols:
+        sub = df.join(F.broadcast(lcp), group_cols)
+    else:
+        sub = df.crossJoin(F.broadcast(lcp))
+    return sub.withColumn(
+        "_pfx", F.col(first).substr(F.col("_lcp") + 1, F.lit(2))
+    ).drop("_lcp")
+
+
 def _with_batch_ids(
     df: DataFrame,
     group_cols: list[str],
@@ -186,27 +249,23 @@ def _with_batch_ids(
     A plain ``row_number() over (partition by group)`` funnels each
     group through ONE task — the r7 scale probe measured 6.1x wall at
     10x data for the dry-run sink because one rel-type group held all
-    1.5M rows. Two-phase exact rank instead: split each group by a
-    DETERMINISTIC order-compatible sub-key derived from the first
-    order column (numeric: key div (64*batch_size); string: 2-char
-    prefix — in both cases sub-key order agrees with key order, so
-    sub-buckets are contiguous key ranges), rank locally per
-    (group, sub-key), then add broadcast per-sub-key row-count prefix
-    offsets. Data-derived — NOT repartitionByRange +
-    spark_partition_id, whose sampled range boundaries differ between
-    the rank branch and the offsets branch of the plan and corrupt
-    the ranks (caught by the oracle: a 173-row batch). Parallelism is
-    bounded by sub-key cardinality; ranks among exactly equal order
-    keys are arbitrary in any form, and identical rows produce
-    identical payload text, so batches stay byte-deterministic.
+    1.5M rows. Two-phase exact rank instead: split each group by the
+    DETERMINISTIC order-compatible ``_pfx`` sub-key (`_subkeyed` —
+    sub-key order agrees with key order, so sub-buckets are contiguous
+    key ranges), rank locally per (group, sub-key), then add broadcast
+    per-sub-key row-count prefix offsets. Data-derived — NOT
+    repartitionByRange + spark_partition_id, whose sampled range
+    boundaries differ between the rank branch and the offsets branch
+    of the plan and corrupt the ranks (caught by the oracle: a 173-row
+    batch). Rows whose first order key is NULL sort first (Spark
+    NULLS FIRST) and carry a NULL sub-key, which also sorts first —
+    the offsets join is null-safe so they batch ahead of everything
+    instead of silently vanishing. Parallelism is bounded by sub-key
+    cardinality; ranks among exactly equal order keys are arbitrary in
+    any form, and identical rows produce identical payload text, so
+    batches stay byte-deterministic.
     """
-    first = order_cols[0]
-    dtype = dict(df.dtypes)[first]
-    if dtype in ("tinyint", "smallint", "int", "bigint"):
-        pfx = F.expr(f"`{first}` div {batch_size * 64}")
-    else:
-        pfx = F.substring(F.col(first), 1, 2)
-    sub = df.withColumn("_pfx", pfx)
+    sub = _subkeyed(df, group_cols, order_cols, batch_size)
     wl = Window.partitionBy(*group_cols, "_pfx").orderBy(*order_cols)
     wo = (
         Window.partitionBy(*group_cols)
@@ -217,17 +276,24 @@ def _with_batch_ids(
         sub.groupBy(*group_cols, "_pfx")
         .agg(F.count("*").alias("_n"))
         .withColumn("_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)))
-        .select(*group_cols, "_pfx", "_off")
+        .select(
+            *[F.col(c).alias(f"_o_{c}") for c in group_cols],
+            F.col("_pfx").alias("_o_pfx"),
+            "_off",
+        )
     )
+    cond = F.col("_pfx").eqNullSafe(F.col("_o_pfx"))
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"_o_{c}"))
     return (
-        sub.join(F.broadcast(offsets), group_cols + ["_pfx"])
+        sub.join(F.broadcast(offsets), cond)
         .withColumn(
             "batch_id",
             ((F.row_number().over(wl) - 1 + F.col("_off")) / batch_size).cast(
                 "long"
             ),
         )
-        .drop("_pfx", "_off")
+        .drop("_pfx", "_o_pfx", "_off", *[f"_o_{c}" for c in group_cols])
     )
 
 
@@ -279,16 +345,27 @@ def dry_run_node_payloads(
     batch's UNWIND parameter, in ascending key order (batch membership
     and intra-batch order are both key-ordered, so the payload set is
     a pure function of the data — reference list order is an artifact
-    of extraction order). Scale note: a global row_number drives batch
-    assignment — inherently serial, matching the sink it emulates
-    (bolt executes these statements one session at a time); this sink
-    is for bounded upsert sets, not 100 TB table dumps.
+    of extraction order). Duplicate keys keep the row whose JSON
+    serialization is minimal — NOT dropDuplicates, whose survivor is
+    partition-order dependent when duplicates carry differing
+    properties, which would break the byte-determinism this docstring
+    promises (the reference sends every duplicate and lets the last
+    MERGE win — list order again, not reproducible from a set). Scale
+    note: a global row_number drives batch assignment — inherently
+    serial, matching the sink it emulates (bolt executes these
+    statements one session at a time); this sink is for bounded
+    upsert sets, not 100 TB table dumps.
     """
     cols = nodes.columns
     ordered = [key] + [c for c in cols if c != key]
-    batched = _with_batch_ids(
-        nodes.dropDuplicates([key]), [], [key], batch_size
-    ).select(
+    row = F.struct(*[F.col(c) for c in ordered])
+    dedup = (
+        nodes.select(row.alias("_row"))
+        .groupBy(F.col("_row").getField(key).alias("_k"))
+        .agg(F.min_by("_row", F.to_json("_row")).alias("_row"))
+        .select("_row.*")
+    )
+    batched = _with_batch_ids(dedup, [], [key], batch_size).select(
         F.struct(*[F.col(c) for c in ordered]).alias("node"), "batch_id"
     )
     return (

@@ -75,6 +75,15 @@ _DEMOTED = {
     # scd2_version_chain for T9), F10 via recent_activity /
     # windowed_event_counts / ownership_change_history.
     "recent_changes",
+    # Round 8: one §2-redundant row demoted to admit the Neo4j dry-run
+    # sink flagship (neo4j_dryrun_batches — gives S13/S14 their
+    # driver-green rows, the r7 VERDICT task-1 rotation). NOT
+    # epoch_roundtrip as the verdict sketched: epoch_roundtrip is the
+    # registry's ONLY F3 carrier, so demoting it would strand F3
+    # outside the window. contacts_by_lifecycle_stage carries only A1,
+    # which stays in-window three times over via deals_by_company /
+    # shard_write_roundtrip / upsert_idempotency_roundtrip.
+    "contacts_by_lifecycle_stage",
 }
 
 _PRIORITY = [
@@ -112,6 +121,9 @@ _PRIORITY = [
     # round 7: trained-centroid IVF (fixed-point Lloyd's round, fully
     # oracle-mirrored; see _DEMOTED note for the row it displaces)
     "ann_ivf_topk_trained",
+    # round 8: the executed Neo4j dry-run sink (S13 edge upsert + S14
+    # email-matched branch get driver-green rows; see _DEMOTED note)
+    "neo4j_dryrun_batches",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -209,3 +209,100 @@ def test_edge_frame_requires_a_source_key(spark):
     )
     with pytest.raises(ValueError, match="from_id or from_email"):
         dry_run_edge_payloads(df)
+
+
+# ---------------------------------------------------------------------------
+# r8: _with_batch_ids sub-key hardening (r7 VERDICT task 2 + ADVICE).
+# The two-phase exact rank only parallelizes if the sub-key actually
+# splits each group; a constant id prefix (every real HubSpot export:
+# "contact_0000123") used to collapse everything into one sub-bucket.
+# ---------------------------------------------------------------------------
+
+
+def test_constant_prefix_ids_still_fan_out_and_batch_exactly(spark):
+    """Ids f"contact_{i:07d}" share an 12-char constant prefix; the
+    lcp strip must yield >1 sub-bucket (the rank stage's parallelism
+    bound) while payload bytes stay identical to the reference's
+    sorted range(0, n, 100) slicing."""
+    from hubspot_neo4j_pipeline_spark.operators.neo4j_sink import _subkeyed
+
+    n = 500
+    df = spark.createDataFrame(
+        [(f"contact_{i:07d}", f"u{i}@example.com") for i in range(n)],
+        "hubspot_id string, email string",
+    )
+    # parallelism: the sub-key is the rank window's partition key, so
+    # distinct _pfx IS the task-count bound for the rank stage
+    pfx = (
+        _subkeyed(df, [], ["hubspot_id"], 100)
+        .select("_pfx")
+        .distinct()
+        .count()
+    )
+    assert pfx > 1, "constant-prefix ids collapsed into one rank task"
+
+    out = (
+        dry_run_node_payloads(df, "HUBSPOT_Contact")
+        .orderBy("batch_id")
+        .collect()
+    )
+    assert [r["n_nodes"] for r in out] == [100, 100, 100, 100, 100]
+    ids = sorted(f"contact_{i:07d}" for i in range(n))
+    for b, r in enumerate(out):
+        batch = json.loads(r["params_json"])
+        assert [x["hubspot_id"] for x in batch] == ids[b * 100 : (b + 1) * 100]
+        # byte-determinism: payload text equals the json built from the
+        # sorted slice directly
+        assert r["params_json"] == (
+            "["
+            + ",".join(
+                json.dumps(
+                    {
+                        "hubspot_id": i,
+                        "email": f"u{int(i[8:])}@example.com",
+                    },
+                    separators=(",", ":"),
+                )
+                for i in ids[b * 100 : (b + 1) * 100]
+            )
+            + "]"
+        )
+
+
+def test_null_order_key_rows_batch_first_instead_of_vanishing(spark):
+    """A null to_id row used to get a null _pfx and fall out of the
+    inner offsets equi-join; the null-safe join must keep it, batched
+    ahead of everything (Spark NULLS FIRST)."""
+    rows = [
+        ("WORKS_AT", "HUBSPOT_Contact", "HUBSPOT_Company", f"c{i}", None, f"co{i:03d}", {})
+        for i in range(150)
+    ] + [("WORKS_AT", "HUBSPOT_Contact", "HUBSPOT_Company", "cX", None, None, {})]
+    df = spark.createDataFrame(rows, EDGE_SCHEMA)
+    out = dry_run_edge_payloads(df).orderBy("batch_id").collect()
+    assert [r["n_rels"] for r in out] == [100, 51]
+    assert sum(r["n_rels"] for r in out) == 151, "null-key row was dropped"
+    first_batch = json.loads(out[0]["params_json"])
+    assert first_batch[0]["from_id"] == "cX" and "to_id" not in first_batch[0]
+
+
+def test_non_string_non_integer_batch_key_raises(spark):
+    """Float/decimal keys cast to string order '9.5' after '10.5',
+    silently corrupting batch boundaries — must raise instead."""
+    df = spark.createDataFrame(
+        [(1.5, "a"), (10.5, "b")], "hubspot_id double, email string"
+    )
+    with pytest.raises(ValueError, match="only integer and string"):
+        dry_run_node_payloads(df, "X")
+
+
+def test_duplicate_keys_with_conflicting_properties_pick_min_json(spark):
+    """dropDuplicates' survivor is partition-order dependent; the sink
+    must pick the min-serialization representative so payload bytes
+    are a pure function of the data (ADVICE r7)."""
+    rows = [(1, "zzz@example.com"), (1, "aaa@example.com"), (2, "b@example.com")]
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(perm, "hubspot_id int, email string").repartition(4)
+        out = dry_run_node_payloads(df, "X").collect()
+        assert len(out) == 1 and out[0]["n_nodes"] == 2
+        batch = json.loads(out[0]["params_json"])
+        assert [x["email"] for x in batch] == ["aaa@example.com", "b@example.com"]

@@ -93,17 +93,20 @@ def test_priority_prefix_spans_all_families():
         # round 7: trained-centroid IVF (fixed-point Lloyd's round,
         # fully oracle-mirrored)
         "ann_ivf_topk_trained",
+        # round 8: Neo4j dry-run sink (S13/S14 driver rows)
+        "neo4j_dryrun_batches",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Eleven §2-redundant queries are rotated past the driver's
+    """Twelve §2-redundant queries are rotated past the driver's
     50-query window (five in r4 for the sequence/sketch/funnel/
     semantic-dedup flagships, three in r5 for the sink round-trips and
     the real media decode, two in r6 for the rewritten
     fuzzy_name_pairs / doc_simhash_pairs scale flagships, one in r7
-    for the trained-centroid IVF flagship); they
+    for the trained-centroid IVF flagship, one in r8 for the Neo4j
+    dry-run sink); they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
     from hubspot_neo4j_pipeline_spark.plans import QUERIES
@@ -124,6 +127,10 @@ def test_demoted_queries_still_registered_with_oracles():
         # r7: demoted for ann_ivf_topk_trained (T9/W4 via
         # current_state, F10 via recent_activity et al.)
         "recent_changes",
+        # r8: demoted for neo4j_dryrun_batches (A1 via
+        # deals_by_company / shard_write_roundtrip /
+        # upsert_idempotency_roundtrip)
+        "contacts_by_lifecycle_stage",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"
