@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import tracked_cache
+
 DEFAULT_SHINGLE = 5
 # 4 bands × 4 rows (r6; was 8 × 2): a band collides with prob J^rows,
 # so 4-row bands push the SUB-threshold candidate floor from J² to J⁴
@@ -217,6 +219,7 @@ def minhash_lsh_pairs(
     max_band_df: int | None = None,
     shingles: DataFrame | None = None,
     band_slice: tuple[int, int] | None = None,
+    no_cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with verified shingle-Jaccard.
 
@@ -248,14 +251,18 @@ def minhash_lsh_pairs(
     with other consumers of the same corpus scan — see
     ``minhash_signature``.
 
-    Caching note: the signature frame is ``.cache()``d internally
-    (three downstream consumers). Spark caches are unpinned lazily, so
-    a long-lived session invoking this repeatedly accumulates cached
-    plans until storage eviction; batch tools call
-    ``spark.catalog.clearCache()`` between queries (bench.py,
-    tools/verify_queries.py do) — library callers with long sessions
-    should do the same. The same note applies to simhash_near_pairs'
-    chunk cache and the LSH bucket caches in operators/similarity.py.
+    Caching contract: the signature frame is cached internally (three
+    downstream consumers) and the cache OUTLIVES this call — Spark
+    unpins cached plans lazily, so a long-lived session invoking this
+    repeatedly accumulates cached blocks until storage eviction. Batch
+    tools call ``spark.catalog.clearCache()`` between queries
+    (bench.py, tools/verify_queries.py do); library callers either
+    pass ``no_cache=True`` (skip caching — bounded recompute, zero
+    storage footprint) or call
+    ``operators.caching.release_caches()`` after materializing
+    results. The same contract applies to simhash_near_pairs' chunk
+    cache, bucket_self_pairs' grouped cache, and lsh_topk's bucket
+    cache in operators/similarity.py.
 
     ``band_slice=(K, r)``: keep only band buckets whose first two
     band_hash hex digits satisfy ``int(hex2, 16) % K == r`` — a
@@ -269,7 +276,10 @@ def minhash_lsh_pairs(
     # cache: the signature plan (n_perms array transforms) feeds three
     # downstream joins; caching cuts the expression tree so Catalyst
     # analyzes the big plan once, not once per consumer.
-    sigs = minhash_signature(df, id_col, text_col, n_perms, shingles=shingles).cache()
+    sigs = tracked_cache(
+        minhash_signature(df, id_col, text_col, n_perms, shingles=shingles),
+        no_cache,
+    )
     bands = minhash_bands(sigs, id_col, n_perms, n_bands)
     if max_band_df is not None:
         # df computation reuses the (band_id, band_hash) shuffle key of
@@ -296,7 +306,7 @@ def minhash_lsh_pairs(
     from .skew import bucket_self_pairs
 
     candidates = (
-        bucket_self_pairs(bands, ["band_id", "band_hash"], id_col)
+        bucket_self_pairs(bands, ["band_id", "band_hash"], id_col, no_cache=no_cache)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -430,6 +440,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     hot_chunk_df: int | None = None,
     chunk_slice: tuple[int, int] | None = None,
+    no_cache: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-bucketed
     on (max_hamming + 1) contiguous bit chunks.
@@ -464,9 +475,11 @@ def simhash_near_pairs(
     sub key), and a bucket is entirely hot or entirely cold, so the
     union never cross-matches.
 
-    Caching note: on the hot-chunk path ``chunks`` is ``.cache()``d
-    (four consumers) — see minhash_lsh_pairs' caching note for the
-    long-lived-session guidance.
+    Caching contract: on the hot-chunk path ``chunks`` is cached
+    (four consumers) and the cache outlives this call — see
+    minhash_lsh_pairs' caching contract; long-lived sessions pass
+    ``no_cache=True`` or call
+    ``operators.caching.release_caches()``.
 
     ``chunk_slice=(K, r)``: keep only buckets with chunk % K == r — a
     deterministic 1/K sample of CANDIDATE BUCKETS, identical in both
@@ -504,7 +517,7 @@ def simhash_near_pairs(
         # count, size join, both join sides); without it the 60-vote
         # simhash aggregation re-executes per consumer (measured 4x
         # wall at sf0.1). The cached rows are slim (id, hash, chunk).
-        chunks = chunks.cache()
+        chunks = tracked_cache(chunks, no_cache)
         # df count reuses the (chunk_id, chunk) shuffle key of the
         # self-join that follows — one extra partial-agg pass
         sizes = chunks.groupBy("chunk_id", "chunk").agg(
@@ -550,7 +563,12 @@ def simhash_near_pairs(
     item = F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        bucket_self_pairs(chunks.select(id_col, "simhash", *join_keys), join_keys, item)
+        bucket_self_pairs(
+            chunks.select(id_col, "simhash", *join_keys),
+            join_keys,
+            item,
+            no_cache=no_cache,
+        )
         .select(
             F.col("a.i").alias("id_a"),
             F.col("b.i").alias("id_b"),

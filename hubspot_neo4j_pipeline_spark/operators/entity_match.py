@@ -112,6 +112,7 @@ def edit_distance_pairs(
     block_col: str | None = None,
     max_distance: int = 2,
     min_variant_len: int | None = None,
+    no_cache: bool = False,
 ) -> DataFrame:
     """Exact edit-distance self-join: all pairs (id_a < id_b) with
     levenshtein(text_a, text_b) <= max_distance, optionally restricted
@@ -189,7 +190,7 @@ def edit_distance_pairs(
     from .skew import bucket_self_pairs
 
     cand = (
-        bucket_self_pairs(keys, ["_vh"] + blk, "_eid")
+        bucket_self_pairs(keys, ["_vh"] + blk, "_eid", no_cache=no_cache)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"), *blk)
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import tracked_cache
+
 
 # Column-NAME inputs take the F.expr path: one SQL parse instead of
 # py4j-built lambda trees (the construction-cost finding documented in
@@ -195,6 +197,7 @@ def embedding_near_dup_pairs(
     max_bucket_df: int | None = None,
     n_vectors: int | None = None,
     bucket_slice: tuple[int, int] | None = None,
+    no_cache: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates restricted to shared LSH buckets — the
@@ -265,6 +268,7 @@ def embedding_near_dup_pairs(
             expand_cap=None
             if (max_bucket_df is not None and max_bucket_df <= 4096)
             else 4096,
+            no_cache=no_cache,
         )
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -503,10 +507,14 @@ def lsh_topk(
     planes_per_table: int | None = None,
     n_queries: int = 100,
     n_vectors: int | None = None,
+    no_cache: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any table's
     bucket with the query (equi-join on (table_id, bucket), dedup,
-    rank by exact cosine). Queries = first n_queries ids.
+    rank by exact cosine). Queries = first n_queries ids. Caching
+    contract: the bucket frame's cache outlives this call — see
+    minhash_lsh_pairs (operators/dedup.py); long-lived sessions pass
+    ``no_cache=True`` or call ``operators.caching.release_caches()``.
 
     planes_per_table=None auto-scales with ceil(log2(N/64)) (r6, same
     fix as embedding_near_dup_pairs): with a FIXED plane count each
@@ -518,9 +526,12 @@ def lsh_topk(
     (linear cost)."""
     # cache: see embedding_near_dup_pairs — one analysis of the plane
     # fold tree instead of one per consumer.
-    bucketed = lsh_buckets(
-        df, id_col, vec_col, n_tables, planes_per_table, n_vectors=n_vectors
-    ).cache()
+    bucketed = tracked_cache(
+        lsh_buckets(
+            df, id_col, vec_col, n_tables, planes_per_table, n_vectors=n_vectors
+        ),
+        no_cache,
+    )
     queries = bucketed.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "table_id", "bucket", F.col("e").alias("qe")
     )

@@ -109,6 +109,7 @@ def bucket_self_pairs(
     bucket_cols: list[str],
     item,
     expand_cap: int | None = 4096,
+    no_cache: bool = False,
 ) -> DataFrame:
     """All unordered item pairs (a < b) within each bucket — the
     candidate-generation kernel shared by the bucketed pair operators
@@ -145,12 +146,17 @@ def bucket_self_pairs(
     collision floors, hot-chunk refinement, df caps) — an unbounded
     bucket under pure expansion is a single-row OOM, not a slow join.
 
-    With the fallback enabled, ``grouped`` is ``.cache()``d: the
-    fallback's two join sides would otherwise re-execute the groupBy
-    (A/B at 100x: 43s hybrid-uncached vs 33s cached ≈ pure for the
-    simhash pair query). Same long-lived-session caching note as
-    minhash_lsh_pairs — batch tools clearCache between queries.
+    With the fallback enabled, ``grouped`` is cached: the fallback's
+    two join sides would otherwise re-execute the groupBy (A/B at
+    100x: 43s hybrid-uncached vs 33s cached ≈ pure for the simhash
+    pair query). Caching contract: the cache outlives this call —
+    long-lived sessions pass ``no_cache=True`` (bounded recompute,
+    zero storage footprint) or call
+    ``operators.caching.release_caches()`` after materializing
+    results; batch tools clearCache between queries.
     """
+    from .caching import tracked_cache
+
     item_col = F.col(item) if isinstance(item, str) else item
     grouped = (
         df.groupBy(*bucket_cols)
@@ -158,7 +164,7 @@ def bucket_self_pairs(
         .where(F.size("_items") > 1)
     )
     if expand_cap is not None:
-        grouped = grouped.cache()
+        grouped = tracked_cache(grouped, no_cache)
     expand = F.expr(
         "flatten(transform(_items, (x, i) -> "
         "transform(slice(_items, i + 2, size(_items) - i - 1), "

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.caching import tracked_cache
 from .operators.scd2 import diff_edges, scd2_merge, with_temporal_fields
 from .operators.transforms import transform_all
 from .sources.feeds import FEED_SCHEMAS, read_feed
@@ -65,7 +66,7 @@ def run_pipeline(
     stats_rows = []
     for label, incoming in nodes.items():
         cur_path = _node_dir(store, "nodes", label)
-        incoming = incoming.cache()
+        incoming = tracked_cache(incoming)
         if os.path.exists(cur_path):
             current = spark.read.parquet(cur_path)
             # all three outputs are written below -> run the merge join ONCE
@@ -94,7 +95,7 @@ def run_pipeline(
         node_changes[label] = changelog
         stats_rows.append((label,))
 
-    edges = edges.cache()
+    edges = tracked_cache(edges)
     edges_path = os.path.join(store, "edges")
     if os.path.exists(edges_path):
         current_edges = spark.read.parquet(edges_path)

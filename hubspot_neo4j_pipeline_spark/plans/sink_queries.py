@@ -44,18 +44,35 @@ def _prune_stale(root: str, max_age_s: int = 86400, keep: str | None = None) -> 
     concurrently). ``keep`` names the CURRENT application's dir, which
     is never removed regardless of age: a session alive for more than
     a day would otherwise see its own earlier queries' parquet deleted
-    out from under a later read-back (the top-level dir's mtime only
-    moves when a direct child changes, so a live run's dir can look
-    stale)."""
+    out from under a later read-back. Staleness keys on the MAX mtime
+    across the dir tree, not the top-level dir's own: a top-level
+    appId dir's mtime only moves when a direct child is added, so
+    ANOTHER application alive past max_age_s that keeps writing new
+    SF tags under existing query subdirs would look stale at the top
+    while its leaves are fresh (r7 ADVICE — the keep= guard protects
+    only the CURRENT app)."""
     import shutil
     import time
+
+    def newest_mtime(path: str) -> float:
+        try:
+            newest = os.path.getmtime(path)
+        except OSError:
+            return time.time()  # vanished mid-scan — treat as fresh
+        for sub, _dirs, files in os.walk(path):
+            for entry in [sub] + [os.path.join(sub, f) for f in files]:
+                try:
+                    newest = max(newest, os.path.getmtime(entry))
+                except OSError:
+                    pass
+        return newest
 
     try:
         for name in os.listdir(root):
             if keep is not None and name == keep:
                 continue
             path = os.path.join(root, name)
-            if time.time() - os.path.getmtime(path) > max_age_s:
+            if time.time() - newest_mtime(path) > max_age_s:
                 shutil.rmtree(path, ignore_errors=True)
     except OSError:
         pass

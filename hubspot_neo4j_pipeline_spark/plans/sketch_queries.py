@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.caching import tracked_cache
 from ..sources.tpch import load_table
 from .registry import register
 
@@ -137,7 +138,7 @@ def corpus_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = (
         docs.select("source", F.expr(_SHINGLE_HASH_SPARK).alias("h"))
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
     w = Window.partitionBy("source").orderBy("h")
     kmin = (
@@ -239,7 +240,7 @@ def term_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact top-10 branch — same multi-consumer discipline as
     # corpus_kmv_sketch's dist cache (per-run scratch; at 100 TB use a
     # disk-spilling persist or accept the recompute).
-    terms = hashed_terms(docs).cache()
+    terms = tracked_cache(hashed_terms(docs))
     counters = (
         term_probes(terms).groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.caching import tracked_cache
 from ..operators.dedup import hashed_shingle_sql
 from ..sources.tpch import load_table
 from .registry import register
@@ -1097,7 +1098,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = (
         docs.select("doc_id", shingle_set("text").alias("shingles"))
         .where(F.size("shingles") > 0)
-        .cache()
+        .transform(tracked_cache)
     )
     # cache: each pair set feeds two consumers (its own count and the
     # intersection) — without it both full pair pipelines run twice.
@@ -1113,14 +1114,14 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("id_a", "id_b")
-        .cache()
+        .transform(tracked_cache)
     )
     mh = (
         minhash_lsh_pairs(
             docs, id_col="doc_id", text_col="text", shingles=shingled
         )
         .select("id_a", "id_b")
-        .cache()
+        .transform(tracked_cache)
     )
     na = sp.agg(F.count("*").alias("n_shingle_pairs"))
     nb = mh.agg(F.count("*").alias("n_minhash_pairs"))

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.caching import tracked_cache
 from ..sources.tpch import load_table, table_row_count
 from .registry import register
 
@@ -1016,7 +1017,7 @@ def _semantic_dedup_frame(
     from ..operators.skew import hash_subsplit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb, ivf_seeds(emb), n_probe=1).cache()
+    assigned = tracked_cache(ivf_assign(emb, ivf_seeds(emb), n_probe=1))
     subbed = hash_subsplit(assigned, "cell", "vec_id", MAX_CELL)
     if sub_slice is not None:
         k, r = sub_slice

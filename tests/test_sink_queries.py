@@ -49,3 +49,36 @@ def test_upsert_collapses_duplicate_keys(spark, sf_dir):
     back = spark.read.parquet(_scratch(spark, "upsert_idempotency_roundtrip", sf_dir))
     total = back.count()
     assert total == back.select("c_custkey").distinct().count()
+
+
+def test_prune_stale_spares_live_dirs(tmp_path):
+    """r7 ADVICE: staleness must key on the NEWEST mtime in the tree.
+    A >24h-old appId top-level dir with a fresh query subdir belongs
+    to a live (other-app) run and must survive; a tree stale
+    throughout goes; the current app's dir survives regardless."""
+    import os
+    import time
+
+    from hubspot_neo4j_pipeline_spark.plans.sink_queries import _prune_stale
+
+    old = time.time() - 3 * 86400
+
+    def appdir(name, leaf_fresh):
+        d = tmp_path / name / "some_query" / "sf0.1"
+        d.mkdir(parents=True)
+        f = d / "part-0000.parquet"
+        f.write_bytes(b"x")
+        if not leaf_fresh:
+            for p in (f, d, d.parent):
+                os.utime(p, (old, old))
+        # top-level dir always looks stale (mtime moves only on
+        # direct-child adds — the failure mode under test)
+        os.utime(tmp_path / name, (old, old))
+
+    appdir("app-live-other", leaf_fresh=True)
+    appdir("app-dead", leaf_fresh=False)
+    appdir("app-mine-old", leaf_fresh=False)
+
+    _prune_stale(str(tmp_path), keep="app-mine-old")
+    survivors = sorted(os.listdir(tmp_path))
+    assert survivors == ["app-live-other", "app-mine-old"], survivors
