@@ -160,11 +160,36 @@ def edit_distance_pairs(
     alignment-derived common variant has length >= min(len) - d >= m
     and survives; if either side is shorter than m + d its variants
     are all kept, so every true pair still shares a surviving key.
+    (With the prefix strip below, lengths here are STRIPPED lengths.)
+
+    Corpus-prefix strip (r8): a prefix shared by every string is
+    stripped before variant generation AND the verify. Exact twice
+    over: (1) if a and b start with the same char c, the DP's first
+    step is a free match, so lev(c+x, c+y) = lev(x, y) — by induction
+    a shared prefix contributes 0 to the distance of EVERY pair;
+    (2) any string lexicographically between min(s) and max(s) shares
+    their common prefix, so lcp(min, max) — two aggregates, broadcast
+    back — is shared corpus-wide. On id-like corpora (supplier names:
+    18 chars, 9 of them the constant 'Supplier#') this cuts per-row
+    fan-out from 1+L+L(L-1)/2 = 172 variants to 46 and shortens both
+    the hashed variant strings and the verify DP — candidate recall
+    and output are bit-identical (equality pinned in
+    tests/test_operators_misc.py).
     """
+    from .skew import lcp_length
+
     cols = [F.col(id_col).alias("_eid"), F.col(text_col).alias("_s")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("_blk"))
-    base = df.select(*cols)
+    raw = df.select(*cols)
+    lcp = raw.agg(F.min("_s").alias("_mn"), F.max("_s").alias("_mx")).select(
+        lcp_length(F.col("_mn"), F.col("_mx")).alias("_lcp")
+    )
+    base = (
+        raw.crossJoin(F.broadcast(lcp))
+        .withColumn("_s", F.col("_s").substr(F.col("_lcp") + 1, F.length("_s")))
+        .drop("_lcp")
+    )
     variants = F.expr(_deletion_variants_sql("_s", max_distance))
     if min_variant_len is not None:
         variants = F.when(

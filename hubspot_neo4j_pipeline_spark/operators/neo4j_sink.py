@@ -212,21 +212,15 @@ def _subkeyed(
             "string order would corrupt batch boundaries) — cast the key "
             "to string or bigint first"
         )
-    pair_len = F.least(F.length("_mn"), F.length("_mx"))
-    # positions where the two prefixes agree form a prefix-closed set,
-    # so counting agreeing positions IS the lcp length
-    agree = F.filter(
-        F.sequence(F.lit(1), pair_len),
-        lambda i: F.col("_mn").substr(F.lit(1), i)
-        == F.col("_mx").substr(F.lit(1), i),
-    )
-    lcp_len = (
-        F.when(pair_len >= 1, F.size(agree)).otherwise(F.lit(0)).alias("_lcp")
-    )
+    from .skew import lcp_length
+
     lcp = (
         df.groupBy(*group_cols)
         .agg(F.min(first).alias("_mn"), F.max(first).alias("_mx"))
-        .select(*group_cols, F.coalesce(lcp_len, F.lit(0)).alias("_lcp"))
+        .select(
+            *group_cols,
+            lcp_length(F.col("_mn"), F.col("_mx")).alias("_lcp"),
+        )
     )
     if group_cols:
         sub = df.join(F.broadcast(lcp), group_cols)

@@ -533,13 +533,29 @@ def lsh_topk(
         no_cache,
     )
     queries = bucketed.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), "table_id", "bucket", F.col("e").alias("qe")
+        F.col(id_col).alias("query_id"), "table_id", "bucket"
     )
-    cands = bucketed.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket", "e")
+    cands = bucketed.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket")
+    # id-only candidate dedup: a (query, neighbor) pair colliding in
+    # several tables would otherwise drag BOTH 64-double embedding
+    # arrays through the dedup shuffle once per collision; vectors
+    # re-attach to the deduped pair set afterwards (query side
+    # broadcast — bounded by n_queries), same discipline as
+    # embedding_near_dup_pairs.
+    vecs = df.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("_ve"))
+    qvecs = vecs.where(F.col("_vid") < n_queries)
     pairs = (
         cands.join(F.broadcast(queries), ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(
+            F.broadcast(qvecs.select(F.col("_vid").alias("query_id"), F.col("_ve").alias("qe"))),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("neighbor_id"), F.col("_ve").alias("e")),
+            "neighbor_id",
+        )
         .select("query_id", "neighbor_id", cosine("qe", "e").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

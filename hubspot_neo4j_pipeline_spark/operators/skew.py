@@ -19,8 +19,27 @@ must be reproducible across retries and AQE re-plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def lcp_length(a: Column, b: Column) -> Column:
+    """Length of the longest common prefix of two string columns.
+
+    Positions where the two prefixes agree form a prefix-closed set,
+    so counting agreeing positions IS the lcp length. Shared by the
+    dry-run sink's sub-key fan-OUT (strip a constant id prefix so
+    rank tasks spread — operators/neo4j_sink._subkeyed) and the
+    deletion-variant join's fan-IN (strip a corpus-wide prefix so
+    per-row variant count shrinks — operators/entity_match). NULL or
+    empty inputs yield 0."""
+    pair_len = F.least(F.length(a), F.length(b))
+    agree = F.filter(
+        F.sequence(F.lit(1), pair_len),
+        lambda i: a.substr(F.lit(1), i) == b.substr(F.lit(1), i),
+    )
+    # sequence(1, 0) would DESCEND, hence the >= 1 guard
+    return F.coalesce(F.when(pair_len >= 1, F.size(agree)), F.lit(0))
 
 
 def salted_join(
