@@ -71,13 +71,18 @@ def brute_force_topk(
     corpus, rank per query. corpus/queries carry (id, vec)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("e")
-    )
+    ).withColumn("_n", l2_norm("e"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qe")
-    )
+    ).withColumn("_qn", l2_norm("qe"))
+    # per-vector norms precomputed — bit-exact rewrite of cosine()
     pairs = c.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", cosine("qe", "e").alias("cosine"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot("qe", "e") / (F.col("_qn") * F.col("_n"))).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -274,12 +279,33 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # vectors re-attach from the SOURCE frame (unique per id — no
-    # dropDuplicates shuffle over the 8x-exploded bucket rows, r7)
-    vecs = df.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("e"))
+    # dropDuplicates shuffle over the 8x-exploded bucket rows, r7).
+    # Norms ride along precomputed (r8): cosine(a, b) recomputed both
+    # l2 norms PER PAIR — two extra 2-pass folds on every candidate;
+    # computing each vector's norm once and dividing dot/(n_a*n_b)
+    # evaluates the IDENTICAL double-op tree on identical values
+    # (bit-exact, oracle unchanged) at a third of the per-pair work.
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), as_double(vec_col).alias("e")
+    ).withColumn("_n", l2_norm("e"))
     return (
-        pairs.join(vecs.select(F.col("_vid").alias("id_a"), F.col("e").alias("e_a")), "id_a")
-        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("e").alias("e_b")), "id_b")
-        .select("id_a", "id_b", cosine("e_a", "e_b").alias("cosine"))
+        pairs.join(
+            vecs.select(
+                F.col("_vid").alias("id_a"), F.col("e").alias("e_a"), F.col("_n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("id_b"), F.col("e").alias("e_b"), F.col("_n").alias("n_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b"))).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -477,18 +503,26 @@ def ivf_topk(
     pass ``kmeans_seeds(...)`` output for trained centroids."""
     if seeds is None:
         seeds = ivf_seeds(df, id_col, vec_col, label_col)
-    corpus = ivf_assign(df, seeds, id_col, vec_col, n_probe=1).select(
-        F.col(id_col).alias("neighbor_id"), "cell", "e"
+    corpus = (
+        ivf_assign(df, seeds, id_col, vec_col, n_probe=1)
+        .select(F.col(id_col).alias("neighbor_id"), "cell", "e")
+        .withColumn("_n", l2_norm("e"))
     )
     queries = (
         ivf_assign(df.where(F.col(id_col) < n_queries), seeds, id_col, vec_col, n_probe=n_probe)
         .select(F.col(id_col).alias("query_id"), "cell", F.col("e").alias("qe"))
+        .withColumn("_qn", l2_norm("qe"))
     )
+    # per-vector norms precomputed — bit-exact rewrite of cosine()
     pairs = (
         corpus.join(F.broadcast(queries), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine("qe", "e").alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qe", "e") / (F.col("_qn") * F.col("_n"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -542,21 +576,40 @@ def lsh_topk(
     # re-attach to the deduped pair set afterwards (query side
     # broadcast — bounded by n_queries), same discipline as
     # embedding_near_dup_pairs.
-    vecs = df.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("_ve"))
+    # norms precomputed per vector — same bit-exact rewrite as
+    # embedding_near_dup_pairs (cosine() would re-fold both norms per
+    # candidate pair)
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), as_double(vec_col).alias("_ve")
+    ).withColumn("_n", l2_norm("_ve"))
     qvecs = vecs.where(F.col("_vid") < n_queries)
     pairs = (
         cands.join(F.broadcast(queries), ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .join(
-            F.broadcast(qvecs.select(F.col("_vid").alias("query_id"), F.col("_ve").alias("qe"))),
+            F.broadcast(
+                qvecs.select(
+                    F.col("_vid").alias("query_id"),
+                    F.col("_ve").alias("qe"),
+                    F.col("_n").alias("qn"),
+                )
+            ),
             "query_id",
         )
         .join(
-            vecs.select(F.col("_vid").alias("neighbor_id"), F.col("_ve").alias("e")),
+            vecs.select(
+                F.col("_vid").alias("neighbor_id"),
+                F.col("_ve").alias("e"),
+                F.col("_n").alias("nn"),
+            ),
             "neighbor_id",
         )
-        .select("query_id", "neighbor_id", cosine("qe", "e").alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qe", "e") / (F.col("qn") * F.col("nn"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

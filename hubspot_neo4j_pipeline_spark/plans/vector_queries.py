@@ -1013,7 +1013,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_dedup_frame(
     spark: SparkSession, sf_dir: str, sub_slice: tuple[int, int] | None = None
 ) -> DataFrame:
-    from ..operators.similarity import cosine, ivf_assign, ivf_seeds
+    from ..operators.similarity import dot, ivf_assign, ivf_seeds, l2_norm
     from ..operators.skew import hash_subsplit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1022,14 +1022,29 @@ def _semantic_dedup_frame(
     if sub_slice is not None:
         k, r = sub_slice
         subbed = subbed.where(F.col("sub") % k == r)
-    a = subbed.select(
-        F.col("vec_id").alias("kept_cand"), "cell", "sub", F.col("e").alias("e_a")
+    # per-vector norm precomputed once — cosine() would re-fold both
+    # norms per in-cell pair; dot/(n_a*n_b) is the identical double-op
+    # tree on identical values (bit-exact, oracle unchanged)
+    normed = subbed.withColumn("_n", l2_norm("e"))
+    a = normed.select(
+        F.col("vec_id").alias("kept_cand"),
+        "cell",
+        "sub",
+        F.col("e").alias("e_a"),
+        F.col("_n").alias("n_a"),
     )
-    b = subbed.select("vec_id", "cell", "sub", F.col("e").alias("e_b"))
+    b = normed.select(
+        "vec_id", "cell", "sub", F.col("e").alias("e_b"), F.col("_n").alias("n_b")
+    )
     dup_pairs = (
         a.join(b, ["cell", "sub"])
         .where(F.col("kept_cand") < F.col("vec_id"))
-        .select("vec_id", "cell", "kept_cand", cosine("e_a", "e_b").alias("cos"))
+        .select(
+            "vec_id",
+            "cell",
+            "kept_cand",
+            (dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b"))).alias("cos"),
+        )
         .where(F.col("cos") >= 0.35)
     )
     return dup_pairs.groupBy("vec_id", "cell").agg(

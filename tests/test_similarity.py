@@ -154,3 +154,37 @@ def test_ivf_assign_map_equals_window_form(spark):
     dwin = {(r["vec_id"], r["cell"]) for r in ivf_assign(deg, dseeds).collect()}
     dmap = {(r["vec_id"], r["cell"]) for r in ivf_assign_map(deg, dseeds).collect()}
     assert dwin == dmap
+
+
+def test_precomputed_norm_cosine_is_bit_identical(emb, spark):
+    """r8: the pair verifies divide dot by PRECOMPUTED per-vector
+    norms instead of calling cosine() per pair. Same double-op tree on
+    the same values — the two forms must agree to the last bit, or
+    the oracle hash would drift."""
+    from hubspot_neo4j_pipeline_spark.operators.similarity import (
+        as_double,
+        cosine,
+        dot,
+        l2_norm,
+    )
+
+    v = emb.limit(40).select("vec_id", as_double("embedding").alias("e"))
+    a = v.select(F.col("vec_id").alias("ia"), F.col("e").alias("ea")).withColumn(
+        "na", l2_norm("ea")
+    )
+    b = v.select(F.col("vec_id").alias("ib"), F.col("e").alias("eb")).withColumn(
+        "nb", l2_norm("eb")
+    )
+    both = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            cosine("ea", "eb").alias("per_pair"),
+            (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("precomp"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert r.per_pair == r.precomp, (r.ia, r.ib)
