@@ -573,9 +573,13 @@ def status_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               (CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1000000 - CAST(floor(l_discount * 1000000) AS BIGINT)))) AS DOUBLE)
+                + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (1000000 - CAST(floor(l_discount * 1000000) AS BIGINT)))
-                    AS DOUBLE) / 1000000.0 AS sum_disc_price,
+                       - floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1000000 - CAST(floor(l_discount * 1000000) AS BIGINT)))) AS DOUBLE)
+               ) / 1000000.0 AS sum_disc_price,
                count(*) AS n_items,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
         FROM lineitem
@@ -597,7 +601,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         _dec_sum("l_quantity", "sum_qty"),
         _dec_sum("l_extendedprice", "sum_price"),
-        (F.sum(disc_price).cast("double") / 1000000.0).alias("sum_disc_price"),
+        # split-exact decimal→double before the one double division
+        # (same trick as lineitem_moments): at 100x data the micro-unit
+        # sum is ~5e17 — a direct big-scaled-decimal→double cast rounds
+        # differently in DuckDB (scaled int → double, then ÷10^scale)
+        # than in Spark (one rounding); integer part + 2-dp fraction
+        # each convert identically in both engines.
+        (
+            (
+                F.floor(F.sum(disc_price)).cast("double")
+                + (F.sum(disc_price) - F.floor(F.sum(disc_price))).cast("double")
+            )
+            / 1000000.0
+        ).alias("sum_disc_price"),
         F.count("*").alias("n_items"),
         (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
             "avg_qty"
