@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .caching import tracked_cache
@@ -106,6 +106,102 @@ def hashed_shingle_sql(
     return (
         f"if(size({w}) < {k}, cast(array() as array<bigint>), "
         f"array_distinct(transform(sequence(1, size({w}) - {k - 1}), i -> {h})))"
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_SHINGLE,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans per document: every maximal
+    token span covered by sliding k-grams that occur >= ``min_count``
+    times in the corpus (self-repetition included) — the
+    exact-substring sibling of MinHash near-dup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, suffix-array method re-expressed as DataFrame
+    algebra over sliding grams).
+
+    Pipeline: SLIDING (positional, overlapping — unlike shingle_set's
+    distinct set) k-grams hashed with the house md5->bigint family
+    (both engines compute the identical hash, so the DuckDB oracle is
+    cell-exact by construction); grams occurring >= min_count times
+    anywhere mark their [pos, pos+k-1] interval duplicated; per doc,
+    overlapping/adjacent intervals merge into maximal spans via the
+    running-max island window (prev_end = max(pos+k-1) over preceding
+    rows; a gap > 1 token starts a new span).
+
+    Output: one row per document that has at least one duplicated
+    span — (id, n_dup_spans, dup_tokens, n_tokens).
+
+    Scale: NO pair formation anywhere — a stop-phrase gram shared by a
+    million documents contributes its positions linearly (the reason
+    this beats pair-based passage dedup on skewed corpora). Three
+    linear shuffles: gram-count groupBy on the 8-byte hash, the
+    dup-hash equi-join (same key), and the per-doc window; gram rows
+    are slim (id, pos, hash, token count).
+    """
+    w = f"split(`{text_col}`, ' ')"
+    gram_h = (
+        f"cast(conv(substring(md5(array_join(slice(t, i, {k}), ' ')), "
+        "1, 15), 16, 10) as bigint)"
+    )
+    rows = (
+        df.select(F.col(id_col).alias("_did"), F.expr(w).alias("t"))
+        .where(F.size("t") >= k)
+        .select(
+            "_did",
+            F.size("t").alias("_ntok"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k - 1}), "
+                    f"i -> named_struct('pos', i, 'h', {gram_h}))"
+                )
+            ).alias("_g"),
+        )
+        .select("_did", "_ntok", F.col("_g.pos").alias("_pos"), F.col("_g.h").alias("_h"))
+    )
+    dup_h = (
+        rows.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    dup_pos = rows.join(dup_h, "_h")
+    w_prev = (
+        Window.partitionBy("_did")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cur = Window.partitionBy("_did").orderBy("_pos")
+    marked = dup_pos.withColumn(
+        "_prev_end", F.max(F.col("_pos") + (k - 1)).over(w_prev)
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev_end").isNull()
+            | (F.col("_pos") > F.col("_prev_end") + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    spans = (
+        marked.withColumn("_span", F.sum("_new").over(w_cur))
+        .groupBy("_did", "_ntok", "_span")
+        .agg(
+            F.min("_pos").alias("_s"),
+            (F.max("_pos") + (k - 1)).alias("_e"),
+        )
+    )
+    return spans.groupBy("_did", "_ntok").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),
+    ).select(
+        F.col("_did").alias(id_col),
+        "n_dup_spans",
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.col("_ntok").cast("long").alias("n_tokens"),
     )
 
 

@@ -1246,3 +1246,69 @@ def doc_simhash_pairs_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_slice=(VERIFY_SLICE_K, 0),
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "doc_dup_spans",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), grams AS (
+            SELECT doc_id, len(t) AS n_tokens, i AS pos,
+                   CAST(('0x' || substring(md5(array_to_string(
+                        t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+            WHERE len(t) >= 5
+        ), dup AS (
+            SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+        ), dp AS (
+            SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN dup USING (h)
+        ), marked AS (
+            SELECT doc_id, n_tokens, pos,
+                   max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+            FROM dp
+        ), islands AS (
+            SELECT doc_id, n_tokens, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+            FROM marked
+        ), spans AS (
+            SELECT doc_id, n_tokens, span_id,
+                   min(pos) AS s, max(pos) + 4 AS e
+            FROM islands GROUP BY doc_id, n_tokens, span_id
+        )
+        SELECT doc_id,
+               count(*) AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM spans GROUP BY doc_id, n_tokens
+    """,
+    covers=("D1", "A9"),
+    doc=(
+        "Exact duplicated-substring spans (Lee et al. 2022, "
+        "arXiv:2107.06499 — the suffix-array exact-substring dedup "
+        "standard, re-expressed Spark-first over SLIDING 5-grams): "
+        "every gram occurring >= 2 times anywhere in the corpus "
+        "(cross-doc or self-repetition) marks its token interval "
+        "duplicated; per doc, overlapping/adjacent intervals merge "
+        "into maximal spans via the running-max island window. "
+        "Returns per-doc span count, duplicated-token total, and "
+        "token count for documents with at least one span — the "
+        "per-doc removal/trim signal an exact-substring dedup pass "
+        "feeds on. Hashes are the house md5->bigint family, so both "
+        "engines mark the identical gram set and the oracle is "
+        "cell-exact. Scale: NO pair formation — a boilerplate gram in "
+        "a million docs contributes its positions linearly, where "
+        "pair-based passage dedup would go quadratic; three linear "
+        "shuffles (gram count on the 8-byte hash, dup-hash equi-join, "
+        "per-doc window). operators/dedup.py:duplicated_spans."
+    ),
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text")

@@ -167,3 +167,56 @@ def test_simhash_refined_equals_unrefined(spark, sf_dir):
             ).collect()
         }
         assert refined == base, f"refined(cap={cap}) diverged"
+
+
+def test_duplicated_spans_hand_computed(spark):
+    """Planted exact-substring duplication (k=5, min_count=2):
+    - d1/d2 share a 7-token run -> sliding grams at 3 consecutive
+      positions merge into ONE maximal 7-token span per doc;
+    - d3 repeats its own 5-token phrase (self-repetition counts),
+      with the two occurrences separated -> TWO spans;
+    - d4 shares nothing -> absent from the output."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import duplicated_spans
+
+    shared = "a b c d e f g"  # 7 tokens -> grams at pos 1..3
+    phrase = "p q r s t"  # 5 tokens -> one gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 y1 {shared} z1"),  # span = tokens 3..9
+            (2, f"{shared} w1 w2 w3"),  # span = tokens 1..7
+            (3, f"{phrase} gap1 gap2 {phrase}"),  # spans 1..5 and 8..12
+            (4, "entirely unique words only here today friend"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_spans(docs, "doc_id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_dup_spans, out[1].dup_tokens, out[1].n_tokens) == (1, 7, 10)
+    assert (out[2].n_dup_spans, out[2].dup_tokens, out[2].n_tokens) == (1, 7, 10)
+    assert (out[3].n_dup_spans, out[3].dup_tokens, out[3].n_tokens) == (2, 10, 12)
+
+
+def test_duplicated_spans_adjacent_intervals_merge(spark):
+    """Two dup grams whose intervals touch end-to-end (gap == 1 token
+    boundary, pos2 == end1 + 1) must merge into one span."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import duplicated_spans
+
+    a = "t1 t2 t3 t4 t5"  # gram A
+    b = "u1 u2 u3 u4 u5"  # gram B
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b}"),  # A at pos 1 (ends 5), B at pos 6 -> adjacent
+            (2, f"{a} mid1 mid2 mid3 mid4 mid5 {b}"),  # separated copies
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_spans(docs, "doc_id", "text").collect()}
+    # doc 1: grams A(1..5) and B(6..10) merge -> one 10-token span?
+    # No: in doc 1 the SLIDING grams bridging A|B (pos 2..6) are unique
+    # to doc 1 and appear once -> not duplicated; A and B intervals are
+    # [1,5] and [6,10], adjacent (6 == 5+1) -> merge into one span.
+    assert (out[1].n_dup_spans, out[1].dup_tokens) == (1, 10)
+    assert (out[2].n_dup_spans, out[2].dup_tokens) == (2, 10)
