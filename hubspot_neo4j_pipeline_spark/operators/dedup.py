@@ -109,47 +109,26 @@ def hashed_shingle_sql(
     )
 
 
-def duplicated_spans(
+def _dup_span_frame(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = DEFAULT_SHINGLE,
-    min_count: int = 2,
+    k: int,
+    min_count: int,
 ) -> DataFrame:
-    """Exact duplicated-substring spans per document: every maximal
-    token span covered by sliding k-grams that occur >= ``min_count``
-    times in the corpus (self-repetition included) — the
-    exact-substring sibling of MinHash near-dup (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better",
-    arXiv:2107.06499, suffix-array method re-expressed as DataFrame
-    algebra over sliding grams).
-
-    Pipeline: SLIDING (positional, overlapping — unlike shingle_set's
-    distinct set) k-grams hashed with the house md5->bigint family
-    (both engines compute the identical hash, so the DuckDB oracle is
-    cell-exact by construction); grams occurring >= min_count times
-    anywhere mark their [pos, pos+k-1] interval duplicated; per doc,
-    overlapping/adjacent intervals merge into maximal spans via the
-    running-max island window (prev_end = max(pos+k-1) over preceding
-    rows; a gap > 1 token starts a new span).
-
-    Output: one row per document that has at least one duplicated
-    span — (id, n_dup_spans, dup_tokens, n_tokens).
-
-    Scale: NO pair formation anywhere — a stop-phrase gram shared by a
-    million documents contributes its positions linearly (the reason
-    this beats pair-based passage dedup on skewed corpora). Three
-    linear shuffles: gram-count groupBy on the 8-byte hash, the
-    dup-hash equi-join (same key), and the per-doc window; gram rows
-    are slim (id, pos, hash, token count).
-    """
-    w = f"split(`{text_col}`, ' ')"
+    """(_did, _ntok, _s, _e) — maximal duplicated token spans per doc;
+    the shared core of `duplicated_spans` (report) and
+    `remove_duplicated_spans` (action). See duplicated_spans for the
+    algorithm and scale notes."""
     gram_h = (
         f"cast(conv(substring(md5(array_join(slice(t, i, {k}), ' ')), "
         "1, 15), 16, 10) as bigint)"
     )
     rows = (
-        df.select(F.col(id_col).alias("_did"), F.expr(w).alias("t"))
+        df.select(
+            F.col(id_col).alias("_did"),
+            F.expr(f"split(`{text_col}`, ' ')").alias("t"),
+        )
         .where(F.size("t") >= k)
         .select(
             "_did",
@@ -186,7 +165,7 @@ def duplicated_spans(
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    spans = (
+    return (
         marked.withColumn("_span", F.sum("_new").over(w_cur))
         .groupBy("_did", "_ntok", "_span")
         .agg(
@@ -194,6 +173,43 @@ def duplicated_spans(
             (F.max("_pos") + (k - 1)).alias("_e"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_SHINGLE,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans per document: every maximal
+    token span covered by sliding k-grams that occur >= ``min_count``
+    times in the corpus (self-repetition included) — the
+    exact-substring sibling of MinHash near-dup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, suffix-array method re-expressed as DataFrame
+    algebra over sliding grams).
+
+    Pipeline: SLIDING (positional, overlapping — unlike shingle_set's
+    distinct set) k-grams hashed with the house md5->bigint family
+    (both engines compute the identical hash, so the DuckDB oracle is
+    cell-exact by construction); grams occurring >= min_count times
+    anywhere mark their [pos, pos+k-1] interval duplicated; per doc,
+    overlapping/adjacent intervals merge into maximal spans via the
+    running-max island window (prev_end = max(pos+k-1) over preceding
+    rows; a gap > 1 token starts a new span).
+
+    Output: one row per document that has at least one duplicated
+    span — (id, n_dup_spans, dup_tokens, n_tokens).
+
+    Scale: NO pair formation anywhere — a stop-phrase gram shared by a
+    million documents contributes its positions linearly (the reason
+    this beats pair-based passage dedup on skewed corpora). Three
+    linear shuffles: gram-count groupBy on the 8-byte hash, the
+    dup-hash equi-join (same key), and the per-doc window; gram rows
+    are slim (id, pos, hash, token count).
+    """
+    spans = _dup_span_frame(df, id_col, text_col, k, min_count)
     return spans.groupBy("_did", "_ntok").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),
@@ -202,6 +218,50 @@ def duplicated_spans(
         "n_dup_spans",
         F.col("dup_tokens").cast("long").alias("dup_tokens"),
         F.col("_ntok").cast("long").alias("n_tokens"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_SHINGLE,
+    min_count: int = 2,
+) -> DataFrame:
+    """The ACTION half of exact-substring dedup (Lee et al. 2022): drop
+    every token covered by a duplicated span (see `duplicated_spans`)
+    and rebuild the text, returning every document —
+    (id, cleaned text, tokens_removed, n_tokens); span-free documents
+    pass through with tokens_removed = 0.
+
+    The per-doc span set is bounded (spans are disjoint, each >= k
+    tokens, so <= n_tokens/k of them), so spans collect into ONE array
+    per doc and rebuild is a single positional filter — exists(span
+    covering i) per token, no second explode. Same linear-shuffle
+    scale shape as duplicated_spans plus one broadcast-sized-per-row
+    join back to the corpus."""
+    spans = _dup_span_frame(df, id_col, text_col, k, min_count)
+    per_doc = spans.groupBy("_did").agg(
+        F.collect_list(F.struct(F.col("_s").alias("s"), F.col("_e").alias("e"))).alias(
+            "_sp"
+        )
+    )
+    src = df.select(
+        F.col(id_col).alias("_did"), F.expr(f"split(`{text_col}`, ' ')").alias("t")
+    )
+    joined = src.join(per_doc, "_did", "left")
+    # positional filter: Spark lambda index i is 0-based; spans are
+    # 1-based token positions
+    kept = F.expr(
+        "case when _sp is null then t else "
+        "filter(t, (tok, i) -> not exists(_sp, x -> x.s <= i + 1 and i + 1 <= x.e)) "
+        "end"
+    )
+    return joined.select(
+        F.col("_did").alias(id_col),
+        F.array_join(kept, " ").alias("cleaned_text"),
+        (F.size("t") - F.size(kept)).cast("long").alias("tokens_removed"),
+        F.size("t").cast("long").alias("n_tokens"),
     )
 
 

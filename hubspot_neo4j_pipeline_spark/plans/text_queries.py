@@ -1312,3 +1312,75 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_spans(docs, "doc_id", "text")
+
+
+@register(
+    "doc_dup_span_removal",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(('0x' || substring(md5(array_to_string(
+                        t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+            WHERE len(t) >= 5
+        ), dup AS (
+            SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+        ), dp AS (
+            SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+        ), marked AS (
+            SELECT doc_id, pos,
+                   max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+            FROM dp
+        ), islands AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+            FROM marked
+        ), spans AS (
+            SELECT doc_id, span_id, min(pos) AS s, max(pos) + 4 AS e
+            FROM islands GROUP BY doc_id, span_id
+        ), per_doc AS (
+            SELECT doc_id, list({'s': s, 'e': e}) AS sp
+            FROM spans GROUP BY doc_id
+        )
+        SELECT toks.doc_id,
+               CASE WHEN sp IS NULL THEN array_to_string(t, ' ')
+                    ELSE coalesce(array_to_string(
+                        [t[i] FOR i IN generate_series(1, len(t))
+                         IF len(list_filter(sp,
+                             x -> x.s <= i AND i <= x.e)) = 0], ' '), '')
+               END AS cleaned_text,
+               CAST(CASE WHEN sp IS NULL THEN 0 ELSE
+                   len(t) - len([t[i] FOR i IN generate_series(1, len(t))
+                        IF len(list_filter(sp,
+                            x -> x.s <= i AND i <= x.e)) = 0])
+               END AS BIGINT) AS tokens_removed,
+               CAST(len(t) AS BIGINT) AS n_tokens
+        FROM toks LEFT JOIN per_doc ON toks.doc_id = per_doc.doc_id
+    """,
+    covers=("D1", "J12"),
+    doc=(
+        "The ACTION half of exact-substring dedup (Lee et al. 2022, "
+        "arXiv:2107.06499): every token covered by a duplicated span "
+        "(doc_dup_spans semantics — sliding 5-grams occurring >= 2 "
+        "times anywhere, islands merged) is dropped and the text "
+        "rebuilt; span-free documents pass through byte-identical. "
+        "Per-doc span sets are bounded (disjoint, >= 5 tokens each), "
+        "so rebuild is one positional NOT-EXISTS filter over a "
+        "collected span array — no second explode, no pair formation; "
+        "linear shuffles as doc_dup_spans plus one join back to the "
+        "corpus. The full cleaned TEXT is hash-compared cross-engine, "
+        "pinning tokenization, span cover, and reassembly byte-for-"
+        "byte. operators/dedup.py:remove_duplicated_spans."
+    ),
+)
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, "doc_id", "text")

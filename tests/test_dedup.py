@@ -220,3 +220,28 @@ def test_duplicated_spans_adjacent_intervals_merge(spark):
     # [1,5] and [6,10], adjacent (6 == 5+1) -> merge into one span.
     assert (out[1].n_dup_spans, out[1].dup_tokens) == (1, 10)
     assert (out[2].n_dup_spans, out[2].dup_tokens) == (2, 10)
+
+
+def test_remove_duplicated_spans_hand_computed(spark):
+    """Removal = the report's complement: duplicated tokens drop, the
+    rest keep original order; span-free docs pass through
+    byte-identical (including doc 4's untouched text)."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    shared = "a b c d e f g"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 y1 {shared} z1"),
+            (2, f"{shared} w1 w2 w3"),
+            (4, "entirely unique words only here today friend"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].cleaned_text == "x1 y1 z1" and out[1].tokens_removed == 7
+    assert out[2].cleaned_text == "w1 w2 w3" and out[2].tokens_removed == 7
+    assert out[4].cleaned_text == "entirely unique words only here today friend"
+    assert out[4].tokens_removed == 0 and out[4].n_tokens == 7
