@@ -109,22 +109,20 @@ def hashed_shingle_sql(
     )
 
 
-def _dup_span_frame(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int,
-    min_count: int,
+def sliding_gram_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = DEFAULT_SHINGLE
 ) -> DataFrame:
-    """(_did, _ntok, _s, _e) — maximal duplicated token spans per doc;
-    the shared core of `duplicated_spans` (report) and
-    `remove_duplicated_spans` (action). See duplicated_spans for the
-    algorithm and scale notes."""
+    """(_did, _ntok, _pos, _h): one row per SLIDING k-gram position
+    (overlapping — unlike shingle_set's distinct set), hash from the
+    house md5->bigint family. The shared gram extraction of the
+    exact-substring dedup family: `_dup_span_frame` consumes it
+    directly; `streaming/incremental.gram_store_update_batch` counts
+    it per micro-batch into the persisted gram store."""
     gram_h = (
         f"cast(conv(substring(md5(array_join(slice(t, i, {k}), ' ')), "
         "1, 15), 16, 10) as bigint)"
     )
-    rows = (
+    return (
         df.select(
             F.col(id_col).alias("_did"),
             F.expr(f"split(`{text_col}`, ' ')").alias("t"),
@@ -142,12 +140,38 @@ def _dup_span_frame(
         )
         .select("_did", "_ntok", F.col("_g.pos").alias("_pos"), F.col("_g.h").alias("_h"))
     )
-    dup_h = (
-        rows.groupBy("_h")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") >= min_count)
-        .select("_h")
-    )
+
+
+def _dup_span_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+    gram_counts: DataFrame | None = None,
+) -> DataFrame:
+    """(_did, _ntok, _s, _e) — maximal duplicated token spans per doc;
+    the shared core of `duplicated_spans` (report) and
+    `remove_duplicated_spans` (action). See duplicated_spans for the
+    algorithm and scale notes. ``gram_counts``: optional externally
+    maintained (h, n) frame (the streaming gram store) — duplicate
+    grams then come from it instead of a fresh corpus count, which is
+    how a stream scores INCOMING docs against everything already
+    ingested."""
+    rows = sliding_gram_rows(df, id_col, text_col, k)
+    if gram_counts is None:
+        dup_h = (
+            rows.groupBy("_h")
+            .agg(F.count("*").alias("_c"))
+            .where(F.col("_c") >= min_count)
+            .select("_h")
+        )
+    else:
+        dup_h = (
+            gram_counts.select(F.col("h").alias("_h"), F.col("n").alias("_c"))
+            .where(F.col("_c") >= min_count)
+            .select("_h")
+        )
     dup_pos = rows.join(dup_h, "_h")
     w_prev = (
         Window.partitionBy("_did")
@@ -181,6 +205,7 @@ def duplicated_spans(
     text_col: str,
     k: int = DEFAULT_SHINGLE,
     min_count: int = 2,
+    gram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring spans per document: every maximal
     token span covered by sliding k-grams that occur >= ``min_count``
@@ -208,8 +233,13 @@ def duplicated_spans(
     linear shuffles: gram-count groupBy on the 8-byte hash, the
     dup-hash equi-join (same key), and the per-doc window; gram rows
     are slim (id, pos, hash, token count).
+
+    ``gram_counts``: optional (h, n) frame — e.g. the streamed gram
+    store (streaming/incremental.gram_store_update_batch) — used as
+    the duplicate-gram source instead of counting this frame, so the
+    same operator scores a new batch against the full ingested corpus.
     """
-    spans = _dup_span_frame(df, id_col, text_col, k, min_count)
+    spans = _dup_span_frame(df, id_col, text_col, k, min_count, gram_counts)
     return spans.groupBy("_did", "_ntok").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),

@@ -437,3 +437,49 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path_factory):
     # while the open 13:00 window absorbed the on-time batch-2 row
     key13 = (dt.datetime(2024, 3, 1, 13, 0), "click")
     assert final[key13] == (2, 2.0)
+
+
+def test_stream_gram_store_dup_spans_equal_batch(spark, tmp_path_factory):
+    """Incremental exact-substring dedup (r8): the gram-count store
+    maintained by foreachBatch over 3 micro-batches must drive
+    duplicated_spans to the EXACT one-shot-batch output, and replaying
+    an already-summed micro-batch must change nothing."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import duplicated_spans
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        gram_store_update_batch,
+        stream_gram_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path_factory.mktemp("gram_src"))
+    store = str(tmp_path_factory.mktemp("gram_store")) + "/grams"
+    ckpt = str(tmp_path_factory.mktemp("gram_ckpt"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    assert stream.isStreaming
+    stream_gram_store(stream, store, ckpt)
+
+    batch_out = sorted(
+        tuple(r) for r in duplicated_spans(docs, "doc_id", "text").collect()
+    )
+    streamed_counts = spark.read.parquet(store)
+    stream_out = sorted(
+        tuple(r)
+        for r in duplicated_spans(
+            docs, "doc_id", "text", gram_counts=streamed_counts
+        ).collect()
+    )
+    assert stream_out == batch_out and batch_out
+
+    # replay guard: re-summing the final micro-batch must be a no-op.
+    # Snapshot BEFORE the replay — counts are not idempotent, so a
+    # broken guard would double them and an after/after compare would
+    # see the doubled state on both sides.
+    original = {r["h"]: r["n"] for r in spark.read.parquet(store).collect()}
+    last = max(r["last_batch_id"] for r in spark.read.parquet(store).collect())
+    gram_store_update_batch(docs, store, batch_id=last)
+    replayed = {r["h"]: r["n"] for r in spark.read.parquet(store).collect()}
+    assert replayed == original
