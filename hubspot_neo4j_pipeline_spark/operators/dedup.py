@@ -116,7 +116,7 @@ def sliding_gram_rows(
     (overlapping — unlike shingle_set's distinct set), hash from the
     house md5->bigint family. The shared gram extraction of the
     exact-substring dedup family: `_dup_span_frame` consumes it
-    directly; `streaming/incremental.gram_store_update_batch` counts
+    directly; `streaming/gram_store.gram_store_update_batch` counts
     it per micro-batch into the persisted gram store."""
     gram_h = (
         f"cast(conv(substring(md5(array_join(slice(t, i, {k}), ' ')), "
@@ -235,7 +235,7 @@ def duplicated_spans(
     are slim (id, pos, hash, token count).
 
     ``gram_counts``: optional (h, n) frame — e.g. the streamed gram
-    store (streaming/incremental.gram_store_update_batch) — used as
+    store (streaming/gram_store.read_gram_store) — used as
     the duplicate-gram source instead of counting this frame, so the
     same operator scores a new batch against the full ingested corpus.
     """

@@ -5,6 +5,13 @@ from .event_analytics import (
     sessionize,
     windowed_event_counts,
 )
+from .gram_store import (
+    gram_store_compact,
+    gram_store_update_batch,
+    read_gram_store,
+    score_batch_against_store,
+    stream_gram_store,
+)
 from .incremental import stream_dedup, stream_into_store, upsert_batch
 from .sketches import (
     cms_update_batch,
@@ -16,6 +23,11 @@ from .stateful import running_user_stats, running_user_stats_batch
 
 __all__ = [
     "cms_update_batch",
+    "gram_store_compact",
+    "gram_store_update_batch",
+    "read_gram_store",
+    "score_batch_against_store",
+    "stream_gram_store",
     "kmv_update_batch",
     "stream_cms_into_store",
     "stream_kmv_into_store",

@@ -123,76 +123,15 @@ def stream_into_store(
     run_foreach_batch(stream_df, _sink, checkpoint_dir, timeout_sec)
 
 
-def gram_store_update_batch(
-    batch_docs: DataFrame,
-    store_path: str,
-    batch_id: int | None = None,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int | None = None,
-) -> None:
-    """Merge one micro-batch's sliding-gram counts into the persisted
-    gram store (h BIGINT, n BIGINT) — the streaming state behind
-    incremental EXACT-substring dedup: `duplicated_spans(batch,
-    gram_counts=store)` then scores any batch against everything
-    ingested so far with the same semantics as the one-shot batch
-    operator (Lee et al. 2022; operators/dedup.py).
-
-    Counts are NOT idempotent under at-least-once replay, so the store
-    carries a last_batch_id watermark exactly like the CMS grid
-    (streaming/sketches.cms_update_batch — same lifecycle contract:
-    store and checkpoint live and die together). Unlike the sketches,
-    this state is EXACT and therefore grows with distinct grams —
-    that is inherent to exact substring dedup (the batch method needs
-    the full gram table too); the bounded-state alternative when
-    approximate counts suffice is the CMS maintainer.
-    """
-    from ..operators.dedup import DEFAULT_SHINGLE, sliding_gram_rows
-
-    spark = batch_docs.sparkSession
-    partial = (
-        sliding_gram_rows(batch_docs, id_col, text_col, k or DEFAULT_SHINGLE)
-        .groupBy(F.col("_h").alias("h"))
-        .agg(F.count("*").alias("n"))
-    )
-    last = None
-    if os.path.exists(store_path):
-        existing = spark.read.parquet(store_path)
-        last = existing.agg(F.max("last_batch_id")).collect()[0][0]
-        if batch_id is not None and last is not None and batch_id <= last:
-            return  # replayed micro-batch — already summed in
-        merged = (
-            existing.select("h", "n")
-            .unionByName(partial)
-            .groupBy("h")
-            .agg(F.sum("n").cast("long").alias("n"))
-        )
-    else:
-        merged = partial
-    if batch_id is not None:
-        new_last = batch_id
-    elif last is not None:
-        new_last = last
-    else:
-        new_last = -1
-    merged.withColumn(
-        "last_batch_id", F.lit(new_last).cast("long")
-    ).localCheckpoint(eager=True).write.mode("overwrite").parquet(store_path)
-
-
-def stream_gram_store(
-    stream_df: DataFrame,
-    store_path: str,
-    checkpoint_dir: str,
-    timeout_sec: int = 120,
-) -> None:
-    """foreachBatch driver: maintain the exact gram-count store as
-    documents stream in (see gram_store_update_batch)."""
-    run_foreach_batch(
-        stream_df,
-        lambda batch, batch_id: gram_store_update_batch(
-            batch, store_path, batch_id
-        ),
-        checkpoint_dir,
-        timeout_sec,
-    )
+# The exact-substring gram-count store (r8) lives in its own module
+# since the r9 incremental rewrite (delta segments + compaction, no
+# full-store rewrite per batch); names re-exported for callers that
+# import them from here.
+from .gram_store import (  # noqa: E402,F401
+    gram_store_compact,
+    gram_store_last_batch_id,
+    gram_store_update_batch,
+    read_gram_store,
+    score_batch_against_store,
+    stream_gram_store,
+)
