@@ -572,6 +572,128 @@ def doc_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 100x-verifiable SLICE twins of the CC pipelines (r9) ---------------
+# doc_dup_clusters / doc_dedup_keeplist are oracle-infeasible at sf10
+# (the shared-shingle CTE is the quadratic, not the Spark side), so they
+# sat on verify_sf10_chunked.sh's exclusion list with only a 10x
+# scale-probe row. Same recipe as the r7 pair-family slices: slice the
+# SHINGLE SET deterministically (house md5->bigint hash % K == 0,
+# computed identically in both engines), then run the UNCHANGED pair
+# join + connected-components pipeline over the sliced shingles. The
+# oracle's candidate join shrinks ~K-fold; the Spark side still
+# exercises the full bucket_self_pairs + hash-min CC machinery, and the
+# outputs are cell-exact by construction. (The slice is over shingles,
+# not pairs: a pair needs >= 3 shared shingles INSIDE the slice, so the
+# sliced graph is itself a well-defined dedup pipeline — a production
+# audit shape, not just a test artifact.)
+
+_MD5_SHINGLE_SQL = "cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint)"
+
+
+def _cc_slice_oracle_prefix(k_mod: int) -> str:
+    return f"""
+        WITH RECURSIVE shingled AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> CAST(('0x' || substr(md5(array_to_string(
+                                string_split(text, ' ')[i:i+4], ' ')), 1, 15))
+                            AS BIGINT)
+                   ))) AS shingle
+            FROM documents
+        ), sliced AS (
+            SELECT doc_id, shingle FROM shingled WHERE shingle % {k_mod} = 0
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sliced a JOIN sliced b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
+        ), sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT a AS id FROM sym
+        ), reach(id, root) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id
+        ), comp AS (
+            SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+        )
+"""
+
+
+def _dup_pairs_sliced(docs: DataFrame, k_mod: int, residue: int = 0) -> DataFrame:
+    """_dup_pairs restricted to the deterministic 1/k_mod shingle slice.
+
+    Unlike the full pipeline (xxhash64 equality keys), the slice twin
+    hashes shingles with the house md5->bigint family because the
+    slice PREDICATE must be computed identically in DuckDB — md5 is
+    the only hash both engines share."""
+    shingles = docs.select(
+        "doc_id",
+        F.expr(
+            f"explode({hashed_shingle_sql('text', hash_sql=_MD5_SHINGLE_SQL)})"
+        ).alias("shingle"),
+    ).where(F.pmod(F.col("shingle"), F.lit(k_mod)) == residue)
+    return _dup_pairs_from_exploded(shingles)
+
+
+@register(
+    "doc_dup_clusters_slice",
+    oracle=_cc_slice_oracle_prefix(VERIFY_SLICE_K)
+    + """
+        SELECT cluster_id, count(*) AS n_members,
+               min(id) AS min_member, max(id) AS max_member
+        FROM comp GROUP BY cluster_id
+    """,
+    covers=("D1", "J1"),
+    doc=(
+        "doc_dup_clusters over the deterministic 1/8 shingle slice "
+        "(md5-bigint shingle % 8 == 0, identical in both engines) — the "
+        "100x-scale exact-verification variant of the connected-components "
+        "dedup pipeline (r8 VERDICT task 2): full bucket_self_pairs + "
+        "hash-min CC machinery, 8x-smaller oracle candidate join."
+    ),
+)
+def doc_dup_clusters_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(_dup_pairs_sliced(docs, VERIFY_SLICE_K))
+
+
+@register(
+    "doc_dedup_keeplist_slice",
+    oracle=_cc_slice_oracle_prefix(VERIFY_SLICE_K)
+    + """
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+    covers=("D1", "D3", "J12"),
+    doc=(
+        "doc_dedup_keeplist over the deterministic 1/8 shingle slice — "
+        "per-document keep/cluster verdicts from the sliced pair graph; "
+        "the 100x-scale exact-verification twin (see doc_dup_clusters_slice)."
+    ),
+)
+def doc_dedup_keeplist_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        _dup_pairs_sliced(docs, VERIFY_SLICE_K), src="id_a", dst="id_b"
+    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("_cluster"))
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("_cluster", F.col("doc_id")).alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce("_cluster", F.col("doc_id"))).alias("keep"),
+    )
+
+
 @register(
     "doc_novelty",
     oracle="""

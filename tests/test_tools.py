@@ -71,3 +71,14 @@ def test_coverage_citations_resolve():
     from tools.check_coverage_citations import check
 
     assert check() == []
+
+
+def test_doc_count_literals_match_artifacts():
+    """Query-count literals in README/COVERAGE/PERF and the latest
+    VERIFY_LOCAL must match the registry / the committed artifacts
+    they cite (r8 VERDICT: a PERF row said "115 queries" against a
+    117-query artifact and "123/0" against a 125-row probe — numeric
+    drift the symbol checker can't see)."""
+    from tools.check_coverage_citations import check_counts
+
+    assert check_counts() == []

@@ -66,6 +66,10 @@ ALLOWED_RATIOS: dict[str, float] = {
     # linear per-round cost.
     "doc_dup_clusters": 8.0,
     "doc_dedup_keeplist": 8.0,
+    # r9 1/8-shingle-slice twins of the two above (the sf10 exact-
+    # verification variants): same CC pipeline, same growth shape.
+    "doc_dup_clusters_slice": 8.0,
+    "doc_dedup_keeplist_slice": 8.0,
     # r7 slice-verification variants: full signature/banding cost plus
     # 1/K of the parent's pair-count-driven candidate work — inherit
     # the parent's bound.
@@ -76,6 +80,12 @@ ALLOWED_RATIOS: dict[str, float] = {
     # simhash pairs: pair-count-driven like minhash (r6 measured 1.3x
     # at 10x, 15.7x at 100x post-refinement) — same family bound.
     "doc_simhash_pairs": 12.0,
+    # linear token scan whose sf0.1 base is fixed-overhead-dominated
+    # (~0.24 s); at 10x the big wall is only ~1.3 s so the ratio reads
+    # 5-6x on tiny absolute times (r8 artifact: 5.67x under the noise
+    # floor). Explicit bound so the row is gated on its own terms
+    # instead of hiding under MIN_BIG_SECONDS (r8 VERDICT task 3).
+    "doc_token_stats": 8.0,
 }
 
 # 100x-data bounds (sf0.1 base -> sf10 big). Linear work at 100x data
@@ -184,16 +194,25 @@ def main() -> int:
         ratio = t_big / t_base if t_base > 0 else float("inf")
         bound = bounds.get(name, default_bound)
         gated = t_big >= MIN_BIG_SECONDS and ratio > bound
-        rows.append(
-            {
-                "query": name,
-                "base": round(t_base, 3),
-                "big": round(t_big, 3),
-                "ratio": round(ratio, 2),
-                "bound": bound,
-                "exceeds": gated,
-            }
-        )
+        row = {
+            "query": name,
+            "base": round(t_base, 3),
+            "big": round(t_big, 3),
+            "ratio": round(ratio, 2),
+            "bound": bound,
+            "exceeds": gated,
+        }
+        if ratio > bound and not gated:
+            # the bound was exceeded but the big wall sits under the
+            # jitter floor — say so IN the artifact, so no committed
+            # row ever reads ratio > bound unexplained (r8 VERDICT
+            # task 3: doc_token_stats drifted past its bound invisibly
+            # until it would have crossed the floor already red)
+            row["note"] = (
+                f"over bound but big < {MIN_BIG_SECONDS}s noise floor; "
+                "not gated — absolute time too small to be signal"
+            )
+        rows.append(row)
         flag = " <<< EXCEEDS" if gated else ""
         print(
             f"{name:36s} base={t_base:7.3f}s big={t_big:8.3f}s "

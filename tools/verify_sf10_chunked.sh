@@ -29,8 +29,8 @@ EXCLUDE=(
   semantic_dedup               # oracle = full in-cell pair scan; slice twin runs
   dedup_method_agreement       # oracle runs BOTH pair pipelines above (r7 OOM)
   doc_shingle_candidates       # oracle = all-pairs shared-shingle CTE (19M rows, r7 OOM)
-  doc_dup_clusters             # oracle = the same shared-shingle CTE + recursive reachability
-  doc_dedup_keeplist           # ditto (both are 10x-gated in scale_probe instead)
+  doc_dup_clusters             # oracle = the same shared-shingle CTE + recursive reachability; slice twin runs (r9)
+  doc_dedup_keeplist           # ditto; slice twin runs (r9)
 )
 
 QUERIES=($(python - "${EXCLUDE[@]}" <<'PYEOF'
