@@ -252,14 +252,61 @@ def embedding_near_dup_pairs(
     if bucket_slice is not None:
         k, r = bucket_slice
         pairs_src = pairs_src.where(F.col("bucket") % k == r)
-    # Candidate generation carries ONLY ids: the in-bucket pair
+    # r9: when the hot-bucket cap bounds every bucket, cosine is
+    # verified IN-BUCKET, inside the pair expansion itself. The r8
+    # shape (id-only pairs -> dropDuplicates -> two vector re-attach
+    # joins) moved the 8-table candidate set through THREE shuffles
+    # sized by the PAIR count; the sf10 profile put 55 of its 74 s
+    # there, and the dedup shuffle removed only 1.1% of pairs (tables
+    # rarely rediscover the same pair). Here the vectors (with their
+    # precomputed norms — the r8 bit-exact rewrite, kept) ride the ONE
+    # groupBy shuffle sized by the BUCKET-ROW count (N x n_tables slim
+    # rows), each pair's cosine is computed where both vectors already
+    # sit, and only PASSING pairs leave the bucket — the dedup shuffle
+    # then handles survivors (output-sized), not candidates.
+    # Bit-exact by construction: identical dot/(n_a*n_b) double-op
+    # tree on identical values, and a cross-table duplicate pair
+    # reproduces the identical cosine (same in-order fold), so
+    # dropDuplicates keeps the same rows the oracle's DISTINCT does.
+    # Memory: a capped bucket (k <= max_bucket_df <= 4096) expands at
+    # most k(k-1)/2 24-byte structs transiently per collected row, and
+    # the filter inside the flatten keeps only passing pairs.
+    if max_bucket_df is not None and max_bucket_df <= 4096:
+        items = (
+            pairs_src.withColumn("_n", l2_norm("e"))
+            .select(
+                "table_id",
+                "bucket",
+                F.struct(
+                    F.col(id_col).alias("i"), F.col("e").alias("e"), F.col("_n").alias("n")
+                ).alias("_it"),
+            )
+            .groupBy("table_id", "bucket")
+            .agg(F.sort_array(F.collect_list("_it")).alias("_items"))
+            .where(F.size("_items") > 1)
+        )
+        thr = float(threshold)
+        scored = F.expr(
+            "flatten(transform(_items, (it_x, i) -> "
+            "filter(transform(slice(_items, i + 2, size(_items) - i - 1), "
+            "it_y -> struct(it_x.i as id_a, it_y.i as id_b, "
+            "aggregate(zip_with(it_x.e, it_y.e, (x, y) -> x * y), "
+            "cast(0 as double), (acc, v) -> acc + v) / (it_x.n * it_y.n) "
+            "as cosine)), "
+            f"s -> s.cosine >= {thr!r}d)))"
+        )
+        return (
+            items.select(F.explode(scored).alias("_p"))
+            .select("_p.id_a", "_p.id_b", "_p.cosine")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    # Uncapped fallback (no structural bound on bucket population):
+    # candidate generation carries ONLY ids — the in-bucket pair
     # expansion (operators/skew.bucket_self_pairs — one shuffle of
     # slim (table_id, bucket, id) rows, i < j pairs only; replaced
     # the two-sided bucket self-join in r7) and the pair-dedup
     # shuffle never move embedding arrays. Vectors are re-attached
-    # to the (much smaller) deduped pair set by equi-join afterwards —
-    # at 100 TB this is the difference between shuffling ~1 GB/M-pairs
-    # of arrays and a few MB of id pairs.
+    # to the deduped pair set by equi-join afterwards.
     from .skew import bucket_self_pairs
 
     # max_bucket_df already bounds every surviving bucket, so when it

@@ -149,6 +149,29 @@ def test_embedding_near_dup_pairs(emb):
     }
 
 
+def test_near_dup_in_bucket_verify_bit_equals_reattach_path(emb):
+    """The r9 in-bucket cosine verify (capped path: vectors ride the
+    bucket groupBy, passing pairs only leave the bucket) must be
+    BIT-identical — ids and cosine doubles — to the r8 id-only +
+    re-attach path (uncapped), on a corpus where the cap never binds
+    so both paths see the same candidate set."""
+    from hubspot_neo4j_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    def rows(max_bucket_df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.4, max_bucket_df=max_bucket_df
+            ).collect()
+        )
+
+    capped = rows(4096)  # in-bucket scored expansion
+    uncapped = rows(None)  # bucket_self_pairs + re-attach joins
+    assert capped == uncapped and capped  # exact doubles, not approx
+
+
 def test_kmeans_seeds_quantized_matches_pure_python_reenactment(emb):
     """The fixed-point one-round trainer (the oracle-exact path behind
     ann_ivf_topk_trained) is deterministic integer arithmetic, so a

@@ -108,13 +108,12 @@ ALLOWED_RATIOS_100X: dict[str, float] = {
     "doc_minhash_lsh_pairs": 24.0,  # measured 17.7x
     "doc_shingle_candidates": 45.0,  # measured 33.1x (110x candidate growth)
     "doc_simhash_pairs": 21.0,  # measured 15.5x
-    # r7 measured 20.2x (85.9s/4.25s); r8's bit-exact norm-precompute
-    # rewrite cut the sf10 wall to 76.3s but nearly HALVED the
-    # overhead-dominated sf0.1 base (2.36s), so the ratio reads 32.4x
-    # — a base-side artifact, not a regression. True near-dup pairs
-    # grow 462x at 100x docs by the generator's design; 32x wall is
-    # sub-linear in output. Bound tracks the r8 base.
-    "embedding_near_dup_pairs": 40.0,
+    # r9 in-bucket cosine verify (vectors ride the bucket groupBy,
+    # only passing pairs leave the bucket) cut sf10 63.8 -> 25.7 s and
+    # sf0.1 2.36 -> 1.81 s: measured 14.2x, x1.4 headroom. True
+    # near-dup pairs still grow 462x at 100x docs by the generator's
+    # design, so the wall stays sub-linear in output.
+    "embedding_near_dup_pairs": 20.0,
     "fuzzy_name_pairs": 8.0,  # r7 44.1x -> r8 4.4x (corpus-prefix strip)
     "neo4j_dryrun_batches": 13.0,  # measured 9.1x (serial-sink emulation)
     "semantic_dedup": 10.0,  # measured 5.8x
