@@ -103,3 +103,38 @@ def test_tracked_cache_double_release_is_safe(spark, clean_cache):
     assert release_caches() == 1
     assert release_caches() == 0
     assert _cache_empty(spark)
+
+
+def test_cached_session_scope_releases_on_exit(spark, clean_cache):
+    """The with-block wrapper (r8 VERDICT task 7): caches built inside
+    the scope are freed on exit — including on exceptions — without
+    touching caller-owned caches, and nested scopes release only their
+    own frames."""
+    from hubspot_neo4j_pipeline_spark.operators.caching import cached_session
+
+    mine = spark.range(10).cache()
+    mine.count()  # caller-owned cache, must survive the scope
+    with cached_session():
+        bucket_self_pairs(_buckets(spark), ["bk"], "item").collect()
+        assert not _cache_empty(spark)
+        with cached_session():
+            simhash_near_pairs(_docs(spark), "doc_id", "text").collect()
+        # inner scope released its caches; outer's are still pinned
+        assert not _cache_empty(spark)
+    assert mine.storageLevel.useMemory  # caller cache untouched
+    mine.unpersist()
+    assert _cache_empty(spark)
+
+    # exception path: release still happens
+    with pytest.raises(RuntimeError):
+        with cached_session():
+            bucket_self_pairs(_buckets(spark), ["bk"], "item").collect()
+            raise RuntimeError("boom")
+    assert _cache_empty(spark)
+
+    # ambient release_caches must NOT steal an open scope's caches
+    with cached_session():
+        bucket_self_pairs(_buckets(spark), ["bk"], "item").collect()
+        assert release_caches() == 0
+        assert not _cache_empty(spark)
+    assert _cache_empty(spark)

@@ -291,7 +291,7 @@ def test_non_string_non_integer_batch_key_raises(spark):
     df = spark.createDataFrame(
         [(1.5, "a"), (10.5, "b")], "hubspot_id double, email string"
     )
-    with pytest.raises(ValueError, match="only integer and string"):
+    with pytest.raises(ValueError, match="only integer, string, and date/timestamp"):
         dry_run_node_payloads(df, "X")
 
 
@@ -306,3 +306,157 @@ def test_duplicate_keys_with_conflicting_properties_pick_min_json(spark):
         assert len(out) == 1 and out[0]["n_nodes"] == 2
         batch = json.loads(out[0]["params_json"])
         assert [x["email"] for x in batch] == ["aaa@example.com", "b@example.com"]
+
+
+def test_temporal_payloads_match_reference_statements(spark):
+    """The r9 replay-gap closure: updated items emit the exact
+    history-snapshot + node-update statement PAIR and deleted items
+    the exact soft-delete statement of the reference temporal loader
+    (loaders/temporal_loader.py:157-266), per-item params included,
+    chunked like its tqdm loops (BATCH_SIZE items per chunk, key
+    order)."""
+    from hubspot_neo4j_pipeline_spark.operators.neo4j_sink import (
+        dry_run_temporal_payloads,
+        temporal_delete_cypher,
+        temporal_history_cypher,
+        temporal_update_cypher,
+    )
+
+    incoming = spark.createDataFrame(
+        [(i, f"c{i}", 10.0 * i) for i in range(1, 8)],
+        "hubspot_id int, name string, amount double",
+    )
+    classified = spark.createDataFrame(
+        [
+            (1, "updated"), (2, "unchanged"), (3, "updated"), (4, "new"),
+            (5, "updated"), (9, "deleted"), (10, "deleted"),
+        ],
+        "hubspot_id int, change_type string",
+    )
+    out = dry_run_temporal_payloads(
+        incoming, classified, "HUBSPOT_Deal", valid_to="2024-06-01T00:00:00",
+        batch_size=2,
+    ).collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r)
+    for k in by_kind:
+        by_kind[k].sort(key=lambda r: (r["batch_id"], r["hubspot_id"]))
+
+    # updated items 1,3,5 -> history + update each; batches of 2 items
+    assert [r["hubspot_id"] for r in by_kind["history_snapshot"]] == ["1", "3", "5"]
+    assert [r["batch_id"] for r in by_kind["history_snapshot"]] == [0, 0, 1]
+    assert [r["hubspot_id"] for r in by_kind["update_node"]] == ["1", "3", "5"]
+    assert [r["batch_id"] for r in by_kind["update_node"]] == [0, 0, 1]
+    # deleted items 9,10 (absent from incoming by construction)
+    assert [r["hubspot_id"] for r in by_kind["mark_deleted"]] == ["10", "9"]
+    assert [r["batch_id"] for r in by_kind["mark_deleted"]] == [0, 0]
+    assert set(by_kind) == {"history_snapshot", "update_node", "mark_deleted"}
+
+    # exact statement texts (reference temporal_loader.py:170-182,
+    # :192-216, :241-255)
+    h = by_kind["history_snapshot"][0]
+    assert h["cypher"] == temporal_history_cypher("HUBSPOT_Deal") == (
+        "MATCH (n:HUBSPOT_Deal {hubspot_id: $hubspot_id}) "
+        "CREATE (h:HUBSPOT_Deal_HISTORY) "
+        "SET h = properties(n), h.valid_to = $valid_to "
+        "WITH n, h CREATE (n)-[:HAS_HISTORY]->(h)"
+    )
+    assert json.loads(h["params_json"]) == {
+        "hubspot_id": "1", "valid_to": "2024-06-01T00:00:00"
+    }
+    u = by_kind["update_node"][1]
+    assert u["cypher"] == temporal_update_cypher("HUBSPOT_Deal") == (
+        "MATCH (n:HUBSPOT_Deal {hubspot_id: $hubspot_id}) SET n = $new_data"
+    )
+    assert json.loads(u["params_json"]) == {
+        "hubspot_id": "3",
+        "new_data": {"hubspot_id": 3, "name": "c3", "amount": 30.0},
+    }
+    d = by_kind["mark_deleted"][1]
+    assert d["cypher"] == temporal_delete_cypher("HUBSPOT_Deal") == (
+        "MATCH (n:HUBSPOT_Deal {hubspot_id: $hubspot_id}) "
+        "WHERE n.is_deleted IS NULL OR n.is_deleted = false "
+        "CREATE (h:HUBSPOT_Deal_HISTORY) "
+        "SET h = properties(n), h.valid_to = $valid_to "
+        "WITH n, h CREATE (n)-[:HAS_HISTORY]->(h) "
+        "WITH n SET n.is_deleted = true, n.valid_to = $valid_to, "
+        "n.is_current = false"
+    )
+    assert json.loads(d["params_json"]) == {
+        "hubspot_id": "9", "valid_to": "2024-06-01T00:00:00"
+    }
+
+
+def test_temporal_payloads_user_archived_branch(spark):
+    """The User variant toggles :Archived from the $archived param
+    (temporal_loader.py:196-209) — FOREACH add AND remove arms."""
+    from hubspot_neo4j_pipeline_spark.operators.neo4j_sink import (
+        dry_run_temporal_payloads,
+    )
+
+    incoming = spark.createDataFrame(
+        [(1, "u1", True), (2, "u2", False), (3, "u3", None)],
+        "hubspot_id int, name string, archived boolean",
+    )
+    classified = spark.createDataFrame(
+        [(1, "updated"), (2, "updated"), (3, "updated")],
+        "hubspot_id int, change_type string",
+    )
+    upd = {
+        r["hubspot_id"]: r
+        for r in dry_run_temporal_payloads(
+            incoming, classified, "HUBSPOT_User",
+            valid_to="2024-06-01T00:00:00", archived_label=True,
+        ).where("kind = 'update_node'").collect()
+    }
+    cy = upd["1"]["cypher"]
+    assert "FOREACH (_ IN CASE WHEN $archived = true THEN [1] ELSE [] END | SET n:Archived)" in cy
+    assert "FOREACH (_ IN CASE WHEN $archived = false THEN [1] ELSE [] END | REMOVE n:Archived)" in cy
+    assert json.loads(upd["1"]["params_json"])["archived"] is True
+    assert json.loads(upd["2"]["params_json"])["archived"] is False
+    # NULL archived folds to false, matching dict.get('archived', False)
+    assert json.loads(upd["3"]["params_json"])["archived"] is False
+
+
+def test_temporal_and_null_group_batching_keys(spark):
+    """r9 (r8 ADVICE): date/timestamp batching keys are accepted again
+    (ISO text order == temporal order), and a NULL value in a GROUP
+    column must not vanish through the lcp/offset joins — both now
+    eqNullSafe."""
+    import datetime as dt
+
+    from hubspot_neo4j_pipeline_spark.operators.neo4j_sink import (
+        _with_batch_ids,
+    )
+
+    # timestamp key: 250 rows, batch=100 -> ranks follow time order
+    ts = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),) for i in range(250)],
+        "t timestamp",
+    )
+    out = _with_batch_ids(ts, [], ["t"], 100).groupBy("batch_id").count()
+    assert {(r["batch_id"], r["count"]) for r in out.collect()} == {
+        (0, 100), (1, 100), (2, 50)
+    }
+    # batch membership respects time order exactly
+    b_of = {
+        r["t"]: r["batch_id"]
+        for r in _with_batch_ids(ts, [], ["t"], 100).collect()
+    }
+    for i, t in enumerate(sorted(b_of)):
+        assert b_of[t] == i // 100
+
+    # NULL group value: rows keep flowing and batch within their group
+    g = spark.createDataFrame(
+        [(None, f"k{i:03d}") for i in range(5)]
+        + [("g1", f"k{i:03d}") for i in range(7)],
+        "grp string, k string",
+    )
+    got = _with_batch_ids(g, ["grp"], ["k"], 3)
+    assert got.count() == 12  # nothing vanished
+    per = {
+        (r["grp"], r["batch_id"]): r["count"]
+        for r in got.groupBy("grp", "batch_id").count().collect()
+    }
+    assert per == {(None, 0): 3, (None, 1): 2, ("g1", 0): 3, ("g1", 1): 3, ("g1", 2): 1}
