@@ -324,10 +324,21 @@ def minhash_signature(
     re-applied here, so an unfiltered frame is fine.
     """
     if shingles is not None:
-        with_sh = shingles.select(id_col, "shingles")
+        with_sh = shingles.select(id_col, "shingles").where(
+            F.size("shingles") > 0
+        )
     else:
-        with_sh = df.select(id_col, shingle_set(text_col).alias("shingles"))
-    with_sh = with_sh.where(F.size("shingles") > 0)
+        # Pre-filter on the WORD COUNT, not on size(shingles): a
+        # filter over the computed array gets pushed below the project
+        # and re-evaluates the whole md5/distinct shingle construction
+        # inside the predicate — measured 7.6 -> 37.9 s at sf10 for
+        # the construction alone (r9). word count >= k is exactly
+        # "shingle set non-empty" (shingle_set's own guard), and the
+        # predicate is one split+size at the scan.
+        with_sh = df.where(
+            F.size(_words(F.col(text_col) if isinstance(text_col, str) else text_col))
+            >= DEFAULT_SHINGLE
+        ).select(id_col, shingle_set(text_col).alias("shingles"))
     # One base hash per shingle, then n_perms universal-hash
     # permutations (a·h+b mod p) over the 31-bit base — tiny arithmetic
     # expressions instead of n_perms inlined hash routines (which

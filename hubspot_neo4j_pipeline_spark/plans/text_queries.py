@@ -1217,9 +1217,12 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantics exactly, collisions and all), the MinHash branch
     # consumes them directly. The cached frame is (doc_id, shingles)
     # — the grams each branch would otherwise re-derive from text.
+    # word-count pre-filter, not size(shingles) > 0: the latter pushes
+    # below the project and re-runs the shingle construction inside
+    # the predicate (operators/dedup.minhash_signature, same r9 fix)
     shingled = (
-        docs.select("doc_id", shingle_set("text").alias("shingles"))
-        .where(F.size("shingles") > 0)
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 5)
+        .select("doc_id", shingle_set("text").alias("shingles"))
         .transform(tracked_cache)
     )
     # cache: each pair set feeds two consumers (its own count and the
