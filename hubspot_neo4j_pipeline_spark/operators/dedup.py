@@ -758,6 +758,61 @@ def simhash_near_pairs(
     from .skew import bucket_self_pairs
 
     item = F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))
+    if hot_chunk_df is not None:
+        # r9: verify hamming IN the pair expansion, not after the
+        # pair-dedup shuffle. The r8 shape shuffled EVERY candidate
+        # through dropDuplicates before the xor/bit_count filter —
+        # at sf10 that was 180.8M candidate rows deduped to 168.8M
+        # (6% removed) of which only 559k survived the radius filter:
+        # two candidate-sized shuffles to carry a 0.3% survivor set.
+        # The verify is one xor+bit_count on values already sitting in
+        # the bucket row, so filtering inside the flatten keeps the
+        # expansion OUTPUT survivor-sized; dropDuplicates then runs on
+        # survivors. Cross-chunk duplicates reproduce the identical
+        # hamming (same two longs), so the kept set is exactly the r8
+        # one — equality across modes stays pinned in tests.
+        # Memory guard mirrors bucket_self_pairs: buckets past the
+        # expansion cap (possible only under adversarial skew — the
+        # refinement bounds buckets by residual bit entropy, not
+        # structurally) take a streaming self-join instead, filtered
+        # the same way; a bucket is entirely in one path.
+        cap = 4096
+        grouped = (
+            chunks.select(*join_keys, item.alias("_it"))
+            .groupBy(*join_keys)
+            .agg(F.sort_array(F.collect_set("_it")).alias("_items"))
+            .where(F.size("_items") > 1)
+        )
+        grouped = tracked_cache(grouped, no_cache)
+        scored = F.expr(
+            "flatten(transform(_items, (it_x, i) -> "
+            "filter(transform(slice(_items, i + 2, size(_items) - i - 1), "
+            "it_y -> struct(it_x.i as id_a, it_y.i as id_b, "
+            "bit_count(it_x.h ^ it_y.h) as hamming)), "
+            f"s -> s.hamming <= {int(max_hamming)})))"
+        )
+        small = (
+            grouped.where(F.size("_items") <= cap)
+            .select(F.explode(scored).alias("_p"))
+            .select("_p.id_a", "_p.id_b", "_p.hamming")
+        )
+        big_src = grouped.where(F.size("_items") > cap).select(
+            *join_keys, F.explode("_items").alias("_it")
+        )
+        big = (
+            big_src.alias("x")
+            .join(big_src.alias("y"), join_keys)
+            .where(F.col("x._it") < F.col("y._it"))
+            .select(
+                F.col("x._it.i").alias("id_a"),
+                F.col("y._it.i").alias("id_b"),
+                F.bit_count(
+                    F.col("x._it.h").bitwiseXOR(F.col("y._it.h"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+        return small.unionByName(big).dropDuplicates(["id_a", "id_b"])
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         bucket_self_pairs(

@@ -107,7 +107,6 @@ ALLOWED_RATIOS_100X: dict[str, float] = {
     "dedup_method_agreement": 20.0,  # measured 15.1x (both pair pipelines)
     "doc_minhash_lsh_pairs": 24.0,  # measured 17.7x
     "doc_shingle_candidates": 45.0,  # measured 33.1x (110x candidate growth)
-    "doc_simhash_pairs": 21.0,  # measured 15.5x
     # r9 in-bucket cosine verify (vectors ride the bucket groupBy,
     # only passing pairs leave the bucket) cut sf10 63.8 -> 25.7 s and
     # sf0.1 2.36 -> 1.81 s: measured 14.2x, x1.4 headroom. True
@@ -117,6 +116,10 @@ ALLOWED_RATIOS_100X: dict[str, float] = {
     "fuzzy_name_pairs": 8.0,  # r7 44.1x -> r8 4.4x (corpus-prefix strip)
     "neo4j_dryrun_batches": 13.0,  # measured 9.1x (serial-sink emulation)
     "semantic_dedup": 10.0,  # measured 5.8x
+    # r9 in-bucket hamming verify (candidates filtered to the 0.3%
+    # survivor set BEFORE the pair-dedup shuffle): sf10 32.4 -> 12.0 s.
+    # Bound = fresh measured ratio x ~1.6 headroom.
+    "doc_simhash_pairs": 12.0,
 }
 
 # Floor below which ratios are noise, not signal: a 0.2s query going
