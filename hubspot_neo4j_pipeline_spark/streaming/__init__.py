@@ -12,7 +12,14 @@ from .gram_store import (
     score_batch_against_store,
     stream_gram_store,
 )
-from .incremental import stream_dedup, stream_into_store, upsert_batch
+from .incremental import (
+    read_current,
+    read_history,
+    scd2_store_compact,
+    stream_dedup,
+    stream_into_store,
+    upsert_batch,
+)
 from .sketches import (
     cms_update_batch,
     kmv_update_batch,
@@ -34,6 +41,9 @@ __all__ = [
     "read_event_stream",
     "windowed_event_counts",
     "sessionize",
+    "read_current",
+    "read_history",
+    "scd2_store_compact",
     "stream_dedup",
     "stream_into_store",
     "upsert_batch",

@@ -66,65 +66,25 @@ one-shot batch operator (operators/dedup.py:202) as its oracle.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Generic LSM segment primitives (meta pointer / atomic delta commit /
+# replay guard / sweep) live in streaming/segments.py since r9 so the
+# SCD2 upsert store shares the identical contract; aliased under the
+# original private names for the tests that poke the internals.
+from .segments import commit_delta as _commit_delta
+from .segments import committed_deltas as _committed_deltas
+from .segments import live_deltas as _live_deltas
+from .segments import next_base_name as _next_base_name
+from .segments import read_meta as _read_meta
+from .segments import sweep as _sweep
+from .segments import write_meta as _write_meta
+
 GRAM_STORE_BUCKETS = 32
 COMPACT_EVERY = 8
-
-_META = "meta.json"
-_DELTAS = "deltas"
-
-
-def _read_meta(store_path: str) -> dict:
-    p = os.path.join(store_path, _META)
-    if not os.path.exists(p):
-        return {"base": None, "consumed_through": -1}
-    with open(p) as fh:
-        return json.load(fh)
-
-
-def _write_meta(store_path: str, meta: dict) -> None:
-    """Atomic commit: write a tmp file, then os.replace over meta.json
-    — readers see either the old or the new pointer, never a torn
-    one. This replace is the ONLY mutation that changes what a reader
-    resolves, which is what makes every other step crash-tolerant."""
-    tmp = os.path.join(store_path, _META + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(store_path, _META))
-
-
-def _committed_deltas(store_path: str) -> dict[int, str]:
-    """batch_id -> absolute delta dir, committed (renamed) dirs only."""
-    d = os.path.join(store_path, _DELTAS)
-    if not os.path.isdir(d):
-        return {}
-    out: dict[int, str] = {}
-    for name in os.listdir(d):
-        if name.startswith("b") and name[1:].isdigit():
-            out[int(name[1:])] = os.path.join(d, name)
-    return out
-
-
-def _sweep(store_path: str, meta: dict) -> None:
-    """Remove leftovers a crash between commit and cleanup can strand:
-    deltas already folded into the base, base dirs meta doesn't point
-    to, and orphan _tmp ingest dirs. Safe to run any time — nothing
-    here is resolvable by a reader."""
-    for bid, path in _committed_deltas(store_path).items():
-        if bid <= meta["consumed_through"]:
-            shutil.rmtree(path, ignore_errors=True)
-    for name in os.listdir(store_path):
-        full = os.path.join(store_path, name)
-        if name.startswith("base-") and name != (meta["base"] or ""):
-            shutil.rmtree(full, ignore_errors=True)
-        elif name.startswith("_tmp-"):
-            shutil.rmtree(full, ignore_errors=True)
 
 
 def _partial_counts(
@@ -161,9 +121,8 @@ def read_gram_store(spark: SparkSession, store_path: str) -> DataFrame:
         frames.append(
             spark.read.parquet(os.path.join(store_path, meta["base"])).select("h", "n")
         )
-    for bid, path in sorted(_committed_deltas(store_path).items()):
-        if bid > meta["consumed_through"]:
-            frames.append(spark.read.parquet(path).select("h", "n"))
+    for _bid, path in sorted(_live_deltas(store_path, meta).items()):
+        frames.append(spark.read.parquet(path).select("h", "n"))
     if not frames:
         raise FileNotFoundError(f"empty gram store at {store_path}")
     if len(frames) == 1:
@@ -193,23 +152,17 @@ def gram_store_update_batch(
     Without a ``batch_id`` (direct batch-driven maintenance) the next
     free id is assigned, preserving the r8 call signature.
     """
-    os.makedirs(os.path.join(store_path, _DELTAS), exist_ok=True)
+    os.makedirs(store_path, exist_ok=True)
     meta = _read_meta(store_path)
     committed = _committed_deltas(store_path)
     if batch_id is None:
         batch_id = max([meta["consumed_through"], *committed]) + 1
     elif batch_id <= meta["consumed_through"] or batch_id in committed:
         return  # replayed micro-batch — already ingested
-    tmp = os.path.join(store_path, f"_tmp-b{batch_id}")
-    if os.path.exists(tmp):  # crashed previous attempt at this batch
-        shutil.rmtree(tmp)
-    _partial_counts(batch_docs, id_col, text_col, k).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    os.rename(tmp, os.path.join(store_path, _DELTAS, f"b{batch_id}"))
-    if len(_committed_deltas(store_path)) - sum(
-        1 for b in committed if b <= meta["consumed_through"]
-    ) >= compact_every:
+    _commit_delta(
+        _partial_counts(batch_docs, id_col, text_col, k), store_path, batch_id
+    )
+    if len(_live_deltas(store_path, meta)) >= compact_every:
         gram_store_compact(batch_docs.sparkSession, store_path, n_buckets)
 
 
@@ -228,18 +181,13 @@ def gram_store_compact(
         return
     meta = _read_meta(store_path)
     _sweep(store_path, meta)  # clear strandings from any earlier crash
-    deltas = {
-        b: p
-        for b, p in _committed_deltas(store_path).items()
-        if b > meta["consumed_through"]
-    }
+    deltas = _live_deltas(store_path, meta)
     if not deltas:
         return
     merged = read_gram_store(spark, store_path).withColumn(
         "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
     )
-    gen = int(meta["base"].split("-")[1]) + 1 if meta["base"] else 0
-    new_base = f"base-{gen}"
+    new_base = _next_base_name(meta)
     merged.repartition("bucket").write.partitionBy("bucket").mode(
         "overwrite"
     ).parquet(os.path.join(store_path, new_base))

@@ -49,8 +49,10 @@ def cms_update_batch(
 
     Stores written before the watermark existed (no last_batch_id
     column) are migrated on first touch. localCheckpoint materializes
-    the merged grid before the overwrite (same read-then-overwrite
-    discipline as incremental.upsert_batch).
+    the merged grid before the overwrite. Unlike the gram/SCD2 stores
+    (streaming/segments.py LSM layout), a full rewrite is CORRECT
+    scale behavior here: the grid is a fixed DEPTH x WIDTH few-KB
+    state no matter how much text has streamed past.
     """
     spark = batch_docs.sparkSession
     partial = cms_grid(batch_docs)

@@ -157,13 +157,92 @@ def test_stream_into_scd2_store(spark, tmp_path_factory):
     stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     stream_into_store(stream2, store, key="event_id", checkpoint_dir=ckpt)
 
-    cur = spark.read.parquet(f"{store}/current")
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        read_current,
+        read_history,
+        scd2_store_compact,
+    )
+
+    cur = read_current(spark, store)
     live = {r["event_id"]: r for r in cur.where("is_current").collect()}
     assert set(live) == {1, 2, 3}
     assert live[1]["event_type"] == "stage_B"  # updated version current
-    hist = spark.read.parquet(f"{store}/history").collect()
+    hist = read_history(spark, store).collect()
     assert len(hist) == 1 and hist[0]["event_id"] == 1  # old version closed
     assert hist[0]["event_type"] == "stage_a"
+
+    # compaction folds the deltas without changing either view, and a
+    # replayed micro-batch stays a no-op afterwards
+    before_cur = sorted(tuple(r) for r in read_current(spark, store).collect())
+    before_hist = sorted(tuple(r) for r in read_history(spark, store).collect())
+    scd2_store_compact(spark, store)
+    assert sorted(tuple(r) for r in read_current(spark, store).collect()) == before_cur
+    assert sorted(tuple(r) for r in read_history(spark, store).collect()) == before_hist
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import upsert_batch
+
+    upsert_batch(b2, store, key="event_id", now="2024-01-01 00:01:00", batch_id=1)
+    assert sorted(tuple(r) for r in read_current(spark, store).collect()) == before_cur
+    assert sorted(tuple(r) for r in read_history(spark, store).collect()) == before_hist
+
+
+def test_scd2_store_ingest_is_o_batch_and_crash_safe(spark, tmp_path_factory):
+    """The r9 SCD2-store rewrite (same LSM layer as the gram store):
+    an upsert batch must NOT rewrite the compacted base — it commits
+    one delta holding only its own touched rows (current + closed
+    together, so history and current cannot be torn apart by a crash)
+    — and an orphan base from a crashed compaction is never resolved
+    by readers."""
+    import os
+
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        read_current,
+        read_history,
+        scd2_store_compact,
+        upsert_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("scd2_store_io")) + "/store"
+    schema = "k long, v string"
+    big = spark.createDataFrame([(i, f"v{i}") for i in range(500)], schema)
+    upsert_batch(big, store, key="k", now="2024-01-01 00:00:00", batch_id=0)
+    scd2_store_compact(spark, store)
+    base_dir = os.path.join(store, "base-0")
+    assert os.path.isdir(base_dir)
+
+    def walk(root):
+        return {
+            os.path.join(dp, f): os.stat(os.path.join(dp, f)).st_mtime_ns
+            for dp, _, fs in os.walk(root)
+            for f in fs
+        }
+
+    before = walk(base_dir)
+    small = spark.createDataFrame([(1, "CHANGED"), (999, "new")], schema)
+    upsert_batch(small, store, key="k", now="2024-01-01 00:01:00", batch_id=1)
+    assert walk(base_dir) == before  # base untouched: O(batch) ingest
+    cur = {r["k"]: r["v"] for r in read_current(spark, store).collect()}
+    assert len(cur) == 501 and cur[1] == "CHANGED" and cur[999] == "new"
+    hist = read_history(spark, store).collect()
+    assert [(r["k"], r["v"], r["is_current"]) for r in hist] == [(1, "v1", False)]
+
+    # crashed compaction: base written but meta never replaced — the
+    # orphan base must not be resolvable and retry must converge
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+
+    meta_before = segments.read_meta(store)
+    cur_before = sorted(tuple(r) for r in read_current(spark, store).collect())
+    bogus = os.path.join(store, "base-1")
+    os.makedirs(os.path.join(bogus, "_bucket=0"), exist_ok=True)
+    with open(os.path.join(bogus, "_bucket=0", "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    assert segments.read_meta(store) == meta_before
+    assert sorted(tuple(r) for r in read_current(spark, store).collect()) == cur_before
+    scd2_store_compact(spark, store)  # sweeps the orphan, folds delta 1
+    assert segments.read_meta(store)["consumed_through"] == 1
+    assert sorted(tuple(r) for r in read_current(spark, store).collect()) == cur_before
+    assert [(r["k"], r["v"]) for r in read_history(spark, store).collect()] == [
+        (1, "v1")
+    ]
 
 
 def test_stream_stream_attribution_join_equals_batch(
