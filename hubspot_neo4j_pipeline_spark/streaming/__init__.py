@@ -12,6 +12,13 @@ from .gram_store import (
     score_batch_against_store,
     stream_gram_store,
 )
+from .hash_store import (
+    dedup_batch_against_store,
+    hash_store_compact,
+    hash_store_update_batch,
+    read_hash_store,
+    stream_hash_store,
+)
 from .incremental import (
     read_current,
     read_history,
@@ -41,6 +48,11 @@ __all__ = [
     "read_event_stream",
     "windowed_event_counts",
     "sessionize",
+    "dedup_batch_against_store",
+    "hash_store_compact",
+    "hash_store_update_batch",
+    "read_hash_store",
+    "stream_hash_store",
     "read_current",
     "read_history",
     "scd2_store_compact",

@@ -1,0 +1,190 @@
+"""Exact streaming dedup against the FULL ingested history.
+
+``incremental.stream_dedup`` (dropDuplicatesWithinWatermark) is the
+bounded-state primitive: state evicts past the watermark, so a
+duplicate arriving LATER than the watermark horizon slips through —
+the documented trade. This store is the other point on the curve: an
+exact (content_hash -> first-owner doc id) table kept on the shared
+LSM segment layer (streaming/segments.py), so a micro-batch ingests in
+O(batch) and an incoming batch can be deduplicated against EVERYTHING
+ever ingested, at any lateness. At 100 TB the hash table is one slim
+16-byte-wide row per distinct document — orders of magnitude smaller
+than the corpus — and only compactions touch all of it.
+
+First-owner semantics match ``operators/dedup.exact_dedup`` (keep the
+MIN id per identical content): the store keeps the minimum doc id per
+hash across batches (min is idempotent and order-free, so replay and
+out-of-order batches cannot corrupt it), and
+``dedup_batch_against_store`` marks an incoming row a duplicate iff
+the store holds the same hash with a SMALLER owner id — giving the
+same verdicts a one-shot ``exact_dedup`` over (history ∪ batch) gives
+for the batch's rows (pinned by test).
+
+Reference parity: the reference has no streaming surface; this is the
+streaming closure of its URL/content dedup step
+(utils/change_detector.py dedup semantics, SURVEY §2 D1/D2) and the
+batch ``exact_dedup`` operator is its oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import segments
+
+HASH_STORE_BUCKETS = 32
+COMPACT_EVERY = 8
+
+
+def _partial_hashes(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        batch.select(
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+            F.col(id_col).cast("long").alias("owner_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("owner_id").alias("owner_id"))
+    )
+
+
+def read_hash_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(content_hash, owner_id = min doc id ever seen with it). Plain
+    base scan when no deltas are live."""
+    meta = segments.read_meta(store_path)
+    frames = []
+    if meta["base"]:
+        frames.append(
+            spark.read.parquet(os.path.join(store_path, meta["base"])).select(
+                "content_hash", "owner_id"
+            )
+        )
+    for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
+        frames.append(spark.read.parquet(path).select("content_hash", "owner_id"))
+    if not frames:
+        raise FileNotFoundError(f"empty hash store at {store_path}")
+    if len(frames) == 1:
+        return frames[0]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("content_hash").agg(F.min("owner_id").alias("owner_id"))
+
+
+def hash_store_update_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int = COMPACT_EVERY,
+    n_buckets: int = HASH_STORE_BUCKETS,
+) -> None:
+    """Ingest one micro-batch's (hash, min id) rows as an atomic delta
+    segment — O(batch), the existing state is NOT read. Same replay /
+    crash contract as the gram and SCD2 stores (segments.py); min is
+    additionally idempotent, so even a guard bypass cannot corrupt
+    owners."""
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed micro-batch
+    segments.commit_delta(
+        _partial_hashes(batch, id_col, text_col), store_path, batch_id
+    )
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        hash_store_compact(batch.sparkSession, store_path, n_buckets)
+
+
+def hash_store_compact(
+    spark: SparkSession, store_path: str, n_buckets: int = HASH_STORE_BUCKETS
+) -> None:
+    """Fold live deltas into a fresh hash-bucketed base, committed by
+    one atomic meta replace (gram_store_compact's contract)."""
+    meta = segments.read_meta(store_path)
+    segments.sweep(store_path, meta)
+    deltas = segments.live_deltas(store_path, meta)
+    if not deltas:
+        return
+    merged = read_hash_store(spark, store_path).withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)),
+    )
+    new_base = segments.next_base_name(meta)
+    merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+        "overwrite"
+    ).parquet(os.path.join(store_path, new_base))
+    segments.write_meta(
+        store_path, {"base": new_base, "consumed_through": max(deltas)}
+    )
+    segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def dedup_batch_against_store(
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup verdicts for an incoming batch against everything
+    ever ingested PLUS the batch itself: every input row, with
+    (content_hash, canonical_id, is_duplicate). canonical_id is the
+    min id across history and batch; a row is a duplicate iff some
+    smaller id carries identical content — exactly
+    ``operators/dedup.exact_dedup`` over (history ∪ batch) restricted
+    to the batch's rows. Scale: one hash groupBy over the batch plus
+    one equi-join against the slim store — never touches stored text.
+    """
+    spark = batch.sparkSession
+    hashed = batch.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    try:
+        store = read_hash_store(spark, store_path).select(
+            "content_hash", F.col("owner_id").alias("_hist_owner")
+        )
+    except FileNotFoundError:
+        store = None
+    # within-batch first owner, so intra-batch duplicates are seen
+    # even before ingest (same pre-ingest contract as the gram store's
+    # score_batch_against_store)
+    batch_min = hashed.groupBy("content_hash").agg(
+        F.min(F.col(id_col).cast("long")).alias("_batch_owner")
+    )
+    joined = hashed.join(batch_min, "content_hash")
+    if store is not None:
+        joined = joined.join(store, "content_hash", "left")
+    else:
+        joined = joined.withColumn("_hist_owner", F.lit(None).cast("long"))
+    canonical = F.least(
+        F.coalesce("_hist_owner", "_batch_owner"), F.col("_batch_owner")
+    )
+    return joined.select(
+        *batch.columns,
+        "content_hash",
+        canonical.alias("canonical_id"),
+        (F.col(id_col).cast("long") != canonical).alias("is_duplicate"),
+    )
+
+
+def stream_hash_store(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """foreachBatch driver: maintain the exact content-hash store as
+    documents stream in. store_path and checkpoint_dir live and die
+    together (segments.py lifecycle contract)."""
+    from .incremental import run_foreach_batch
+
+    run_foreach_batch(
+        stream_df,
+        lambda batch, batch_id: hash_store_update_batch(
+            batch, store_path, batch_id, compact_every=compact_every
+        ),
+        checkpoint_dir,
+        timeout_sec,
+    )

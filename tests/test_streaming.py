@@ -707,3 +707,80 @@ def test_gram_store_score_preingest_batch(spark, tmp_path_factory):
         .collect()
     )
     assert got == want and got
+
+
+def test_stream_hash_store_exact_dedup_vs_full_history(spark, tmp_path_factory):
+    """Exact streaming dedup against ALL history (r9,
+    streaming/hash_store.py): verdicts for an incoming batch must
+    equal one-shot exact_dedup over (history ∪ batch) — including
+    duplicates arriving arbitrarily late (the case the watermark-
+    bounded stream_dedup documents away) and duplicates only within
+    the incoming batch. Replay and compaction must not change the
+    store."""
+    from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
+        dedup_batch_against_store,
+        hash_store_compact,
+        hash_store_update_batch,
+        read_hash_store,
+        stream_hash_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path_factory.mktemp("hash_src"))
+    store = str(tmp_path_factory.mktemp("hash_store")) + "/hashes"
+    ckpt = str(tmp_path_factory.mktemp("hash_ckpt"))
+    history = docs.where("doc_id % 3 != 0")
+    # the incoming batch plants BOTH duplicate modes: a late copy of a
+    # history doc (the case watermark-bounded stream_dedup misses) and
+    # an intra-batch duplicate pair (seen pre-ingest)
+    hist_text = history.orderBy("doc_id").limit(1).collect()[0]["text"]
+    extras = spark.createDataFrame(
+        [(900001, hist_text), (900002, "i am only in this batch"),
+         (900003, "i am only in this batch")],
+        "doc_id long, text string",
+    )
+    incoming = docs.where("doc_id % 3 = 0").select("doc_id", "text").unionByName(
+        extras
+    )
+    history.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    stream_hash_store(stream, store, ckpt, compact_every=2)
+
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in dedup_batch_against_store(incoming, store).collect()
+    }
+    # oracle: one-shot min-id-per-identical-content over history ∪
+    # batch (exact_dedup's keep rule), restricted to the batch's docs
+    union = history.select("doc_id", "text").unionByName(incoming)
+    hashed = union.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    mins = hashed.groupBy("h").agg(F.min("doc_id").alias("m"))
+    canon = {r["doc_id"]: r["m"] for r in hashed.join(mins, "h").collect()}
+    want = {
+        d: (canon[d], canon[d] != d)
+        for d in (r["doc_id"] for r in incoming.select("doc_id").collect())
+    }
+    assert got == want
+    first_hist = history.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    assert got[900001] == (first_hist, True)  # late cross-history duplicate
+    assert got[900002] == (900002, False)  # intra-batch first owner
+    assert got[900003] == (900002, True)  # intra-batch duplicate, pre-ingest
+
+    # replay guard + compaction invariance
+    before = {
+        r["content_hash"]: r["owner_id"]
+        for r in read_hash_store(spark, store).collect()
+    }
+    hash_store_update_batch(history.limit(7), store, batch_id=0)
+    assert {
+        r["content_hash"]: r["owner_id"]
+        for r in read_hash_store(spark, store).collect()
+    } == before
+    hash_store_compact(spark, store)
+    assert {
+        r["content_hash"]: r["owner_id"]
+        for r in read_hash_store(spark, store).collect()
+    } == before
