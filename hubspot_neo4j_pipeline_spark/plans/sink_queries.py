@@ -369,3 +369,59 @@ def neo4j_dryrun_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("_n").cast("long").alias("max_batch"),
         F.sum("_k").cast("long").alias("n_parsed_keys"),
     )
+
+
+@register(
+    "incremental_hash_dedup_verdicts",
+    oracle="""
+        WITH uni AS (
+            SELECT doc_id, text FROM documents
+        ), h AS (
+            SELECT doc_id, sha256(text) AS content_hash FROM uni
+        ), m AS (
+            SELECT content_hash, min(doc_id) AS canonical_id
+            FROM h GROUP BY content_hash
+        )
+        SELECT h.doc_id, m.canonical_id,
+               h.doc_id <> m.canonical_id AS is_duplicate
+        FROM h JOIN m USING (content_hash)
+        WHERE h.doc_id % 3 = 0
+    """,
+    covers=("D1", "D2", "D3"),
+    doc=(
+        "EXECUTED streaming exact-dedup round-trip (r9): two history "
+        "micro-batches of documents are ingested into the persisted "
+        "content-hash store (streaming/hash_store.py — LSM segment "
+        "layout, O(batch) atomic delta ingest, compact_every=2 so the "
+        "query exercises a real compaction), then the held-out batch "
+        "is scored against it. Verdicts must equal the pure-SQL "
+        "min-id-per-identical-content rule over the FULL corpus "
+        "restricted to the held-out docs — a store that dropped a "
+        "delta, double-counted a replay, lost an owner to a non-min "
+        "merge, or mis-compacted hash-mismatches. The streaming twin "
+        "of doc_exact_dedup: same keep rule, applied incrementally "
+        "against all history at any lateness."
+    ),
+)
+def incremental_hash_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.hash_store import (
+        dedup_batch_against_store,
+        hash_store_update_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(_scratch(spark, "incremental_hash_dedup", sf_dir), "hashes")
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    history = docs.where("doc_id % 3 != 0")
+    incoming = docs.where("doc_id % 3 = 0")
+    hash_store_update_batch(
+        history.where("doc_id % 2 = 0"), store, batch_id=0, compact_every=2
+    )
+    hash_store_update_batch(
+        history.where("doc_id % 2 = 1"), store, batch_id=1, compact_every=2
+    )
+    return dedup_batch_against_store(incoming, store).select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
