@@ -45,22 +45,37 @@ from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
-# stack of active cached_session scopes: each holds the frames cached
-# while it was the innermost scope, released when it exits
-_SCOPES: list[list[DataFrame]] = []
+# stack of active cached_session scopes, PER THREAD (r9 ADVICE: a
+# process-global stack let two threads interleave appends into
+# whichever scope was globally innermost, and one thread's scope exit
+# could unpersist frames another thread's query still used) — each
+# thread nests its own scopes; frames cached outside any scope on the
+# current thread land in the shared ambient registry
+_TLS = threading.local()
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_TLS, "scopes", None)
+    if stack is None:
+        stack = _TLS.scopes = []
+    return stack
 
 
 def tracked_cache(df: DataFrame, no_cache: bool = False) -> DataFrame:
     """``df.cache()`` registered for later release; with
     ``no_cache=True`` returns ``df`` unchanged (no cache, no entry).
-    Inside a ``cached_session`` block the frame belongs to that scope
-    and is released when the block exits; otherwise it lands in the
-    ambient registry drained by ``release_caches``."""
+    Inside a ``cached_session`` block ON THIS THREAD the frame belongs
+    to that scope and is released when the block exits; otherwise it
+    lands in the ambient registry drained by ``release_caches``."""
     if no_cache:
         return df
     df = df.cache()
-    with _LOCK:
-        (_SCOPES[-1] if _SCOPES else _TRACKED).append(df)
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(df)
+    else:
+        with _LOCK:
+            _TRACKED.append(df)
     return df
 
 
@@ -102,16 +117,17 @@ def cached_session():
 
     The release-on-exit is unconditional (also on exceptions), so a
     long-lived service embedding these operators cannot leak cached
-    blocks by forgetting ``release_caches()``. Scopes nest: an inner
-    block releases only the caches built inside it. Materialize
+    blocks by forgetting ``release_caches()``. Scopes nest PER THREAD
+    (thread-local stack): an inner block releases only the caches
+    built inside it on the same thread, and concurrent threads'
+    scopes cannot capture or release each other's frames. Materialize
     (collect/write) INSIDE the block — the returned DataFrames remain
     valid afterwards but recompute without the cache."""
+    stack = _scope_stack()
     scope: list[DataFrame] = []
-    with _LOCK:
-        _SCOPES.append(scope)
+    stack.append(scope)
     try:
         yield
     finally:
-        with _LOCK:
-            _SCOPES.remove(scope)
+        stack.remove(scope)
         _unpersist_all(scope)

@@ -40,10 +40,14 @@ COMPACT_EVERY = 8
 
 
 def _partial_hashes(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # the id keeps its NATIVE orderable type (r9 ADVICE: a long cast
+    # turned string doc ids into NULL owners and silently NULL'd the
+    # verdicts) — min works on any orderable type, matching
+    # operators/dedup.exact_dedup's keep rule on the id as-is
     return (
         batch.select(
             F.sha2(F.col(text_col), 256).alias("content_hash"),
-            F.col(id_col).cast("long").alias("owner_id"),
+            F.col(id_col).alias("owner_id"),
         )
         .groupBy("content_hash")
         .agg(F.min("owner_id").alias("owner_id"))
@@ -148,15 +152,18 @@ def dedup_batch_against_store(
         store = None
     # within-batch first owner, so intra-batch duplicates are seen
     # even before ingest (same pre-ingest contract as the gram store's
-    # score_batch_against_store)
+    # score_batch_against_store); min on the id's NATIVE type, same as
+    # the store's owners
     batch_min = hashed.groupBy("content_hash").agg(
-        F.min(F.col(id_col).cast("long")).alias("_batch_owner")
+        F.min(F.col(id_col)).alias("_batch_owner")
     )
     joined = hashed.join(batch_min, "content_hash")
     if store is not None:
         joined = joined.join(store, "content_hash", "left")
     else:
-        joined = joined.withColumn("_hist_owner", F.lit(None).cast("long"))
+        joined = joined.withColumn(
+            "_hist_owner", F.lit(None).cast(dict(batch.dtypes)[id_col])
+        )
     canonical = F.least(
         F.coalesce("_hist_owner", "_batch_owner"), F.col("_batch_owner")
     )
@@ -164,7 +171,7 @@ def dedup_batch_against_store(
         *batch.columns,
         "content_hash",
         canonical.alias("canonical_id"),
-        (F.col(id_col).cast("long") != canonical).alias("is_duplicate"),
+        (F.col(id_col) != canonical).alias("is_duplicate"),
     )
 
 

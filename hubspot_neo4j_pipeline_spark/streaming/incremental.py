@@ -80,16 +80,56 @@ def read_current(spark, store_path: str) -> DataFrame | None:
     )
 
 
+def _history_segments(store_path: str, meta: dict) -> list[str]:
+    """COMMITTED history segments only: ``seg-<id>`` with
+    id <= consumed_through. A crash between the segment rename and the
+    meta replace in ``scd2_store_compact`` leaves a ``seg-<hi>`` whose
+    closed rows still also live in the uncompacted deltas — resolving
+    it would double-count them (r9 ADVICE), so visibility is gated on
+    the meta pointer, exactly like delta visibility."""
+    hist = os.path.join(store_path, "history")
+    if not os.path.isdir(hist):
+        return []
+    out = []
+    for name in os.listdir(hist):
+        if name.startswith("seg-") and name[4:].isdigit():
+            if int(name[4:]) <= meta["consumed_through"]:
+                out.append(os.path.join(hist, name))
+    return sorted(out)
+
+
+def _scd2_sweep(store_path: str, meta: dict) -> None:
+    """segments.sweep plus the history-dir strandings it can't know
+    about: orphan ``_tmpseg-*`` writer dirs (any id — a crashed
+    compaction's tmp dir is only ever retried under the SAME high-water
+    mark, so ids the mark moved past would leak forever, r9 ADVICE) and
+    uncommitted ``seg-<id>`` with id > consumed_through (invisible to
+    readers via ``_history_segments``; their rows are still in the live
+    deltas and will be re-folded by the next compaction)."""
+    import shutil
+
+    segments.sweep(store_path, meta)
+    hist = os.path.join(store_path, "history")
+    if not os.path.isdir(hist):
+        return
+    for name in os.listdir(hist):
+        full = os.path.join(hist, name)
+        if name.startswith("_tmpseg-"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("seg-") and name[4:].isdigit():
+            if int(name[4:]) > meta["consumed_through"]:
+                shutil.rmtree(full, ignore_errors=True)
+
+
 def read_history(spark, store_path: str) -> DataFrame | None:
-    """Closed-out versions: compacted history segments plus the live
+    """Closed-out versions: committed history segments (id gated on
+    meta's consumed_through — see ``_history_segments``) plus the live
     deltas' 'closed' rows. None if nothing has ever been closed."""
     meta = _scd2_meta(store_path)
     frames = []
-    seg_glob = os.path.join(store_path, "history")
-    if os.path.isdir(seg_glob) and any(
-        n.startswith("seg-") for n in os.listdir(seg_glob)
-    ):
-        frames.append(spark.read.parquet(os.path.join(seg_glob, "seg-*")))
+    segs = _history_segments(store_path, meta)
+    if segs:
+        frames.append(spark.read.parquet(*segs))
     for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
         frames.append(
             spark.read.parquet(path).where(F.col("_kind") == "closed")
@@ -195,11 +235,13 @@ def scd2_store_compact(
     move their closed rows into an idempotently-named history segment,
     committed by one atomic meta replace (identical crash contract to
     gram_store_compact — every step before the replace is invisible
-    and garbage-collectable; the history segment is named by the
-    consumed-delta high-water mark, so a crashed compaction that
-    already wrote it simply overwrites the same segment on retry)."""
+    and garbage-collectable: the history segment is named by the
+    consumed-delta high-water mark and readers resolve only segments
+    with id <= consumed_through, so even the renamed-but-uncommitted
+    ``seg-<hi>`` of a crash between the rename and the meta replace
+    stays invisible and is swept on retry)."""
     meta = _scd2_meta(store_path)
-    segments.sweep(store_path, meta)
+    _scd2_sweep(store_path, meta)
     deltas = segments.live_deltas(store_path, meta)
     if not deltas:
         return
@@ -242,7 +284,7 @@ def scd2_store_compact(
         store_path,
         {"base": new_base, "consumed_through": hi, "key": meta["key"]},
     )
-    segments.sweep(store_path, _scd2_meta(store_path))
+    _scd2_sweep(store_path, _scd2_meta(store_path))
 
 
 def run_foreach_batch(

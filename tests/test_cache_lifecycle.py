@@ -138,3 +138,44 @@ def test_cached_session_scope_releases_on_exit(spark, clean_cache):
         assert release_caches() == 0
         assert not _cache_empty(spark)
     assert _cache_empty(spark)
+
+
+def test_cached_session_scopes_are_thread_local(spark, clean_cache):
+    """r9 ADVICE: the scope stack was process-global, so a thread's
+    tracked_cache could land in ANOTHER thread's innermost scope and
+    be unpersisted under its feet. Each thread must own its nesting:
+    a frame cached on a thread with no open scope goes to the ambient
+    registry even while another thread holds a scope open."""
+    import threading
+
+    from hubspot_neo4j_pipeline_spark.operators import caching
+
+    df_outer = spark.range(10).select(F.col("id"))
+    inner_done = threading.Event()
+    release_inner = threading.Event()
+    captured: list = []
+
+    def holder():
+        with caching.cached_session():
+            captured.append(caching.tracked_cache(spark.range(5)))
+            captured[-1].count()
+            inner_done.set()
+            release_inner.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert inner_done.wait(timeout=30)
+    # main thread has NO open scope: its cache must be ambient, not
+    # captured by the other thread's live scope
+    cached = caching.tracked_cache(df_outer)
+    cached.count()
+    assert cached.storageLevel.useMemory
+    with caching._LOCK:
+        assert any(f is cached for f in caching._TRACKED)
+    release_inner.set()
+    t.join(timeout=30)
+    # the holder thread's scope exit released ITS frame only
+    assert not captured[0].storageLevel.useMemory
+    assert cached.storageLevel.useMemory
+    assert caching.release_caches() == 1
+    assert not cached.storageLevel.useMemory

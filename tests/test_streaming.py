@@ -784,3 +784,106 @@ def test_stream_hash_store_exact_dedup_vs_full_history(spark, tmp_path_factory):
         r["content_hash"]: r["owner_id"]
         for r in read_hash_store(spark, store).collect()
     } == before
+
+
+def test_hash_store_keeps_native_string_ids(spark, tmp_path_factory):
+    """r9 ADVICE: the store force-cast ids to long, so string doc ids
+    became NULL owners and the verdicts silently NULL'd. Ids must keep
+    their native orderable type end-to-end, matching exact_dedup's
+    min-id keep rule on the id as-is."""
+    from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
+        dedup_batch_against_store,
+        hash_store_update_batch,
+        read_hash_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("hash_store_str")) + "/hashes"
+    hist = spark.createDataFrame(
+        [("doc_a", "same text"), ("doc_c", "other text")],
+        "doc_id string, text string",
+    )
+    hash_store_update_batch(hist, store, batch_id=0)
+    owners = {r["owner_id"] for r in read_hash_store(spark, store).collect()}
+    assert owners == {"doc_a", "doc_c"}  # no NULLs, native strings
+    incoming = spark.createDataFrame(
+        [("doc_b", "same text"), ("doc_d", "fresh"), ("doc_e", "fresh")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in dedup_batch_against_store(incoming, store).collect()
+    }
+    assert got == {
+        "doc_b": ("doc_a", True),  # late duplicate of a string-id owner
+        "doc_d": ("doc_d", False),  # intra-batch first owner (min string)
+        "doc_e": ("doc_d", True),
+    }
+
+
+def test_scd2_compact_crash_after_history_rename(spark, tmp_path_factory, monkeypatch):
+    """r9 ADVICE (medium): the compactor renames history seg-<hi> into
+    place BEFORE the atomic meta replace. A crash in that window must
+    NOT double-count the closed rows (they still live in the deltas):
+    read_history gates segment visibility on consumed_through, and the
+    next compaction sweeps the uncommitted segment — even when new
+    deltas have raised the high-water mark so the retry folds under a
+    LARGER hi than the stranded segment's."""
+    import os
+
+    from hubspot_neo4j_pipeline_spark.streaming import incremental, segments
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        read_current,
+        read_history,
+        scd2_store_compact,
+        upsert_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("scd2_crash")) + "/store"
+    schema = "k long, v string"
+    upsert_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], schema),
+        store, key="k", now="2024-01-01 00:00:00", batch_id=0,
+    )
+    upsert_batch(
+        spark.createDataFrame([(1, "A2")], schema),
+        store, key="k", now="2024-01-01 00:01:00", batch_id=1,
+    )
+    want_hist = [(1, "a")]
+
+    real_write_meta = segments.write_meta
+
+    def boom(path, meta):
+        raise RuntimeError("simulated crash before meta commit")
+
+    monkeypatch.setattr(incremental.segments, "write_meta", boom)
+    with pytest.raises(RuntimeError):
+        scd2_store_compact(spark, store)
+    monkeypatch.setattr(incremental.segments, "write_meta", real_write_meta)
+
+    # the stranded seg-1 is on disk but must be reader-invisible:
+    # history comes from the still-live deltas exactly once
+    assert os.path.isdir(os.path.join(store, "history", "seg-1"))
+    assert [
+        (r["k"], r["v"]) for r in read_history(spark, store).collect()
+    ] == want_hist
+    cur = {r["k"]: r["v"] for r in read_current(spark, store).collect()}
+    assert cur == {1: "A2", 2: "b"}
+
+    # new delta raises the high-water mark past the stranded segment;
+    # the retry must sweep seg-1 and fold everything under seg-2 once
+    upsert_batch(
+        spark.createDataFrame([(2, "B2")], schema),
+        store, key="k", now="2024-01-01 00:02:00", batch_id=2,
+    )
+    # plant an orphan _tmpseg under a DIFFERENT id than the retry's hi
+    # (r9 ADVICE low: only same-hi retries used to clean these)
+    os.makedirs(os.path.join(store, "history", "_tmpseg-1"), exist_ok=True)
+    scd2_store_compact(spark, store)
+    assert segments.read_meta(store)["consumed_through"] == 2
+    hist_names = sorted(os.listdir(os.path.join(store, "history")))
+    assert hist_names == ["seg-2"]  # stranded seg-1 and _tmpseg-1 swept
+    assert sorted(
+        (r["k"], r["v"]) for r in read_history(spark, store).collect()
+    ) == [(1, "a"), (2, "b")]
+    cur = {r["k"]: r["v"] for r in read_current(spark, store).collect()}
+    assert cur == {1: "A2", 2: "B2"}
