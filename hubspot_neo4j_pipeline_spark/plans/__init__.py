@@ -84,6 +84,13 @@ _DEMOTED = {
     # which stays in-window three times over via deals_by_company /
     # shard_write_roundtrip / upsert_idempotency_roundtrip.
     "contacts_by_lifecycle_stage",
+    # Round 10: one §2-redundant temporal row demoted to admit the LSM
+    # streaming-store flagship (incremental_hash_dedup_verdicts — the
+    # executed hash-store round-trip incl. a real compaction, giving
+    # the shared segment layer its driver-green row, the r9 VERDICT
+    # task-1 rotation). T4/T5 stay in-window via scd2_golden_merge
+    # (the 8-scenario golden covers soft delete and new-node insert).
+    "soft_delete_candidates",
 }
 
 _PRIORITY = [
@@ -124,6 +131,11 @@ _PRIORITY = [
     # round 8: the executed Neo4j dry-run sink (S13 edge upsert + S14
     # email-matched branch get driver-green rows; see _DEMOTED note)
     "neo4j_dryrun_batches",
+    # round 10: the executed streaming hash-store round-trip — the LSM
+    # segment layer (segments/hash/gram/SCD2 stores share its commit/
+    # replay/crash contract) gets driver-green visibility (see
+    # _DEMOTED note for the row it displaces)
+    "incremental_hash_dedup_verdicts",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
