@@ -371,6 +371,117 @@ def neo4j_dryrun_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dryrun_relchange_oracle() -> str:
+    from ..operators.neo4j_sink import (
+        relationship_change_cypher,
+        relationship_delete_cypher,
+    )
+
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    ts = "2024-06-01T00:00:00"
+    kinds = ", ".join(
+        f"('{ct}', '{kind}', '{esc(cy)}', '{src}', {tsv})"
+        for ct, kind, cy, src, tsv in (
+            ("added", "change_create", relationship_change_cypher("added"),
+             "add", f"'{ts}'"),
+            ("removed", "change_create", relationship_change_cypher("removed"),
+             "rem", f"'{ts}'"),
+            ("removed", "edge_delete", relationship_delete_cypher(),
+             "rem", "CAST(NULL AS VARCHAR)"),
+        )
+    )
+    return f"""
+        WITH old_e AS (
+            SELECT DISTINCT l_orderkey AS fk, l_partkey AS tk
+            FROM lineitem
+            WHERE l_orderkey % 20 = 0
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        ), new_e AS (
+            SELECT DISTINCT l_orderkey AS fk, l_partkey AS tk
+            FROM lineitem
+            WHERE l_orderkey % 20 = 0
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+        ), counts AS (
+            SELECT
+                (SELECT count(*) FROM
+                    (SELECT * FROM new_e EXCEPT SELECT * FROM old_e)) AS n_add,
+                (SELECT count(*) FROM
+                    (SELECT * FROM old_e EXCEPT SELECT * FROM new_e)) AS n_rem
+        ), kinds(change_type, kind, cypher, src, ts) AS (VALUES {kinds})
+        SELECT change_type, kind, cypher,
+               CAST((n + 99) // 100 AS BIGINT) AS n_batches,
+               CAST(n AS BIGINT) AS n_changes,
+               CAST(least(n, 100) AS BIGINT) AS max_batch,
+               CAST(n AS BIGINT) AS n_parsed,
+               ts AS "timestamp"
+        FROM (
+            SELECT k.change_type, k.kind, k.cypher, k.ts,
+                   CASE WHEN k.src = 'add' THEN c.n_add ELSE c.n_rem END AS n
+            FROM kinds k CROSS JOIN counts c
+        )
+        WHERE n > 0
+    """
+
+
+@register(
+    "neo4j_dryrun_relationship_changes",
+    oracle=_dryrun_relchange_oracle(),
+    covers=("T6", "S13", "J5"),
+    doc=(
+        "Executed relationship-change-audit dry-run (r10, the last "
+        "missing statement family of the temporal-load replay): a "
+        "deal->part edge set is diffed across the two lineitem "
+        "snapshots (diff_edges, the registered relationship_diff "
+        "shape) and the changelog runs through operators/neo4j_sink."
+        "dry_run_relationship_change_payloads, which emits the EXACT "
+        "batched UNWIND statements of the reference's change tracker "
+        "(loaders/temporal_loader.py:401-462): per 100-change chunk, "
+        "an audit-node CREATE for added and removed changes, plus the "
+        "removed chunks' edge DELETE sharing the batch_id. The result "
+        "re-parses every statement's params_json and rolls up per "
+        "(change_type, kind): batch count (= ceil(n/100)), change "
+        "count, max chunk fill, and parsed-row count — the ORACLE "
+        "also pins the full Cypher text of all three statement kinds "
+        "and the $timestamp parameter, so a drifted template, a "
+        "dropped/duplicated change, or a mis-chunk all hash-mismatch. "
+        "With this, node upserts, edge merges, history/update/"
+        "soft-delete (r8/r9) and the change audit reconstruct the "
+        "complete reference load jar-free."
+    ),
+)
+def neo4j_dryrun_relationship_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.neo4j_sink import dry_run_relationship_change_payloads
+    from ..operators.scd2 import diff_edges
+
+    li = load_table(spark, sf_dir, "lineitem").where("l_orderkey % 20 = 0")
+    as_edges = lambda df: df.select(  # noqa: E731
+        F.lit("CONTAINS_PART").alias("rel_type"),
+        F.col("l_orderkey").cast("string").alias("from_id"),
+        F.col("l_partkey").cast("string").alias("to_id"),
+    )
+    old_e = as_edges(li.where(F.col("l_shipdate") < "1998-01-01"))
+    new_e = as_edges(li.where(F.col("l_shipdate") >= "1996-01-01"))
+    res = diff_edges(old_e, new_e, now="2024-06-01 00:00:00")
+    changelog = res.changelog.select(
+        "change_type",
+        "rel_type",
+        F.lit("HUBSPOT_Deal").alias("from_type"),
+        "from_id",
+        F.lit("HUBSPOT_Part").alias("to_type"),
+        "to_id",
+    )
+    payloads = dry_run_relationship_change_payloads(
+        changelog, timestamp="2024-06-01T00:00:00"
+    )
+    parsed = F.size(F.from_json("params_json", "array<struct<to_id:string>>"))
+    return payloads.groupBy("change_type", "kind", "cypher", "timestamp").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("n_changes").cast("long").alias("n_changes"),
+        F.max("n_changes").cast("long").alias("max_batch"),
+        F.sum(parsed).cast("long").alias("n_parsed"),
+    )
+
+
 @register(
     "incremental_hash_dedup_verdicts",
     oracle="""

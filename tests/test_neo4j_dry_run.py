@@ -460,3 +460,115 @@ def test_temporal_and_null_group_batching_keys(spark):
         for r in got.groupBy("grp", "batch_id").count().collect()
     }
     assert per == {(None, 0): 3, (None, 1): 2, ("g1", 0): 3, ("g1", 1): 3, ("g1", 2): 1}
+
+
+def test_relationship_change_payloads_match_reference_statements(spark):
+    """The r10 closure of the LAST dry-run statement family
+    (loaders/temporal_loader.py:401-462): added and removed changes
+    each CREATE batched :HUBSPOT_RelationshipChange audit nodes, and
+    every removed batch ALSO emits the edge UNWIND-DELETE sharing its
+    batch_id — statement texts, params, chunk boundaries, and the
+    $timestamp parameter all pinned."""
+    from hubspot_neo4j_pipeline_spark.operators.neo4j_sink import (
+        dry_run_relationship_change_payloads,
+        relationship_change_cypher,
+        relationship_delete_cypher,
+    )
+
+    changelog = spark.createDataFrame(
+        [
+            ("added", "OWNS", "HUBSPOT_Contact", "c1", "HUBSPOT_Deal", "d1"),
+            ("added", "OWNS", "HUBSPOT_Contact", "c2", "HUBSPOT_Deal", "d2"),
+            ("added", "OWNS", "HUBSPOT_Contact", "c3", "HUBSPOT_Deal", "d3"),
+            ("removed", "OWNS", "HUBSPOT_Contact", "c1", "HUBSPOT_Deal", "d9"),
+            ("removed", "PLACED_BY", "HUBSPOT_Deal", "d4", "HUBSPOT_Contact", "c4"),
+        ],
+        "change_type string, rel_type string, from_type string, "
+        "from_id string, to_type string, to_id string",
+    )
+    ts = "2024-06-01T00:00:00"
+    out = dry_run_relationship_change_payloads(
+        changelog, timestamp=ts, batch_size=2
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault((r["change_type"], r["kind"]), []).append(r)
+    for k in by:
+        by[k].sort(key=lambda r: r["batch_id"])
+    assert set(by) == {
+        ("added", "change_create"),
+        ("removed", "change_create"),
+        ("removed", "edge_delete"),
+    }
+
+    # added: 3 changes in batches of 2 -> sizes [2, 1], create only
+    adds = by[("added", "change_create")]
+    assert [(r["batch_id"], r["n_changes"]) for r in adds] == [(0, 2), (1, 1)]
+    assert all(r["cypher"] == relationship_change_cypher("added") for r in adds)
+    assert all(r["timestamp"] == ts for r in adds)
+    first = json.loads(adds[0]["params_json"])
+    assert first == [
+        {
+            "from_type": "HUBSPOT_Contact", "from_id": "c1",
+            "to_type": "HUBSPOT_Deal", "to_id": "d1",
+            "type": "OWNS", "properties": {},
+        },
+        {
+            "from_type": "HUBSPOT_Contact", "from_id": "c2",
+            "to_type": "HUBSPOT_Deal", "to_id": "d2",
+            "type": "OWNS", "properties": {},
+        },
+    ]
+
+    # removed: ONE chunk of 2 -> audit CREATE + edge DELETE, same
+    # batch_id and identical $changes payload (reference runs both
+    # statements per batch, :422-433)
+    rc = by[("removed", "change_create")]
+    rd = by[("removed", "edge_delete")]
+    assert len(rc) == 1 and len(rd) == 1
+    assert rc[0]["batch_id"] == rd[0]["batch_id"] == 0
+    assert rc[0]["params_json"] == rd[0]["params_json"]
+    assert rc[0]["timestamp"] == ts and rd[0]["timestamp"] is None
+    # deterministic chunk order is (rel_type, from_id, to_id)
+    assert [c["type"] for c in json.loads(rc[0]["params_json"])] == [
+        "OWNS", "PLACED_BY"
+    ]
+
+    # exact statement texts (temporal_loader.py:408-419, :422-429,
+    # :437-456 — change_type inlined as a literal there too)
+    assert rc[0]["cypher"] == relationship_change_cypher("removed") == (
+        "UNWIND $changes AS change "
+        "CREATE (rc:HUBSPOT_RelationshipChange {change_type: 'removed', "
+        "from_entity_type: change.from_type, "
+        "from_entity_id: change.from_id, "
+        "to_entity_type: change.to_type, "
+        "to_entity_id: change.to_id, "
+        "relationship_type: change.type, "
+        "relationship_properties: change.properties, "
+        "changed_at: $timestamp})"
+    )
+    assert adds[0]["cypher"].replace("'added'", "'removed'") == rc[0]["cypher"]
+    assert rd[0]["cypher"] == relationship_delete_cypher() == (
+        "UNWIND $changes AS change "
+        "MATCH (a {hubspot_id: change.from_id})-[r]->"
+        "(b {hubspot_id: change.to_id}) "
+        "WHERE type(r) = change.type DELETE r"
+    )
+
+    # a changelog without endpoint types / properties still emits
+    # (NULL entity types, empty property map), and a bad change_type
+    # in the cypher builder raises
+    bare = dry_run_relationship_change_payloads(
+        changelog.select("change_type", "rel_type", "from_id", "to_id"),
+        timestamp=ts,
+    ).collect()
+    row = json.loads(
+        [r for r in bare if r["change_type"] == "added"][0]["params_json"]
+    )[0]
+    assert row["properties"] == {} and "from_type" not in row  # NULL omitted
+    with pytest.raises(ValueError):
+        relationship_change_cypher("mutated")
+    with pytest.raises(ValueError):
+        dry_run_relationship_change_payloads(
+            changelog.drop("to_id"), timestamp=ts
+        )
