@@ -536,3 +536,193 @@ def incremental_hash_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFra
     return dedup_batch_against_store(incoming, store).select(
         "doc_id", "canonical_id", "is_duplicate"
     )
+
+
+@register(
+    "incremental_gram_spans",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), grams AS (
+            SELECT doc_id, len(t) AS n_tokens, i AS pos,
+                   CAST(('0x' || substring(md5(array_to_string(
+                        t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+            WHERE len(t) >= 5
+        ), dup AS (
+            SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+        ), dp AS (
+            SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN dup USING (h)
+            WHERE g.doc_id % 3 = 0
+        ), marked AS (
+            SELECT doc_id, n_tokens, pos,
+                   max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+            FROM dp
+        ), islands AS (
+            SELECT doc_id, n_tokens, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+            FROM marked
+        ), spans AS (
+            SELECT doc_id, n_tokens, span_id,
+                   min(pos) AS s, max(pos) + 4 AS e
+            FROM islands GROUP BY doc_id, n_tokens, span_id
+        )
+        SELECT doc_id,
+               count(*) AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM spans GROUP BY doc_id, n_tokens
+    """,
+    covers=("D1", "A9"),
+    doc=(
+        "EXECUTED gram-store round-trip (r10, the r9 VERDICT task-7 "
+        "oracle row — the store was pytest-verified only): two history "
+        "micro-batches of documents ingest their sliding-5-gram counts "
+        "into the persisted store (streaming/gram_store.py — LSM "
+        "segment layout, O(batch) atomic delta ingest, compact_every=2 "
+        "so the query exercises a real compaction), then the held-out "
+        "batch is scored via score_batch_against_store. The result "
+        "must equal the one-shot duplicated_spans over the FULL corpus "
+        "restricted to the held-out docs (doc_dup_spans semantics — "
+        "every gram occurring >= 2 times anywhere marks its interval; "
+        "intervals merge into maximal spans) — a store that dropped a "
+        "delta, double-counted a replay, or mis-compacted shifts a "
+        "count and hash-mismatches. Hashes are the house md5->bigint "
+        "family, so both engines mark the identical gram set."
+    ),
+)
+def incremental_gram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.gram_store import (
+        gram_store_update_batch,
+        score_batch_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(_scratch(spark, "incremental_gram_spans", sf_dir), "grams")
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    history = docs.where("doc_id % 3 != 0")
+    incoming = docs.where("doc_id % 3 = 0")
+    gram_store_update_batch(
+        history.where("doc_id % 2 = 0"), store, batch_id=0, compact_every=2
+    )
+    gram_store_update_batch(
+        history.where("doc_id % 2 = 1"), store, batch_id=1, compact_every=2
+    )
+    return score_batch_against_store(incoming, store)
+
+
+_SCD2_NOW0 = "2024-01-01 00:00:00"
+_SCD2_NOW1 = "2024-02-01 00:00:00"
+_SCD2_NOW2 = "2024-03-01 00:00:00"
+
+
+@register(
+    "incremental_scd2_roundtrip",
+    oracle=f"""
+        WITH old_snap AS (
+            SELECT o_orderkey AS entity_key, o_totalprice AS amount,
+                   o_orderstatus AS status
+            FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        ), new_snap AS (
+            SELECT o_orderkey AS entity_key,
+                   CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS amount,
+                   o_orderstatus AS status
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        ), j AS (
+            SELECT coalesce(n.entity_key, o.entity_key) AS entity_key,
+                   n.amount AS n_amount, n.status AS n_status,
+                   o.amount AS o_amount, o.status AS o_status,
+                   n.entity_key IS NOT NULL AS in_new,
+                   o.entity_key IS NOT NULL AS in_old,
+                   (n.entity_key IS NOT NULL AND o.entity_key IS NOT NULL
+                    AND (n.amount <> o.amount OR n.status <> o.status))
+                       AS changed,
+                   CASE WHEN n.entity_key % 2 = 0
+                        THEN TIMESTAMP '{_SCD2_NOW1}'
+                        ELSE TIMESTAMP '{_SCD2_NOW2}' END AS batch_now
+            FROM new_snap n FULL OUTER JOIN old_snap o
+              ON n.entity_key = o.entity_key
+        )
+        SELECT 'current' AS layer, entity_key,
+               CASE WHEN in_new AND (changed OR NOT in_old)
+                    THEN n_amount ELSE o_amount END AS amount,
+               CASE WHEN in_new AND (changed OR NOT in_old)
+                    THEN n_status ELSE o_status END AS status,
+               CASE WHEN in_new AND (changed OR NOT in_old)
+                    THEN batch_now
+                    ELSE TIMESTAMP '{_SCD2_NOW0}' END AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current, FALSE AS is_deleted
+        FROM j
+        UNION ALL
+        SELECT 'history', entity_key, o_amount, o_status,
+               TIMESTAMP '{_SCD2_NOW0}', batch_now, FALSE, FALSE
+        FROM j WHERE changed
+    """,
+    covers=("T2", "T3", "T5", "T8"),
+    doc=(
+        "EXECUTED streaming-SCD2-store round-trip (r10, the r9 VERDICT "
+        "task-6 oracle row): the old orders snapshot seeds the "
+        "persisted store (streaming/incremental.upsert_batch on the "
+        "LSM segment layer), then the re-extract snapshot upserts in "
+        "TWO half-batches with compact_every=2, so the query exercises "
+        "a real compaction (history segment + bucketed current base) "
+        "AND a post-compaction live delta — read_current resolves "
+        "base + delta latest-writer-wins, read_history resolves the "
+        "committed segment + the delta's closed rows. Both views are "
+        "returned (layer = current|history) and must equal the pure-"
+        "SQL SCD2 prediction from the raw snapshots: changed keys "
+        "close their old version at their half-batch's timestamp and "
+        "re-open with new values; new keys insert; unchanged and "
+        "disappeared keys keep their original version (upsert-only "
+        "semantics — partial batches carry no delete signal). A store "
+        "that tore current/history apart, lost a delta, double-"
+        "counted a crash-stranded segment, or mis-merged writers "
+        "hash-mismatches."
+    ),
+)
+def incremental_scd2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.incremental import read_current, read_history, upsert_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderdate") < "1999-01-01").select(
+        F.col("o_orderkey").alias("entity_key"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = orders.where(F.col("o_orderdate") >= "1996-01-01").select(
+        F.col("o_orderkey").alias("entity_key"),
+        F.when(F.col("o_orderstatus") == "P", F.col("o_totalprice") * F.lit(1.1))
+        .otherwise(F.col("o_totalprice"))
+        .alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    store = os.path.join(_scratch(spark, "incremental_scd2", sf_dir), "store")
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    upsert_batch(
+        old, store, key="entity_key", now=_SCD2_NOW0, batch_id=0, compact_every=2
+    )
+    upsert_batch(  # triggers the compaction (2 live deltas)
+        new.where("entity_key % 2 = 0"),
+        store, key="entity_key", now=_SCD2_NOW1, batch_id=1, compact_every=2,
+    )
+    upsert_batch(  # stays a live delta on top of the compacted base
+        new.where("entity_key % 2 = 1"),
+        store, key="entity_key", now=_SCD2_NOW2, batch_id=2, compact_every=2,
+    )
+    proj = [
+        "entity_key", "amount", "status", "valid_from", "valid_to",
+        "is_current", "is_deleted",
+    ]
+    cur = read_current(spark, store).select(F.lit("current").alias("layer"), *proj)
+    hist = read_history(spark, store).select(F.lit("history").alias("layer"), *proj)
+    return cur.unionByName(hist)
