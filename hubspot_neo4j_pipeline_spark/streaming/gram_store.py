@@ -25,10 +25,14 @@ micro-batch costs O(batch), not O(store):
 Per-batch cost: write the batch's own partial counts (O(batch) rows,
 no read of existing state). Every ``compact_every`` committed deltas,
 one compaction merges base + deltas into ``base-<n+1>`` and commits by
-atomically replacing meta.json — amortized O(store / compact_every)
-per batch, tunable independently of correctness. At 100 TB the base is
-billions of (h, n) rows; only compactions touch it, and they shuffle
-by (bucket, h) across however many executors the cluster has.
+atomically replacing meta.json. Since r10 the compaction is
+bucket-PARTIAL: each delta's manifest records the buckets it touches,
+the merge reads only those base partitions (partition-pruned scan) and
+hard-links every untouched ``bucket=K`` dir into the new base — so a
+compaction costs O(touched buckets + deltas), not O(store). At 100 TB
+the base is billions of (h, n) rows; a stream of small batches
+touches a bounded bucket set per compaction window, and the
+carried-over fraction is pure metadata (links share inodes).
 
 Replay / crash safety (foreachBatch is at-least-once):
   * a batch id is ingested iff ``deltas/b<id>`` exists or
@@ -75,12 +79,15 @@ from pyspark.sql import functions as F
 # replay guard / sweep) live in streaming/segments.py since r9 so the
 # SCD2 upsert store shares the identical contract; aliased under the
 # original private names for the tests that poke the internals.
+from .segments import assemble_partial_base as _assemble_partial_base
 from .segments import commit_delta as _commit_delta
 from .segments import committed_deltas as _committed_deltas
 from .segments import live_deltas as _live_deltas
 from .segments import next_base_name as _next_base_name
+from .segments import pin_n_buckets as _pin_n_buckets
 from .segments import read_meta as _read_meta
 from .segments import sweep as _sweep
+from .segments import touched_buckets as _touched_buckets
 from .segments import write_meta as _write_meta
 
 GRAM_STORE_BUCKETS = 32
@@ -159,9 +166,16 @@ def gram_store_update_batch(
         batch_id = max([meta["consumed_through"], *committed]) + 1
     elif batch_id <= meta["consumed_through"] or batch_id in committed:
         return  # replayed micro-batch — already ingested
-    _commit_delta(
-        _partial_counts(batch_docs, id_col, text_col, k), store_path, batch_id
+    # the store's bucket count is pinned at first ingest (meta field):
+    # partial compaction carries untouched base partitions over
+    # verbatim, which is only sound when every delta and base share
+    # one bucketing — a caller passing a different n_buckets later
+    # gets the pinned one
+    n_buckets = _pin_n_buckets(store_path, meta, n_buckets)
+    partial = _partial_counts(batch_docs, id_col, text_col, k).withColumn(
+        "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
     )
+    _commit_delta(partial, store_path, batch_id, bucket_col="bucket")
     if len(_live_deltas(store_path, meta)) >= compact_every:
         gram_store_compact(batch_docs.sparkSession, store_path, n_buckets)
 
@@ -176,7 +190,19 @@ def gram_store_compact(
     and commit it with one atomic meta replace. ``_crash_before_commit``
     is a test hook: do all the work but skip the commit, simulating a
     crash after the new base is written — recovery must leave reads
-    exact and the next compaction must converge to the same state."""
+    exact and the next compaction must converge to the same state.
+
+    Bucket-PARTIAL compaction (r10, the r9 VERDICT design note): each
+    delta's manifest records which buckets its grams touch, so the
+    merge reads only the base partitions the live deltas actually hit
+    (partition-pruned scan) and carries every untouched ``bucket=K``
+    dir into ``base-<n+1>`` by hard-link — O(touched + deltas) I/O
+    instead of O(store). At genuine 100 TB-corpus gram counts a small
+    batch touches a few buckets of billions of rows; the previous
+    full-base rewrite paid the whole store every ``compact_every``
+    batches. Falls back to the full rewrite when any live delta lacks
+    a manifest (pre-r10 layout) or there is no base yet; correctness
+    never depends on the manifests."""
     if not os.path.isdir(store_path):
         return
     meta = _read_meta(store_path)
@@ -184,16 +210,62 @@ def gram_store_compact(
     deltas = _live_deltas(store_path, meta)
     if not deltas:
         return
-    merged = read_gram_store(spark, store_path).withColumn(
-        "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
-    )
+    n_buckets = _pin_n_buckets(store_path, meta, n_buckets)
     new_base = _next_base_name(meta)
-    merged.repartition("bucket").write.partitionBy("bucket").mode(
-        "overwrite"
-    ).parquet(os.path.join(store_path, new_base))
+    # partial carry-over is sound only when the live base was itself
+    # written under the pinned bucketing (meta records base_n_buckets
+    # at every compaction; a pre-r10 base lacks it → one full rewrite)
+    touched = (
+        _touched_buckets(deltas, "bucket")
+        if meta["base"] and meta.get("base_n_buckets") == n_buckets
+        else None
+    )
+    if touched == []:  # only empty deltas live: carry the base verbatim
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        os.makedirs(merged_tmp, exist_ok=True)
+        _assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "bucket", touched
+        )
+    elif touched is not None and len(touched) < n_buckets:
+        base_touched = (
+            spark.read.parquet(os.path.join(store_path, meta["base"]))
+            .where(F.col("bucket").isin(touched))  # partition-pruned
+            .select("h", "n")
+        )
+        frames = [base_touched] + [
+            spark.read.parquet(p).select("h", "n")
+            for _b, p in sorted(deltas.items())
+        ]
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        merged = (
+            merged.groupBy("h")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int"))
+        )
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        merged.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(merged_tmp)
+        _assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "bucket", touched
+        )
+    else:
+        merged = read_gram_store(spark, store_path).withColumn(
+            "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
+        )
+        merged.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(store_path, new_base))
     if _crash_before_commit:
         return
-    new_meta = {"base": new_base, "consumed_through": max(deltas)}
+    new_meta = {
+        "base": new_base,
+        "consumed_through": max(deltas),
+        "n_buckets": n_buckets,
+        "base_n_buckets": n_buckets,
+    }
     _write_meta(store_path, new_meta)
     _sweep(store_path, new_meta)
 

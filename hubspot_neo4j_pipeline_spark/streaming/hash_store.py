@@ -18,7 +18,9 @@ out-of-order batches cannot corrupt it), and
 ``dedup_batch_against_store`` marks an incoming row a duplicate iff
 the store holds the same hash with a SMALLER owner id — giving the
 same verdicts a one-shot ``exact_dedup`` over (history ∪ batch) gives
-for the batch's rows (pinned by test).
+for the batch's rows (pinned by test). Compactions are bucket-partial
+since r10 (delta manifests + hard-linked untouched partitions — see
+gram_store.py's layout notes): O(touched + deltas), not O(store).
 
 Reference parity: the reference has no streaming surface; this is the
 streaming closure of its URL/content dedup step
@@ -96,9 +98,12 @@ def hash_store_update_batch(
         batch_id = segments.next_batch_id(store_path)
     elif segments.already_ingested(store_path, batch_id):
         return  # replayed micro-batch
-    segments.commit_delta(
-        _partial_hashes(batch, id_col, text_col), store_path, batch_id
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    partial = _partial_hashes(batch, id_col, text_col).withColumn(
+        "_bucket", F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int")
     )
+    segments.commit_delta(partial, store_path, batch_id, bucket_col="_bucket")
     if len(segments.live_deltas(store_path)) >= compact_every:
         hash_store_compact(batch.sparkSession, store_path, n_buckets)
 
@@ -107,22 +112,72 @@ def hash_store_compact(
     spark: SparkSession, store_path: str, n_buckets: int = HASH_STORE_BUCKETS
 ) -> None:
     """Fold live deltas into a fresh hash-bucketed base, committed by
-    one atomic meta replace (gram_store_compact's contract)."""
+    one atomic meta replace (gram_store_compact's contract — including
+    the r10 bucket-PARTIAL path: the delta manifests say which
+    ``_bucket=K`` partitions the batches touch, so the min-owner merge
+    reads only those base partitions and hard-links the rest into the
+    new base; O(touched + deltas) instead of O(store). Falls back to
+    the full rewrite for manifest-less pre-r10 deltas or a first
+    compaction)."""
     meta = segments.read_meta(store_path)
     segments.sweep(store_path, meta)
     deltas = segments.live_deltas(store_path, meta)
     if not deltas:
         return
-    merged = read_hash_store(spark, store_path).withColumn(
-        "_bucket",
-        F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)),
-    )
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
     new_base = segments.next_base_name(meta)
-    merged.repartition("_bucket").write.partitionBy("_bucket").mode(
-        "overwrite"
-    ).parquet(os.path.join(store_path, new_base))
+    bucket_expr = F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int")
+    # partial carry-over requires the live base to share the pinned
+    # bucketing (recorded as base_n_buckets at every compaction)
+    touched = (
+        segments.touched_buckets(deltas, "_bucket")
+        if meta["base"] and meta.get("base_n_buckets") == n_buckets
+        else None
+    )
+    if touched == []:  # only empty deltas live: carry the base verbatim
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        os.makedirs(merged_tmp, exist_ok=True)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    elif touched is not None and len(touched) < n_buckets:
+        base_touched = (
+            spark.read.parquet(os.path.join(store_path, meta["base"]))
+            .where(F.col("_bucket").isin(touched))  # partition-pruned
+            .select("content_hash", "owner_id")
+        )
+        merged = base_touched
+        for _b, p in sorted(deltas.items()):
+            merged = merged.unionByName(
+                spark.read.parquet(p).select("content_hash", "owner_id")
+            )
+        merged = (
+            merged.groupBy("content_hash")
+            .agg(F.min("owner_id").alias("owner_id"))
+            .withColumn("_bucket", bucket_expr)
+        )
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(merged_tmp)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    else:
+        merged = read_hash_store(spark, store_path).withColumn(
+            "_bucket", bucket_expr
+        )
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(store_path, new_base))
     segments.write_meta(
-        store_path, {"base": new_base, "consumed_through": max(deltas)}
+        store_path,
+        {
+            "base": new_base,
+            "consumed_through": max(deltas),
+            "n_buckets": n_buckets,
+            "base_n_buckets": n_buckets,
+        },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
 

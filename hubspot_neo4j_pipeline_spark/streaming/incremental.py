@@ -143,6 +143,12 @@ def read_history(spark, store_path: str) -> DataFrame | None:
     return out
 
 
+def _scd2_bucket(key: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
 def upsert_batch(
     batch: DataFrame,
     store_path: str,
@@ -150,6 +156,7 @@ def upsert_batch(
     now: str,
     batch_id: int | None = None,
     compact_every: int = SCD2_COMPACT_EVERY,
+    n_buckets: int = SCD2_STORE_BUCKETS,
 ) -> None:
     """Merge one (partial) snapshot batch into the SCD2 store:
     new keys insert; changed keys close the old version into history
@@ -188,6 +195,7 @@ def upsert_batch(
         raise ValueError(
             f"store {store_path} is keyed by {meta['key']!r}, got {key!r}"
         )
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
     incoming = batch.dropDuplicates([key])
     current = read_current(spark, store_path)
     if current is None:
@@ -195,8 +203,9 @@ def upsert_batch(
             with_temporal_fields(incoming, now)
             .withColumn("_kind", F.lit("current"))
             .withColumn("_ubid", F.lit(batch_id).cast("long"))
+            .withColumn("_bucket", _scd2_bucket(key, n_buckets))
         )
-        segments.commit_delta(delta, store_path, batch_id)
+        segments.commit_delta(delta, store_path, batch_id, bucket_col="_bucket")
         return
     inc_hashed = incoming.withColumn("_new_hash", snapshot_hash(incoming))
     live = current.where(F.col("is_current") & ~F.col("is_deleted"))
@@ -214,15 +223,18 @@ def upsert_batch(
         .withColumn("is_current", F.lit(False))
         .withColumn("_kind", F.lit("closed"))
     )
-    delta = fresh.unionByName(closing).withColumn(
-        "_ubid", F.lit(batch_id).cast("long")
+    delta = (
+        fresh.unionByName(closing)
+        .withColumn("_ubid", F.lit(batch_id).cast("long"))
+        .withColumn("_bucket", _scd2_bucket(key, n_buckets))
     )
     # localCheckpoint BEFORE the commit: the delta plan reads the
     # store's own live segments (via read_current), and writing a new
     # segment while lazily scanning the old ones risks read-own-write
     # anomalies on retried tasks
     segments.commit_delta(
-        delta.localCheckpoint(eager=True), store_path, batch_id
+        delta.localCheckpoint(eager=True), store_path, batch_id,
+        bucket_col="_bucket",
     )
     if len(segments.live_deltas(store_path)) >= compact_every:
         scd2_store_compact(spark, store_path)
@@ -246,7 +258,7 @@ def scd2_store_compact(
     if not deltas:
         return
     hi = max(deltas)
-    cur = read_current(spark, store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
     closed = []
     for _bid, path in sorted(deltas.items()):
         closed.append(spark.read.parquet(path).where(F.col("_kind") == "closed"))
@@ -254,18 +266,69 @@ def scd2_store_compact(
     for f in closed[1:]:
         closed_all = closed_all.unionByName(f)
     new_base = segments.next_base_name(meta)
-    (
-        cur.withColumn("_kind", F.lit("current"))
-        .withColumn("_ubid", F.lit(hi).cast("long"))
-        .withColumn(
-            "_bucket",
-            F.pmod(F.xxhash64(F.col(meta["key"]).cast("string")), F.lit(n_buckets)),
-        )
-        .repartition("_bucket")
-        .write.partitionBy("_bucket")
-        .mode("overwrite")
-        .parquet(os.path.join(store_path, new_base))
+    # bucket-PARTIAL current fold (r10, same contract as the gram/hash
+    # stores): only keys in buckets the live deltas touch can change,
+    # so the latest-writer-wins window runs over (touched base
+    # partitions ∪ delta current rows) and every untouched _bucket=K
+    # dir hard-links into the new base — O(touched + deltas), not
+    # O(store). Untouched rows keep their old _ubid, which stays
+    # smaller than any future delta's id, so read_current's
+    # latest-writer window is unaffected. Falls back to the full
+    # rewrite for manifest-less deltas or a base built under a
+    # different (or unrecorded) bucketing.
+    touched = (
+        segments.touched_buckets(deltas, "_bucket")
+        if meta["base"] and meta.get("base_n_buckets") == n_buckets
+        else None
     )
+    if touched == []:  # only empty deltas live: carry the base verbatim
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        os.makedirs(merged_tmp, exist_ok=True)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    elif touched is not None and len(touched) < n_buckets:
+        frames = [
+            spark.read.parquet(os.path.join(store_path, meta["base"])).where(
+                F.col("_bucket").isin(touched)  # partition-pruned
+            )
+        ]
+        for _bid, path in sorted(deltas.items()):
+            frames.append(
+                spark.read.parquet(path).where(F.col("_kind") == "current")
+            )
+        allrows = frames[0]
+        for f in frames[1:]:
+            allrows = allrows.unionByName(f, allowMissingColumns=True)
+        w = Window.partitionBy(meta["key"]).orderBy(F.col("_ubid").desc())
+        cur_touched = (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", *_META_COLS)
+        )
+        merged = (
+            cur_touched.withColumn("_kind", F.lit("current"))
+            .withColumn("_ubid", F.lit(hi).cast("long"))
+            .withColumn("_bucket", _scd2_bucket(meta["key"], n_buckets))
+        )
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(merged_tmp)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    else:
+        cur = read_current(spark, store_path)
+        (
+            cur.withColumn("_kind", F.lit("current"))
+            .withColumn("_ubid", F.lit(hi).cast("long"))
+            .withColumn("_bucket", _scd2_bucket(meta["key"], n_buckets))
+            .repartition("_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(store_path, new_base))
+        )
     hist_dir = os.path.join(store_path, "history")
     os.makedirs(hist_dir, exist_ok=True)
     tmp = os.path.join(hist_dir, f"_tmpseg-{hi}")
@@ -273,7 +336,7 @@ def scd2_store_compact(
         import shutil
 
         shutil.rmtree(tmp)
-    closed_all.drop("_kind", "_ubid").write.mode("overwrite").parquet(tmp)
+    closed_all.drop(*_META_COLS).write.mode("overwrite").parquet(tmp)
     seg = os.path.join(hist_dir, f"seg-{hi}")
     if os.path.exists(seg):  # crashed retry already placed it
         import shutil
@@ -282,7 +345,13 @@ def scd2_store_compact(
     os.rename(tmp, seg)
     segments.write_meta(
         store_path,
-        {"base": new_base, "consumed_through": hi, "key": meta["key"]},
+        {
+            "base": new_base,
+            "consumed_through": hi,
+            "key": meta["key"],
+            "n_buckets": n_buckets,
+            "base_n_buckets": n_buckets,
+        },
     )
     _scd2_sweep(store_path, _scd2_meta(store_path))
 

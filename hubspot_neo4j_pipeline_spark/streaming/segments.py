@@ -105,16 +105,127 @@ def next_batch_id(store_path: str) -> int:
     return max([meta["consumed_through"], *committed_deltas(store_path)]) + 1
 
 
-def commit_delta(df, store_path: str, batch_id: int) -> None:
+MANIFEST = "_delta_manifest.json"
+
+
+def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = None) -> None:
     """Write ``df`` as delta segment b<batch_id>: parquet into a _tmp
     dir, then one atomic os.rename. A crashed previous attempt's _tmp
-    is cleared first (it was never reader-visible)."""
+    is cleared first (it was never reader-visible).
+
+    ``bucket_col`` (r10, bucket-partial compaction): name of an
+    integer bucket column carried by ``df``. When given, the distinct
+    bucket ids present in the batch are collected from the
+    just-written tmp parquet (a slim re-read, never a recompute of the
+    batch plan) into a ``_delta_manifest.json`` INSIDE the delta dir —
+    written before the rename, so the manifest commits atomically with
+    the data. Compactions use the union of live manifests to merge
+    only touched buckets and carry the rest of the base over by
+    hard-link (``untouched_partitions`` / ``link_tree``)."""
     os.makedirs(os.path.join(store_path, DELTAS), exist_ok=True)
     tmp = os.path.join(store_path, f"_tmp-b{batch_id}")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
+    if bucket_col is not None:
+        touched = sorted(
+            r[0]
+            for r in df.sparkSession.read.parquet(tmp)
+            .select(bucket_col)
+            .distinct()
+            .collect()
+        )
+        with open(os.path.join(tmp, MANIFEST), "w") as fh:
+            json.dump({"bucket_col": bucket_col, "touched": touched}, fh)
     os.rename(tmp, os.path.join(store_path, DELTAS, f"b{batch_id}"))
+
+
+def delta_manifest(delta_path: str) -> dict | None:
+    """The delta's bucket manifest, or None for pre-r10 deltas written
+    without one (compactions then fall back to a full-base rewrite)."""
+    p = os.path.join(delta_path, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def touched_buckets(deltas: dict[int, str], bucket_col: str) -> list[int] | None:
+    """Union of the live deltas' touched buckets, or None if ANY delta
+    lacks a manifest / disagrees on the bucket column (mixed-layout
+    stores compact via the full path — correctness never depends on
+    the manifests, they only shrink the compaction's I/O)."""
+    out: set[int] = set()
+    for _bid, path in deltas.items():
+        m = delta_manifest(path)
+        if m is None or m.get("bucket_col") != bucket_col:
+            return None
+        out.update(m["touched"])
+    return sorted(out)
+
+
+def link_tree(src_dir: str, dst_dir: str) -> None:
+    """Hard-link every file of ``src_dir`` into a fresh ``dst_dir``
+    (copy on filesystems without link support). Used to carry a base's
+    untouched bucket partitions into the next base generation without
+    rewriting their bytes — the links share inodes, so the carry-over
+    is O(files), not O(bytes)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        s = os.path.join(src_dir, name)
+        d = os.path.join(dst_dir, name)
+        if os.path.isdir(s):
+            link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def assemble_partial_base(
+    store_path: str,
+    old_base: str,
+    merged_tmp: str,
+    new_base: str,
+    bucket_col: str,
+    touched: list[int],
+) -> None:
+    """Build ``new_base`` from a partial-compaction merge: hard-link
+    the old base's untouched ``<bucket_col>=K`` partition dirs, move
+    the freshly-merged touched partitions in from ``merged_tmp``, then
+    one os.rename into place. Everything happens under a ``_tmp-``
+    name the sweeper reclaims, and the old base stays intact until the
+    meta replace commits the new one — identical crash contract to the
+    full rewrite."""
+    touched_names = {f"{bucket_col}={t}" for t in touched}
+    tmp_base = os.path.join(store_path, f"_tmp-{new_base}")
+    if os.path.exists(tmp_base):
+        shutil.rmtree(tmp_base)
+    os.makedirs(tmp_base)
+    old_path = os.path.join(store_path, old_base)
+    prefix = f"{bucket_col}="
+    for name in os.listdir(old_path):
+        if name.startswith(prefix) and name not in touched_names:
+            link_tree(os.path.join(old_path, name), os.path.join(tmp_base, name))
+    for name in os.listdir(merged_tmp):
+        if name.startswith(prefix):
+            os.rename(os.path.join(merged_tmp, name), os.path.join(tmp_base, name))
+    shutil.rmtree(merged_tmp, ignore_errors=True)
+    os.rename(tmp_base, os.path.join(store_path, new_base))
+
+
+def pin_n_buckets(store_path: str, meta: dict, n_buckets: int) -> int:
+    """The store's bucket count, pinned in meta at first ingest.
+    Partial compaction carries untouched base partitions over
+    verbatim, which is only sound when every delta and every base
+    generation share ONE bucketing — later callers passing a
+    different count get the pinned one back."""
+    if meta.get("n_buckets"):
+        return meta["n_buckets"]
+    meta["n_buckets"] = n_buckets
+    write_meta(store_path, meta)
+    return n_buckets
 
 
 def next_base_name(meta: dict) -> str:

@@ -887,3 +887,225 @@ def test_scd2_compact_crash_after_history_rename(spark, tmp_path_factory, monkey
     ) == [(1, "a"), (2, "b")]
     cur = {r["k"]: r["v"] for r in read_current(spark, store).collect()}
     assert cur == {1: "A2", 2: "B2"}
+
+
+def test_partial_compaction_links_untouched_buckets(spark, tmp_path_factory):
+    """r10 bucket-partial compaction (r9 VERDICT task 3): after a small
+    batch's compaction, every base bucket the batch did NOT touch must
+    be carried into the new base generation byte-identical (hard-linked
+    — same inodes, zero rewrite I/O), only touched buckets rewritten,
+    and the merged view must equal the one-shot counts over everything
+    ingested."""
+    import os
+
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.gram_store import (
+        _partial_counts,
+        gram_store_compact,
+        gram_store_update_batch,
+        read_gram_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path_factory.mktemp("gram_partial")) + "/store"
+    gram_store_update_batch(docs, store, batch_id=0)
+    gram_store_compact(spark, store)
+    meta0 = segments.read_meta(store)
+    assert meta0["base"] == "base-0" and meta0["base_n_buckets"] == 32
+    base0 = os.path.join(store, "base-0")
+
+    def inodes(base):
+        return {
+            os.path.relpath(os.path.join(dp, f), base): os.stat(
+                os.path.join(dp, f)
+            ).st_ino
+            for dp, _d, fs in os.walk(base)
+            for f in fs
+        }
+
+    ino0 = inodes(base0)
+    small = spark.createDataFrame(
+        [(999001, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    gram_store_update_batch(small, store, batch_id=1)
+    manifest = segments.delta_manifest(os.path.join(store, "deltas", "b1"))
+    touched = set(manifest["touched"])
+    assert manifest["bucket_col"] == "bucket" and 0 < len(touched) < 32
+
+    gram_store_compact(spark, store)
+    meta1 = segments.read_meta(store)
+    assert meta1["base"] == "base-1" and meta1["consumed_through"] == 1
+    ino1 = inodes(os.path.join(store, "base-1"))
+    untouched_files = [
+        p for p in ino1 if p.split(os.sep)[0].startswith("bucket=")
+        and int(p.split(os.sep)[0].split("=")[1]) not in touched
+    ]
+    assert untouched_files  # the small batch left most buckets alone
+    for p in untouched_files:
+        assert ino1[p] == ino0[p], f"untouched bucket file {p} was rewritten"
+    # touched buckets were genuinely rewritten (fresh inodes)
+    touched_files = [
+        p for p in ino1 if p.split(os.sep)[0].startswith("bucket=")
+        and int(p.split(os.sep)[0].split("=")[1]) in touched
+    ]
+    assert touched_files
+    assert all(ino1[p] != ino0.get(p) for p in touched_files)
+
+    # merged view ≡ one-shot partial counts over everything ingested
+    got = sorted(
+        (r["h"], r["n"]) for r in read_gram_store(spark, store).collect()
+    )
+    want = sorted(
+        (r["h"], r["n"])
+        for r in _partial_counts(
+            docs.unionByName(small), "doc_id", "text", None
+        ).collect()
+    )
+    assert got == want
+
+
+def test_hash_store_partial_compaction_links_untouched_buckets(
+    spark, tmp_path_factory
+):
+    """Same contract for the content-hash store: a one-doc batch's
+    compaction rewrites only its hash's bucket; every other _bucket=K
+    dir hard-links through, and verdicts stay exact."""
+    import os
+
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
+        dedup_batch_against_store,
+        hash_store_compact,
+        hash_store_update_batch,
+        read_hash_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path_factory.mktemp("hash_partial")) + "/store"
+    hash_store_update_batch(docs, store, batch_id=0)
+    hash_store_compact(spark, store)
+    base0 = os.path.join(store, segments.read_meta(store)["base"])
+
+    def inodes(base):
+        return {
+            os.path.relpath(os.path.join(dp, f), base): os.stat(
+                os.path.join(dp, f)
+            ).st_ino
+            for dp, _d, fs in os.walk(base)
+            for f in fs
+        }
+
+    ino0 = inodes(base0)
+    dup_text = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+    small = spark.createDataFrame(
+        [(999001, dup_text)], "doc_id long, text string"
+    )
+    hash_store_update_batch(small, store, batch_id=1)
+    touched = set(
+        segments.delta_manifest(os.path.join(store, "deltas", "b1"))["touched"]
+    )
+    assert len(touched) == 1
+    hash_store_compact(spark, store)
+    meta = segments.read_meta(store)
+    assert meta["consumed_through"] == 1
+    ino1 = inodes(os.path.join(store, meta["base"]))
+    carried = 0
+    for p, ino in ino1.items():
+        top = p.split(os.sep)[0]
+        if top.startswith("_bucket=") and int(top.split("=")[1]) not in touched:
+            assert ino == ino0[p], f"untouched bucket file {p} was rewritten"
+            carried += 1
+    assert carried  # most buckets hard-linked through
+
+    # the late duplicate still resolves to the original min owner
+    first = docs.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+    probe = spark.createDataFrame(
+        [(999002, dup_text)], "doc_id long, text string"
+    )
+    got = dedup_batch_against_store(probe, store).collect()[0]
+    assert (got["canonical_id"], got["is_duplicate"]) == (first, True)
+    # store invariant: one min owner per hash, no duplicate hash rows
+    hashes = [r["content_hash"] for r in read_hash_store(spark, store).collect()]
+    assert len(hashes) == len(set(hashes))
+
+
+def test_scd2_store_partial_compaction_links_untouched_buckets(
+    spark, tmp_path_factory
+):
+    """SCD2-store flavor of the r10 bucket-partial compaction: a small
+    upsert's compaction rewrites only the key-buckets it touched,
+    hard-links the rest of the current base through, and both views
+    stay exact (semantics pinned against a full-rewrite twin store fed
+    the identical batches)."""
+    import os
+
+    from hubspot_neo4j_pipeline_spark.streaming import incremental, segments
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        read_current,
+        read_history,
+        scd2_store_compact,
+        upsert_batch,
+    )
+
+    schema = "k long, v string"
+    big = spark.createDataFrame([(i, f"v{i}") for i in range(400)], schema)
+    small = spark.createDataFrame([(7, "CHANGED"), (9001, "new")], schema)
+
+    store = str(tmp_path_factory.mktemp("scd2_partial")) + "/store"
+    upsert_batch(big, store, key="k", now="2024-01-01 00:00:00", batch_id=0)
+    scd2_store_compact(spark, store)
+    base0 = os.path.join(store, segments.read_meta(store)["base"])
+
+    def inodes(base):
+        return {
+            os.path.relpath(os.path.join(dp, f), base): os.stat(
+                os.path.join(dp, f)
+            ).st_ino
+            for dp, _d, fs in os.walk(base)
+            for f in fs
+        }
+
+    ino0 = inodes(base0)
+    upsert_batch(small, store, key="k", now="2024-01-01 00:01:00", batch_id=1)
+    touched = set(
+        segments.delta_manifest(os.path.join(store, "deltas", "b1"))["touched"]
+    )
+    assert 0 < len(touched) < 32
+    scd2_store_compact(spark, store)
+    meta = segments.read_meta(store)
+    assert meta["consumed_through"] == 1 and meta["base_n_buckets"] == 32
+    ino1 = inodes(os.path.join(store, meta["base"]))
+    carried = rewritten = 0
+    for p, ino in ino1.items():
+        top = p.split(os.sep)[0]
+        if not top.startswith("_bucket="):
+            continue
+        if int(top.split("=")[1]) in touched:
+            rewritten += 1
+            assert ino != ino0.get(p)
+        else:
+            carried += 1
+            assert ino == ino0[p], f"untouched bucket file {p} was rewritten"
+    assert carried and rewritten
+
+    # full-rewrite twin fed identical batches => identical views
+    twin = str(tmp_path_factory.mktemp("scd2_partial_twin")) + "/store"
+    upsert_batch(big, twin, key="k", now="2024-01-01 00:00:00", batch_id=0)
+    upsert_batch(small, twin, key="k", now="2024-01-01 00:01:00", batch_id=1)
+    # force the full path by erasing base provenance before compacting
+    m = segments.read_meta(twin)
+    scd2_store_compact(spark, twin)  # first compaction: full by design
+    assert m["base"] is None  # twin really compacted from scratch
+    for reader in (read_current, read_history):
+        got = sorted(tuple(r) for r in reader(spark, store).collect())
+        want = sorted(tuple(r) for r in reader(spark, twin).collect())
+        assert got == want
+    cur = {r["k"]: r["v"] for r in read_current(spark, store).collect()}
+    assert len(cur) == 401 and cur[7] == "CHANGED" and cur[9001] == "new"
+    hist = [(r["k"], r["v"]) for r in read_history(spark, store).collect()]
+    assert hist == [(7, "v7")]
