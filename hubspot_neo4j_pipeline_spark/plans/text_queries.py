@@ -505,18 +505,25 @@ def _dup_pairs_from_exploded(shingles: DataFrame) -> DataFrame:
     dedup_method_agreement can feed it from a shingle scan SHARED with
     the MinHash branch instead of re-deriving the grams (r6 VERDICT:
     the two branches each rebuilt the tokenize/shingle work — the
-    registry's second-heaviest query at sf10). Pair generation is the
-    shared in-bucket expansion kernel (one row per shared shingle per
-    pair feeds the count) — see operators/skew.bucket_self_pairs."""
-    from ..operators.skew import bucket_self_pairs
+    registry's second-heaviest query at sf10).
 
-    return (
-        bucket_self_pairs(shingles, ["shingle"], "doc_id")
-        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    Pair generation is the in-bucket expansion kernel in its PACKED
+    form (r10): the count aggregates ~116M pair-incidence rows at 100x
+    before the HAVING, so the pair key rides the shuffle as one
+    8-byte long (a*2^32+b) and is decoded only for the >=3 survivors —
+    measured 19.0 -> 10.7 s on that arm at sf10, bit-identical pair
+    set (range-guarded: out-of-range ids raise, never corrupt — see
+    operators/skew.packed_self_pairs)."""
+    from ..operators.skew import packed_self_pairs, unpack_pair
+
+    pairs = (
+        packed_self_pairs(shingles, ["shingle"], "doc_id")
+        .groupBy("pk")
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= 3)
-        .select("id_a", "id_b")
     )
+    id_a, id_b = unpack_pair("pk")
+    return pairs.select(id_a.alias("id_a"), id_b.alias("id_b"))
 
 
 @register(

@@ -239,3 +239,55 @@ def test_kmeans_seeds_quantized_matches_pure_python_reenactment(emb):
         return len(truth & got) / len(truth)
 
     assert recall(seeds_q) >= recall(None)
+
+
+def test_packed_self_pairs_equals_two_column_kernel(spark):
+    """r10 packed pair kernel: packed_self_pairs + unpack_pair must
+    emit EXACTLY bucket_self_pairs' (a, b) set — both expansion and
+    cap-fallback branches — and the decode must be pure bit ops (ids
+    round-trip exactly at the 2^31-1 edge)."""
+    import random
+
+    from hubspot_neo4j_pipeline_spark.operators.skew import (
+        bucket_self_pairs,
+        packed_self_pairs,
+        unpack_pair,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(20), rng.randrange(500)) for _ in range(3000)]
+    rows += [(99, 2**31 - 1), (99, 0), (99, 2**31 - 2)]  # edge ids
+    df = spark.createDataFrame(rows, "bucket int, id long").dropDuplicates()
+    for cap in (4096, 8, None):  # 8 forces the fallback branch
+        want = sorted(
+            (r["a"], r["b"])
+            for r in bucket_self_pairs(
+                df, ["bucket"], "id", expand_cap=cap, no_cache=True
+            ).collect()
+        )
+        a, b = unpack_pair("pk")
+        got = sorted(
+            (r["a"], r["b"])
+            for r in packed_self_pairs(
+                df, ["bucket"], "id", expand_cap=cap, no_cache=True
+            )
+            .select(a.alias("a"), b.alias("b"))
+            .collect()
+        )
+        assert got == want and got, f"cap={cap}"
+    assert (2**31 - 2, 2**31 - 1) in [
+        (x, y) for x, y in got if x >= 2**31 - 2
+    ]
+
+
+def test_packed_self_pairs_range_guard_raises(spark):
+    """Out-of-range ids (negative or >= 2^31) must raise loudly — a
+    silent wrap would corrupt the pair set."""
+    from hubspot_neo4j_pipeline_spark.operators.skew import packed_self_pairs
+
+    for bad in (-1, 2**31):
+        df = spark.createDataFrame(
+            [(1, 5), (1, bad)], "bucket int, id long"
+        )
+        with pytest.raises(Exception, match="ids must be in"):
+            packed_self_pairs(df, ["bucket"], "id", no_cache=True).collect()
