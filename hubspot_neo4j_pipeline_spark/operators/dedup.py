@@ -477,6 +477,35 @@ def minhash_lsh_pairs(
         minhash_signature(df, id_col, text_col, n_perms, shingles=shingles),
         no_cache,
     )
+    return lsh_pairs_from_signatures(
+        sigs,
+        id_col,
+        n_perms=n_perms,
+        n_bands=n_bands,
+        threshold=threshold,
+        max_band_df=max_band_df,
+        band_slice=band_slice,
+        no_cache=no_cache,
+    )
+
+
+def lsh_pairs_from_signatures(
+    sigs: DataFrame,
+    id_col: str,
+    n_perms: int = DEFAULT_PERMS,
+    n_bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    max_band_df: int | None = None,
+    band_slice: tuple[int, int] | None = None,
+    no_cache: bool = False,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` from a pre-built (id, shingles, sig)
+    frame — factored out (r10) so the streaming LSH store
+    (streaming/lsh_store.py) runs the IDENTICAL banding / candidate /
+    verified-Jaccard path over (history ∪ batch) signatures that the
+    one-shot operator runs over a corpus: pair-set equality with the
+    registered oracle is then by construction, not by re-derivation.
+    Contract and knobs are minhash_lsh_pairs' (see its docstring)."""
     bands = minhash_bands(sigs, id_col, n_perms, n_bands)
     if max_band_df is not None:
         # df computation reuses the (band_id, band_hash) shuffle key of

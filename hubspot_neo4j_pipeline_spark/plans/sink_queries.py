@@ -617,6 +617,101 @@ def incremental_gram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_batch_against_store(incoming, store)
 
 
+def _neardup_oracle(band_slice: tuple[int, int] | None = None) -> str:
+    from .text_queries import _minhash_oracle
+
+    return f"""
+        WITH mh AS ({_minhash_oracle(band_slice=band_slice)})
+        SELECT id_a, id_b, jaccard FROM mh
+        WHERE id_a % 3 = 0 OR id_b % 3 = 0
+    """
+
+
+_NEARDUP_DOC = (
+    "EXECUTED streaming NEAR-dup round-trip (r10 — the near-dup half "
+    "of the streaming-dedup story; r9's hash store closed the exact "
+    "half): two history micro-batches ingest their documents' MinHash "
+    "signatures + shingle sets into the persisted store "
+    "(streaming/lsh_store.py — LSM segment layout, O(batch) atomic "
+    "delta ingest, compact_every=2 so the query exercises a real "
+    "compaction), then the held-out batch is LSH-candidated and "
+    "Jaccard-verified against (history ∪ batch) WITHOUT rescanning "
+    "any stored text. The pair path over the union signatures is "
+    "lsh_pairs_from_signatures — the identical code the one-shot "
+    "minhash_lsh_pairs runs — so the result must equal the one-shot "
+    "operator over the full corpus restricted to pairs touching the "
+    "held-out docs, and the oracle is the registered MinHash oracle "
+    "with that same restriction. A store that lost a delta, "
+    "double-applied a replay, or mis-compacted changes a signature "
+    "or a shingle set and hash-mismatches."
+)
+
+
+@register(
+    "incremental_neardup_pairs",
+    oracle=_neardup_oracle(),
+    covers=("D1", "J1"),
+    doc=_NEARDUP_DOC,
+)
+def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.lsh_store import (
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(_scratch(spark, "incremental_neardup", sf_dir), "lsh")
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    history = docs.where("doc_id % 3 != 0")
+    incoming = docs.where("doc_id % 3 = 0")
+    lsh_store_update_batch(
+        history.where("doc_id % 2 = 0"), store, batch_id=0, compact_every=2
+    )
+    lsh_store_update_batch(
+        history.where("doc_id % 2 = 1"), store, batch_id=1, compact_every=2
+    )
+    return neardup_pairs_against_store(incoming, store)
+
+
+@register(
+    "incremental_neardup_pairs_slice",
+    oracle=_neardup_oracle(band_slice=(8, 0)),
+    covers=("D1", "J1"),
+    doc=_NEARDUP_DOC
+    + (
+        " SLICE TWIN for 100x verification: band_slice=(8,0) keeps "
+        "only band buckets both engines deterministically sample "
+        "(doc_minhash_lsh_pairs_slice's mechanism), so the DuckDB "
+        "candidate self-join stays affordable at sf10 while Spark "
+        "exercises the full store ingest + signature/banding path."
+    ),
+)
+def incremental_neardup_pairs_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.lsh_store import (
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(
+        _scratch(spark, "incremental_neardup_slice", sf_dir), "lsh"
+    )
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    history = docs.where("doc_id % 3 != 0")
+    incoming = docs.where("doc_id % 3 = 0")
+    lsh_store_update_batch(
+        history.where("doc_id % 2 = 0"), store, batch_id=0, compact_every=2
+    )
+    lsh_store_update_batch(
+        history.where("doc_id % 2 = 1"), store, batch_id=1, compact_every=2
+    )
+    return neardup_pairs_against_store(incoming, store, band_slice=(8, 0))
+
+
 _SCD2_NOW0 = "2024-01-01 00:00:00"
 _SCD2_NOW1 = "2024-02-01 00:00:00"
 _SCD2_NOW2 = "2024-03-01 00:00:00"

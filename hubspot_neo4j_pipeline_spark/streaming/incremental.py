@@ -45,9 +45,17 @@ SCD2_STORE_BUCKETS = 32
 _META_COLS = ("_kind", "_ubid", "_bucket")
 
 
+SCD2_HISTORY_FOLD_AT = 8  # fold history segments when more accumulate
+
+
 def _scd2_meta(store_path: str) -> dict:
     m = segments.read_meta(store_path)
     m.setdefault("key", None)
+    # min history-segment id a reader resolves: a FOLD compaction
+    # rewrites all older segments into one seg-<hi> and raises the
+    # floor to hi, so the superseded segments become invisible the
+    # instant the meta commits (and are swept after). -1 = no fold yet.
+    m.setdefault("history_floor", -1)
     return m
 
 
@@ -82,18 +90,22 @@ def read_current(spark, store_path: str) -> DataFrame | None:
 
 def _history_segments(store_path: str, meta: dict) -> list[str]:
     """COMMITTED history segments only: ``seg-<id>`` with
-    id <= consumed_through. A crash between the segment rename and the
-    meta replace in ``scd2_store_compact`` leaves a ``seg-<hi>`` whose
-    closed rows still also live in the uncompacted deltas — resolving
-    it would double-count them (r9 ADVICE), so visibility is gated on
-    the meta pointer, exactly like delta visibility."""
+    history_floor <= id <= consumed_through. A crash between the
+    segment rename and the meta replace in ``scd2_store_compact``
+    leaves a ``seg-<hi>`` whose closed rows still also live in the
+    uncompacted deltas — resolving it would double-count them (r9
+    ADVICE), so visibility is gated on the meta pointer, exactly like
+    delta visibility. The floor makes FOLDED-away segments (their rows
+    rewritten into a newer segment) invisible the instant the fold's
+    meta commits, before any file is deleted."""
     hist = os.path.join(store_path, "history")
     if not os.path.isdir(hist):
         return []
+    floor = meta.get("history_floor", -1)
     out = []
     for name in os.listdir(hist):
         if name.startswith("seg-") and name[4:].isdigit():
-            if int(name[4:]) <= meta["consumed_through"]:
+            if floor <= int(name[4:]) <= meta["consumed_through"]:
                 out.append(os.path.join(hist, name))
     return sorted(out)
 
@@ -112,12 +124,13 @@ def _scd2_sweep(store_path: str, meta: dict) -> None:
     hist = os.path.join(store_path, "history")
     if not os.path.isdir(hist):
         return
+    floor = meta.get("history_floor", -1)
     for name in os.listdir(hist):
         full = os.path.join(hist, name)
         if name.startswith("_tmpseg-"):
             shutil.rmtree(full, ignore_errors=True)
         elif name.startswith("seg-") and name[4:].isdigit():
-            if int(name[4:]) > meta["consumed_through"]:
+            if not (floor <= int(name[4:]) <= meta["consumed_through"]):
                 shutil.rmtree(full, ignore_errors=True)
 
 
@@ -331,12 +344,30 @@ def scd2_store_compact(
         )
     hist_dir = os.path.join(store_path, "history")
     os.makedirs(hist_dir, exist_ok=True)
+    # history FOLD (r10): segments otherwise accumulate one per
+    # compaction forever. When more than SCD2_HISTORY_FOLD_AT are
+    # live, this compaction's segment absorbs ALL committed older
+    # ones and the meta's history_floor rises to hi — readers switch
+    # from the old segments to the folded one at the meta replace
+    # (never both: floor <= id <= consumed_through can't span them),
+    # and the superseded files are deleted only by the post-commit
+    # sweep. Amortized O(history / fold_at) per compaction; a crash
+    # anywhere leaves the old state fully readable.
+    old_segs = _history_segments(store_path, meta)
+    fold = len(old_segs) >= SCD2_HISTORY_FOLD_AT
+    seg_rows = closed_all.drop(*_META_COLS)
+    new_floor = meta.get("history_floor", -1)
+    if fold:
+        seg_rows = spark.read.parquet(*old_segs).unionByName(
+            seg_rows, allowMissingColumns=True
+        )
+        new_floor = hi
     tmp = os.path.join(hist_dir, f"_tmpseg-{hi}")
     if os.path.exists(tmp):
         import shutil
 
         shutil.rmtree(tmp)
-    closed_all.drop(*_META_COLS).write.mode("overwrite").parquet(tmp)
+    seg_rows.write.mode("overwrite").parquet(tmp)
     seg = os.path.join(hist_dir, f"seg-{hi}")
     if os.path.exists(seg):  # crashed retry already placed it
         import shutil
@@ -351,6 +382,7 @@ def scd2_store_compact(
             "key": meta["key"],
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
+            "history_floor": new_floor,
         },
     )
     _scd2_sweep(store_path, _scd2_meta(store_path))

@@ -1,0 +1,265 @@
+"""Streaming NEAR-duplicate detection against the FULL ingested
+history: a MinHash-signature store on the shared LSM segment layer.
+
+The r9 hash store (streaming/hash_store.py) closed the exact-dup half
+of the streaming-dedup story — identical content arriving at any
+lateness is caught against everything ever ingested. This module is
+the near-dup half: each micro-batch ingests its documents' MinHash
+SIGNATURES and shingle sets in O(batch), and an incoming batch can be
+LSH-candidated and Jaccard-VERIFIED against the whole corpus without
+rescanning any text. The pair path over (history ∪ batch) signatures
+is literally ``operators/dedup.lsh_pairs_from_signatures`` — the same
+code the one-shot ``minhash_lsh_pairs`` runs — so the verdicts equal
+the one-shot operator over (history ∪ batch) restricted to pairs
+touching the batch, by construction (pinned by test AND by the
+registered oracle ``incremental_neardup_pairs``).
+
+Layout / crash / replay contract: streaming/segments.py — one atomic
+delta dir per batch id, meta.json commit pointer, exact per-batch-id
+replay guard, bucket-partial compaction (delta manifests + hard-linked
+untouched ``_bucket=K`` partitions; see gram_store.py's notes).
+Within-store doc identity: latest writer per doc_id wins
+(re-ingesting a doc with edited text replaces its signature —
+read-side window on the delta id, exactly the SCD2 store's rule).
+
+Scale: the store holds one row per document — its 16-long signature
+plus its distinct shingle hashes-as-strings. That is linear in the
+corpus (a verified-Jaccard index cannot be smaller: verification
+needs the shingle sets), but it is the SLIM projection of it — no
+text — and only compactions touch more than one batch of it. At
+100 TB: banding cost per incoming batch is O(batch × bands); the
+candidate join is an equi-join on (band_id, band_hash) against the
+store's derived band table; verification joins shingle arrays for
+candidate pairs only.
+
+Reference parity: the reference has no streaming surface; this is the
+streaming closure of its dedup step's near-dup generalization
+(SURVEY §2 D1), with the batch ``minhash_lsh_pairs`` operator (and
+its DuckDB oracle) as the ground truth.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import segments
+
+LSH_STORE_BUCKETS = 32
+COMPACT_EVERY = 8
+
+
+def _doc_rows(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingles, sig) for one batch — minhash_signature's frame,
+    the exact rows the one-shot operator builds per corpus scan."""
+    from ..operators.dedup import minhash_signature
+
+    return minhash_signature(batch, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"), "shingles", "sig"
+    )
+
+
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def read_lsh_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(doc_id, shingles, sig): meta's base plus live deltas, latest
+    writer per doc_id wins (same merge-on-read rule as the SCD2
+    store's current view)."""
+    meta = segments.read_meta(store_path)
+    frames = []
+    if meta["base"]:
+        frames.append(spark.read.parquet(os.path.join(store_path, meta["base"])))
+    for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
+        frames.append(spark.read.parquet(path))
+    if not frames:
+        raise FileNotFoundError(f"empty lsh store at {store_path}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    w = Window.partitionBy("doc_id").orderBy(F.col("_ubid").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "shingles", "sig")
+    )
+
+
+def lsh_store_update_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int = COMPACT_EVERY,
+    n_buckets: int = LSH_STORE_BUCKETS,
+) -> None:
+    """Ingest one micro-batch's (doc_id, shingles, sig) rows as an
+    atomic delta — O(batch), the existing state is NOT read. Same
+    replay / crash / compaction contract as the sibling stores."""
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed micro-batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    delta = (
+        _doc_rows(batch, id_col, text_col)
+        .withColumn("_ubid", F.lit(batch_id).cast("long"))
+        .withColumn("_bucket", _bucket_expr(n_buckets))
+    )
+    segments.commit_delta(delta, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        lsh_store_compact(batch.sparkSession, store_path, n_buckets)
+
+
+def lsh_store_compact(
+    spark: SparkSession, store_path: str, n_buckets: int = LSH_STORE_BUCKETS
+) -> None:
+    """Fold live deltas into a fresh doc-bucketed base, committed by
+    one atomic meta replace; bucket-PARTIAL like the sibling stores
+    (only buckets the live deltas touch are merged — latest-writer
+    window — and untouched partitions hard-link into the new base)."""
+    meta = segments.read_meta(store_path)
+    segments.sweep(store_path, meta)
+    deltas = segments.live_deltas(store_path, meta)
+    if not deltas:
+        return
+    hi = max(deltas)
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    new_base = segments.next_base_name(meta)
+    touched = (
+        segments.touched_buckets(deltas, "_bucket")
+        if meta["base"] and meta.get("base_n_buckets") == n_buckets
+        else None
+    )
+    if touched == []:  # only empty deltas live: carry the base verbatim
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        os.makedirs(merged_tmp, exist_ok=True)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    elif touched is not None and len(touched) < n_buckets:
+        frames = [
+            spark.read.parquet(os.path.join(store_path, meta["base"])).where(
+                F.col("_bucket").isin(touched)  # partition-pruned
+            )
+        ]
+        for _bid, path in sorted(deltas.items()):
+            frames.append(spark.read.parquet(path))
+        allrows = frames[0]
+        for f in frames[1:]:
+            allrows = allrows.unionByName(f, allowMissingColumns=True)
+        w = Window.partitionBy("doc_id").orderBy(F.col("_ubid").desc())
+        merged = (
+            allrows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_ubid", F.lit(hi).cast("long"))
+            .withColumn("_bucket", _bucket_expr(n_buckets))
+        )
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(merged_tmp)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    else:
+        merged = (
+            read_lsh_store(spark, store_path)
+            .withColumn("_ubid", F.lit(hi).cast("long"))
+            .withColumn("_bucket", _bucket_expr(n_buckets))
+        )
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(store_path, new_base))
+    segments.write_meta(
+        store_path,
+        {
+            "base": new_base,
+            "consumed_through": hi,
+            "n_buckets": n_buckets,
+            "base_n_buckets": n_buckets,
+        },
+    )
+    segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def neardup_pairs_against_store(
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    band_slice: tuple[int, int] | None = None,
+    no_cache: bool = False,
+) -> DataFrame:
+    """Verified near-dup pairs of an incoming (not-yet-ingested) batch
+    against everything ever ingested PLUS the batch itself: exactly
+    ``minhash_lsh_pairs`` over (history ∪ batch) restricted to pairs
+    with at least one side in the batch — the banding / candidate /
+    Jaccard-verify path IS the one-shot operator's
+    (``lsh_pairs_from_signatures``), fed the union of the store's and
+    the batch's signature rows, so history-history pairs are the only
+    rows dropped. Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    ``band_slice`` passes through to the kernel (the deterministic
+    1/K bucket sample both engines compute identically — the 100x
+    oracle-verification aid)."""
+    from ..operators.caching import tracked_cache
+    from ..operators.dedup import lsh_pairs_from_signatures
+
+    spark = batch.sparkSession
+    batch_rows = _doc_rows(batch, id_col, text_col)
+    try:
+        hist = read_lsh_store(spark, store_path)
+    except FileNotFoundError:
+        hist = None
+    # cached like the one-shot operator's signature frame: bands plus
+    # both verify joins consume it (same lifecycle contract — see
+    # minhash_lsh_pairs' docstring)
+    sigs = tracked_cache(
+        batch_rows if hist is None else hist.unionByName(batch_rows),
+        no_cache,
+    )
+    pairs = lsh_pairs_from_signatures(
+        sigs, "doc_id", threshold=threshold, band_slice=band_slice,
+        no_cache=no_cache,
+    )
+    batch_ids = batch_rows.select(F.col("doc_id"))
+    touching_a = pairs.join(
+        batch_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    )
+    touching_b = pairs.join(
+        batch_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
+    )
+    return touching_a.unionByName(touching_b).dropDuplicates(["id_a", "id_b"])
+
+
+def stream_lsh_store(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """foreachBatch driver: maintain the signature store as documents
+    stream in. store_path and checkpoint_dir live and die together
+    (segments.py lifecycle contract)."""
+    from .incremental import run_foreach_batch
+
+    run_foreach_batch(
+        stream_df,
+        lambda batch, batch_id: lsh_store_update_batch(
+            batch, store_path, batch_id, compact_every=compact_every
+        ),
+        checkpoint_dir,
+        timeout_sec,
+    )

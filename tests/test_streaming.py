@@ -1109,3 +1109,166 @@ def test_scd2_store_partial_compaction_links_untouched_buckets(
     assert len(cur) == 401 and cur[7] == "CHANGED" and cur[9001] == "new"
     hist = [(r["k"], r["v"]) for r in read_history(spark, store).collect()]
     assert hist == [(7, "v7")]
+
+
+def test_stream_lsh_store_neardup_vs_full_history(spark, tmp_path_factory):
+    """Streaming near-dup store (r10, streaming/lsh_store.py): pairs
+    for an incoming batch must equal one-shot minhash_lsh_pairs over
+    (history ∪ batch) restricted to pairs touching the batch —
+    including a late near-copy of a history doc (the case a
+    watermark-bounded stream misses). Replay and compaction must not
+    change the store; latest writer wins on re-ingest."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
+        lsh_store_compact,
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+        read_lsh_store,
+        stream_lsh_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path_factory.mktemp("lsh_src"))
+    store = str(tmp_path_factory.mktemp("lsh_store")) + "/lsh"
+    ckpt = str(tmp_path_factory.mktemp("lsh_ckpt"))
+    history = docs.where("doc_id % 3 != 0")
+    # plant a LATE NEAR-COPY: a history doc's text with one word
+    # appended still shares almost all 5-gram shingles
+    hist_row = history.orderBy("doc_id").limit(1).collect()[0]
+    late = spark.createDataFrame(
+        [(900001, hist_row["text"] + " tail")], "doc_id long, text string"
+    )
+    incoming = docs.where("doc_id % 3 = 0").unionByName(late)
+    history.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    stream_lsh_store(stream, store, ckpt, compact_every=2)
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in neardup_pairs_against_store(incoming, store).collect()
+    )
+    full = minhash_lsh_pairs(
+        history.unionByName(incoming), id_col="doc_id", text_col="text"
+    )
+    inc_ids = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full.collect()
+        if r["id_a"] in inc_ids or r["id_b"] in inc_ids
+    )
+    assert got == want and got
+    assert any(  # the late near-copy was caught against history
+        hist_row["doc_id"] in (a, b) and 900001 in (a, b)
+        for a, b, _ in got
+    )
+
+    # replay no-op, compaction invariance, latest-writer re-ingest
+    before = sorted(
+        tuple(r) for r in read_lsh_store(spark, store).select("doc_id").collect()
+    )
+    lsh_store_update_batch(history.limit(5), store, batch_id=0)
+    assert sorted(
+        tuple(r) for r in read_lsh_store(spark, store).select("doc_id").collect()
+    ) == before
+    lsh_store_compact(spark, store)
+    assert sorted(
+        tuple(r) for r in read_lsh_store(spark, store).select("doc_id").collect()
+    ) == before
+    edited = spark.createDataFrame(
+        [(hist_row["doc_id"], "completely new words for this document body")],
+        "doc_id long, text string",
+    )
+    lsh_store_update_batch(edited, store)  # next free batch id
+    row = (
+        read_lsh_store(spark, store)
+        .where(F.col("doc_id") == hist_row["doc_id"])
+        .collect()
+    )
+    assert len(row) == 1  # latest writer wins, exactly one row
+
+
+def test_scd2_history_segments_fold(spark, tmp_path_factory, monkeypatch):
+    """r10 history fold: segments accumulate one per compaction until
+    SCD2_HISTORY_FOLD_AT, then one compaction absorbs them all into
+    its own segment and raises history_floor — reads identical before
+    and after, superseded files swept, and a crash between the folded
+    segment's rename and the meta replace leaves the OLD state fully
+    readable (no loss, no double-count)."""
+    import os
+
+    from hubspot_neo4j_pipeline_spark.streaming import incremental, segments
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        read_current,
+        read_history,
+        upsert_batch,
+    )
+
+    monkeypatch.setattr(incremental, "SCD2_HISTORY_FOLD_AT", 3)
+    store = str(tmp_path_factory.mktemp("scd2_fold")) + "/store"
+    schema = "k long, v string"
+
+    def hist_names():
+        h = os.path.join(store, "history")
+        return sorted(os.listdir(h)) if os.path.isdir(h) else []
+
+    # every batch rewrites key 1 -> one closed row per batch;
+    # compact_every=1 compacts (and writes a segment) per batch
+    upsert_batch(
+        spark.createDataFrame([(1, "v0"), (2, "x")], schema),
+        store, key="k", now="2024-01-01 00:00:00", batch_id=0, compact_every=1,
+    )
+    for i in range(1, 5):
+        upsert_batch(
+            spark.createDataFrame([(1, f"v{i}")], schema),
+            store, key="k", now=f"2024-01-01 00:{i:02d}:00", batch_id=i,
+            compact_every=1,
+        )
+    # batches 1..4 closed v0..v3: four history rows regardless of fold
+    want_hist = [(1, f"v{i}") for i in range(4)]
+    got = sorted((r["k"], r["v"]) for r in read_history(spark, store).collect())
+    assert got == want_hist
+    meta = segments.read_meta(store)
+    # fold happened at/after the 3rd accumulated segment: floor raised,
+    # exactly ONE live segment remains on disk
+    assert meta["history_floor"] > -1
+    assert hist_names() == [f"seg-{meta['consumed_through']}"]
+    cur = {r["k"]: r["v"] for r in read_current(spark, store).collect()}
+    assert cur == {1: "v4", 2: "x"}
+
+    # crash WINDOW on a folding compaction: batch 5 closes v4; with
+    # FOLD_AT=1 the next compaction IS a fold (absorbs the live
+    # segment) — make the meta replace fail after the folded seg-5 is
+    # renamed in
+    monkeypatch.setattr(incremental, "SCD2_HISTORY_FOLD_AT", 1)
+    upsert_batch(
+        spark.createDataFrame([(1, "v5")], schema),
+        store, key="k", now="2024-01-01 00:05:00", batch_id=5, compact_every=99,
+    )
+    real_write_meta = segments.write_meta
+
+    def boom(path, m):
+        raise RuntimeError("crash before meta commit")
+
+    monkeypatch.setattr(incremental.segments, "write_meta", boom)
+    with pytest.raises(RuntimeError):
+        incremental.scd2_store_compact(spark, store)
+    monkeypatch.setattr(incremental.segments, "write_meta", real_write_meta)
+    # old state fully readable: the folded seg-5 is invisible, the
+    # pre-crash segment still resolves, the live delta's closed row
+    # (v4) comes from the delta — exactly once each
+    got = sorted((r["k"], r["v"]) for r in read_history(spark, store).collect())
+    assert got == want_hist + [(1, "v4")]
+    # retry converges: fold completes, one segment, identical reads
+    incremental.scd2_store_compact(spark, store)
+    got = sorted((r["k"], r["v"]) for r in read_history(spark, store).collect())
+    assert got == want_hist + [(1, "v4")]
+    meta = segments.read_meta(store)
+    assert hist_names() == [f"seg-{meta['consumed_through']}"]
+    assert {r["k"]: r["v"] for r in read_current(spark, store).collect()} == {
+        1: "v5", 2: "x"
+    }

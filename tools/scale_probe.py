@@ -74,6 +74,12 @@ ALLOWED_RATIOS: dict[str, float] = {
     # 1/K of the parent's pair-count-driven candidate work — inherit
     # the parent's bound.
     "doc_minhash_lsh_pairs_slice": 12.0,
+    # r10 streaming near-dup store round-trips: the full and sliced
+    # variants run the SAME signature/banding/verify kernel as
+    # doc_minhash_lsh_pairs over (history ∪ batch), plus O(batch)
+    # store ingest — inherit its pair-count-driven bound.
+    "incremental_neardup_pairs": 12.0,
+    "incremental_neardup_pairs_slice": 12.0,
     "doc_simhash_pairs_slice": 12.0,
     "embedding_near_dup_pairs_slice": 15.0,
     "semantic_dedup_slice": 15.0,
