@@ -91,6 +91,13 @@ _DEMOTED = {
     # task-1 rotation). T4/T5 stay in-window via scd2_golden_merge
     # (the 8-scenario golden covers soft delete and new-node insert).
     "soft_delete_candidates",
+    # Round 10 (second rotation): the streaming NEAR-dup store
+    # flagship (incremental_neardup_pairs — LSH store round-trip incl.
+    # a real compaction, the near-dup half of the streaming-dedup
+    # story) displaces staged_entity_match, whose only op id J6 stays
+    # in-window via fuzzy_name_pairs (the deletion-neighborhood
+    # staged match + anti-guard).
+    "staged_entity_match",
 }
 
 _PRIORITY = [
@@ -136,6 +143,9 @@ _PRIORITY = [
     # replay/crash contract) gets driver-green visibility (see
     # _DEMOTED note for the row it displaces)
     "incremental_hash_dedup_verdicts",
+    # round 10: the streaming NEAR-dup store round-trip (LSH store —
+    # see _DEMOTED note for the row it displaces)
+    "incremental_neardup_pairs",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -96,21 +96,22 @@ def test_priority_prefix_spans_all_families():
         "ann_ivf_topk_trained",
         # round 8: Neo4j dry-run sink (S13/S14 driver rows)
         "neo4j_dryrun_batches",
-        # round 10: LSM streaming-store flagship (executed hash-store
-        # round-trip with a real compaction)
+        # round 10: LSM streaming-store flagships (executed hash-store
+        # and near-dup LSH-store round-trips, real compactions)
         "incremental_hash_dedup_verdicts",
+        "incremental_neardup_pairs",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Thirteen §2-redundant queries are rotated past the driver's
+    """Fourteen §2-redundant queries are rotated past the driver's
     50-query window (five in r4 for the sequence/sketch/funnel/
     semantic-dedup flagships, three in r5 for the sink round-trips and
     the real media decode, two in r6 for the rewritten
     fuzzy_name_pairs / doc_simhash_pairs scale flagships, one in r7
     for the trained-centroid IVF flagship, one in r8 for the Neo4j
-    dry-run sink, one in r10 for the LSM streaming-store flagship);
+    dry-run sink, two in r10 for the LSM streaming-store flagships);
     they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
@@ -139,6 +140,9 @@ def test_demoted_queries_still_registered_with_oracles():
         # r10: demoted for incremental_hash_dedup_verdicts (T4/T5 via
         # scd2_golden_merge)
         "soft_delete_candidates",
+        # r10: demoted for incremental_neardup_pairs (J6 via
+        # fuzzy_name_pairs)
+        "staged_entity_match",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"
