@@ -222,13 +222,24 @@ def neardup_pairs_against_store(
         hist = read_lsh_store(spark, store_path)
     except FileNotFoundError:
         hist = None
+    if hist is None:
+        union = batch_rows
+    else:
+        # batch wins on doc_id collision (a re-submitted doc is scored
+        # with ITS text, and a duplicated id must not double its rows
+        # through the verify joins)
+        w = Window.partitionBy("doc_id").orderBy(F.col("_src").desc())
+        union = (
+            hist.withColumn("_src", F.lit(0))
+            .unionByName(batch_rows.withColumn("_src", F.lit(1)))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "shingles", "sig")
+        )
     # cached like the one-shot operator's signature frame: bands plus
     # both verify joins consume it (same lifecycle contract — see
     # minhash_lsh_pairs' docstring)
-    sigs = tracked_cache(
-        batch_rows if hist is None else hist.unionByName(batch_rows),
-        no_cache,
-    )
+    sigs = tracked_cache(union, no_cache)
     pairs = lsh_pairs_from_signatures(
         sigs, "doc_id", threshold=threshold, band_slice=band_slice,
         no_cache=no_cache,

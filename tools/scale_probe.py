@@ -112,6 +112,12 @@ ALLOWED_RATIOS_100X: dict[str, float] = {
     "ann_lsh_topk": 8.0,  # measured 5.2x (r7), linear build
     "dedup_method_agreement": 20.0,  # measured 15.1x (both pair pipelines)
     "doc_minhash_lsh_pairs": 24.0,  # measured 17.7x
+    # r10 streaming near-dup store round-trips: the SAME signature /
+    # banding / verify kernel as doc_minhash_lsh_pairs over
+    # (history ∪ batch) plus O(batch) store ingest — inherit its
+    # pair-count-driven 100x bound.
+    "incremental_neardup_pairs": 24.0,
+    "incremental_neardup_pairs_slice": 24.0,
     "doc_shingle_candidates": 45.0,  # measured 33.1x (110x candidate growth)
     # r9 in-bucket cosine verify (vectors ride the bucket groupBy,
     # only passing pairs leave the bucket) cut sf10 63.8 -> 25.7 s and
