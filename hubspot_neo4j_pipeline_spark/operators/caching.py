@@ -122,7 +122,16 @@ def cached_session():
     built inside it on the same thread, and concurrent threads'
     scopes cannot capture or release each other's frames. Materialize
     (collect/write) INSIDE the block — the returned DataFrames remain
-    valid afterwards but recompute without the cache."""
+    valid afterwards but recompute without the cache.
+
+    Cross-thread caveat (r10 ADVICE): because scopes are PER THREAD,
+    a tracked_cache issued on a DIFFERENT thread while this block is
+    open — e.g. inside a streaming foreachBatch callback, which Spark
+    runs on its own thread — lands in the shared AMBIENT registry,
+    not in this scope, and stays pinned after the block exits. A
+    long-lived service that drives streams must therefore pair each
+    stream's shutdown with ``release_caches()`` (run_foreach_batch
+    does this) or pass ``no_cache=True`` into the per-batch sinks."""
     stack = _scope_stack()
     scope: list[DataFrame] = []
     stack.append(scope)

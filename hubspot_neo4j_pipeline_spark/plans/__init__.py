@@ -98,6 +98,13 @@ _DEMOTED = {
     # in-window via fuzzy_name_pairs (the deletion-neighborhood
     # staged match + anti-guard).
     "staged_entity_match",
+    # Round 11: one §2-redundant temporal row demoted to admit the
+    # executed SCD2-store round-trip (incremental_scd2_roundtrip — the
+    # registry's ONLY T8 carrier, previously stranded at position 120
+    # outside the checked window; r10 VERDICT task 2). T2 stays
+    # in-window via change_classification / change_summary /
+    # scd2_golden_merge; T6 via relationship_diff.
+    "scd2_golden_changelog",
 }
 
 _PRIORITY = [
@@ -146,6 +153,10 @@ _PRIORITY = [
     # round 10: the streaming NEAR-dup store round-trip (LSH store —
     # see _DEMOTED note for the row it displaces)
     "incremental_neardup_pairs",
+    # round 11: the executed SCD2-store round-trip — T8 (temporal
+    # backfill) gets its driver-green row (see _DEMOTED note for the
+    # row it displaces)
+    "incremental_scd2_roundtrip",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

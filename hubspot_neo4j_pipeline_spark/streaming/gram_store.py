@@ -89,6 +89,7 @@ from .segments import read_meta as _read_meta
 from .segments import sweep as _sweep
 from .segments import touched_buckets as _touched_buckets
 from .segments import write_meta as _write_meta
+from . import segments as _segments
 
 GRAM_STORE_BUCKETS = 32
 COMPACT_EVERY = 8
@@ -185,6 +186,7 @@ def gram_store_compact(
     store_path: str,
     n_buckets: int = GRAM_STORE_BUCKETS,
     _crash_before_commit: bool = False,
+    rows_per_bucket: int = _segments.ROWS_PER_BUCKET,
 ) -> None:
     """Fold every committed delta into a fresh bucket-partitioned base
     and commit it with one atomic meta replace. ``_crash_before_commit``
@@ -211,15 +213,22 @@ def gram_store_compact(
     if not deltas:
         return
     n_buckets = _pin_n_buckets(store_path, meta, n_buckets)
+    grown = _segments.grown_n_buckets(meta, deltas, n_buckets, rows_per_bucket)
     new_base = _next_base_name(meta)
     # partial carry-over is sound only when the live base was itself
     # written under the pinned bucketing (meta records base_n_buckets
     # at every compaction; a pre-r10 base lacks it → one full rewrite)
+    # AND no bucket growth is pending (r11: the count doubles via a
+    # full rewrite when the store outgrows ~rows_per_bucket per bucket
+    # — see segments.grown_n_buckets)
     touched = (
         _touched_buckets(deltas, "bucket")
-        if meta["base"] and meta.get("base_n_buckets") == n_buckets
+        if grown == n_buckets
+        and meta["base"]
+        and meta.get("base_n_buckets") == n_buckets
         else None
     )
+    n_buckets = grown
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -261,10 +270,12 @@ def gram_store_compact(
     if _crash_before_commit:
         return
     new_meta = {
+        **meta,  # preserve pinned properties
         "base": new_base,
         "consumed_through": max(deltas),
         "n_buckets": n_buckets,
         "base_n_buckets": n_buckets,
+        "base_rows": _segments.base_row_count(spark, store_path, new_base),
     }
     _write_meta(store_path, new_meta)
     _sweep(store_path, new_meta)

@@ -100,6 +100,22 @@ def hash_store_update_batch(
         return  # replayed micro-batch
     meta = segments.read_meta(store_path)
     n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    # the owner id keeps its NATIVE type (see _partial_hashes), so the
+    # store's min() is numeric for numeric ids and lexicographic for
+    # string ids — sound per store, corrupt if MIXED: a long-keyed
+    # store ingesting string ids later would unionByName-coerce to
+    # string and silently flip min's order ('10' < '9'). Pin the dtype
+    # at first ingest and raise on mismatch (r10 ADVICE). A pre-r11
+    # store carries no pin yet: backfill it from the STORED schema
+    # (parquet-footer read, no data scan) before checking the batch,
+    # so the upgrade path can't self-pin a mismatched type.
+    if meta.get("id_type") is None:
+        try:
+            stored = dict(read_hash_store(batch.sparkSession, store_path).dtypes)
+            segments.pin_value(store_path, meta, "id_type", stored["owner_id"])
+        except FileNotFoundError:
+            pass  # empty store: the batch's type becomes the pin below
+    segments.pin_value(store_path, meta, "id_type", dict(batch.dtypes)[id_col])
     partial = _partial_hashes(batch, id_col, text_col).withColumn(
         "_bucket", F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int")
     )
@@ -109,7 +125,10 @@ def hash_store_update_batch(
 
 
 def hash_store_compact(
-    spark: SparkSession, store_path: str, n_buckets: int = HASH_STORE_BUCKETS
+    spark: SparkSession,
+    store_path: str,
+    n_buckets: int = HASH_STORE_BUCKETS,
+    rows_per_bucket: int = segments.ROWS_PER_BUCKET,
 ) -> None:
     """Fold live deltas into a fresh hash-bucketed base, committed by
     one atomic meta replace (gram_store_compact's contract — including
@@ -118,22 +137,32 @@ def hash_store_compact(
     reads only those base partitions and hard-links the rest into the
     new base; O(touched + deltas) instead of O(store). Falls back to
     the full rewrite for manifest-less pre-r10 deltas or a first
-    compaction)."""
+    compaction). r11: the bucket count GROWS (power-of-2) when the
+    store outgrows ~rows_per_bucket rows per bucket — growth rewrites
+    fully and commits the new count atomically with the new base, so
+    partial compaction keeps working at production scale instead of
+    degrading to an every-bucket-touched full rewrite
+    (segments.grown_n_buckets)."""
     meta = segments.read_meta(store_path)
     segments.sweep(store_path, meta)
     deltas = segments.live_deltas(store_path, meta)
     if not deltas:
         return
     n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    grown = segments.grown_n_buckets(meta, deltas, n_buckets, rows_per_bucket)
     new_base = segments.next_base_name(meta)
-    bucket_expr = F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int")
     # partial carry-over requires the live base to share the pinned
-    # bucketing (recorded as base_n_buckets at every compaction)
+    # bucketing (recorded as base_n_buckets at every compaction) AND
+    # no pending growth (a grown modulus re-buckets everything)
     touched = (
         segments.touched_buckets(deltas, "_bucket")
-        if meta["base"] and meta.get("base_n_buckets") == n_buckets
+        if grown == n_buckets
+        and meta["base"]
+        and meta.get("base_n_buckets") == n_buckets
         else None
     )
+    n_buckets = grown
+    bucket_expr = F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int")
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -173,10 +202,12 @@ def hash_store_compact(
     segments.write_meta(
         store_path,
         {
+            **meta,  # preserve pinned properties (id_type, ...)
             "base": new_base,
             "consumed_through": max(deltas),
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
+            "base_rows": segments.base_row_count(spark, store_path, new_base),
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
@@ -203,6 +234,17 @@ def dedup_batch_against_store(
         store = read_hash_store(spark, store_path).select(
             "content_hash", F.col("owner_id").alias("_hist_owner")
         )
+        # the scoring join compares owners across history and batch —
+        # a dtype mismatch would coerce and corrupt the ordering the
+        # same way a mixed ingest would (r10 ADVICE); the pinned type
+        # makes it fail loudly instead
+        pinned = segments.read_meta(store_path).get("id_type")
+        if pinned is not None and pinned != dict(batch.dtypes)[id_col]:
+            raise ValueError(
+                f"store {store_path} holds {pinned!r} owner ids; the "
+                f"incoming batch's {id_col!r} is "
+                f"{dict(batch.dtypes)[id_col]!r}"
+            )
     except FileNotFoundError:
         store = None
     # within-batch first owner, so intra-batch duplicates are seen

@@ -254,7 +254,10 @@ def upsert_batch(
 
 
 def scd2_store_compact(
-    spark, store_path: str, n_buckets: int = SCD2_STORE_BUCKETS
+    spark,
+    store_path: str,
+    n_buckets: int = SCD2_STORE_BUCKETS,
+    rows_per_bucket: int = segments.ROWS_PER_BUCKET,
 ) -> None:
     """Fold live deltas into a fresh key-bucketed current base and
     move their closed rows into an idempotently-named history segment,
@@ -289,11 +292,17 @@ def scd2_store_compact(
     # latest-writer window is unaffected. Falls back to the full
     # rewrite for manifest-less deltas or a base built under a
     # different (or unrecorded) bucketing.
+    # r11: the bucket count grows (power-of-2, full-rewrite path) when
+    # the store outgrows ~rows_per_bucket current rows per bucket
+    grown = segments.grown_n_buckets(meta, deltas, n_buckets, rows_per_bucket)
     touched = (
         segments.touched_buckets(deltas, "_bucket")
-        if meta["base"] and meta.get("base_n_buckets") == n_buckets
+        if grown == n_buckets
+        and meta["base"]
+        and meta.get("base_n_buckets") == n_buckets
         else None
     )
+    n_buckets = grown
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -377,11 +386,13 @@ def scd2_store_compact(
     segments.write_meta(
         store_path,
         {
+            **meta,  # preserve pinned properties
             "base": new_base,
             "consumed_through": hi,
             "key": meta["key"],
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
+            "base_rows": segments.base_row_count(spark, store_path, new_base),
             "history_floor": new_floor,
         },
     )
@@ -401,20 +412,32 @@ def run_foreach_batch(
     is stopped and a TimeoutError raised — returning silently would
     hand the caller a store missing the tail micro-batches while an
     orphaned query keeps mutating it in the background.
+
+    On shutdown (success or timeout) the library's AMBIENT tracked
+    caches are released: foreachBatch sinks run on Spark's stream
+    execution thread, so any tracked_cache they issue cannot belong
+    to a cached_session scope the CALLING thread holds open (scopes
+    are thread-local, r9 ADVICE) and would otherwise accumulate until
+    someone called release_caches by hand (r10 ADVICE).
     """
+    from ..operators.caching import release_caches
+
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"streaming query did not drain within {timeout_sec}s; "
-            "stopped — the store may be missing tail micro-batches"
-        )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query did not drain within {timeout_sec}s; "
+                "stopped — the store may be missing tail micro-batches"
+            )
+    finally:
+        release_caches()
 
 
 def stream_into_store(

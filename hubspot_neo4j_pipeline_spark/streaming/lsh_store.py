@@ -53,9 +53,26 @@ COMPACT_EVERY = 8
 
 def _doc_rows(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, shingles, sig) for one batch — minhash_signature's frame,
-    the exact rows the one-shot operator builds per corpus scan."""
+    the exact rows the one-shot operator builds per corpus scan.
+
+    One row per doc_id, DETERMINISTICALLY: duplicate ids within a
+    micro-batch share one _ubid, so without this the store's
+    latest-writer window (and neardup_pairs_against_store's batch-wins
+    window) would pick a winner nondeterministically when the same id
+    arrives twice with different text (r10 ADVICE). Winner = the max
+    content hash per id — content-keyed, so replays and shuffles can't
+    flip it (the SCD2 store's dropDuplicates([key]) guard, made
+    deterministic)."""
     from ..operators.dedup import minhash_signature
 
+    w = Window.partitionBy(id_col).orderBy(
+        F.sha2(F.col(text_col).cast("string"), 256).desc()
+    )
+    batch = (
+        batch.withColumn("_dup_rn", F.row_number().over(w))
+        .where(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
     return minhash_signature(batch, id_col, text_col).select(
         F.col(id_col).alias("doc_id"), "shingles", "sig"
     )
@@ -120,12 +137,18 @@ def lsh_store_update_batch(
 
 
 def lsh_store_compact(
-    spark: SparkSession, store_path: str, n_buckets: int = LSH_STORE_BUCKETS
+    spark: SparkSession,
+    store_path: str,
+    n_buckets: int = LSH_STORE_BUCKETS,
+    rows_per_bucket: int = segments.ROWS_PER_BUCKET,
 ) -> None:
     """Fold live deltas into a fresh doc-bucketed base, committed by
     one atomic meta replace; bucket-PARTIAL like the sibling stores
     (only buckets the live deltas touch are merged — latest-writer
-    window — and untouched partitions hard-link into the new base)."""
+    window — and untouched partitions hard-link into the new base).
+    r11: the bucket count grows (power-of-2, full rewrite) when the
+    store outgrows ~rows_per_bucket rows per bucket
+    (segments.grown_n_buckets)."""
     meta = segments.read_meta(store_path)
     segments.sweep(store_path, meta)
     deltas = segments.live_deltas(store_path, meta)
@@ -133,12 +156,16 @@ def lsh_store_compact(
         return
     hi = max(deltas)
     n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    grown = segments.grown_n_buckets(meta, deltas, n_buckets, rows_per_bucket)
     new_base = segments.next_base_name(meta)
     touched = (
         segments.touched_buckets(deltas, "_bucket")
-        if meta["base"] and meta.get("base_n_buckets") == n_buckets
+        if grown == n_buckets
+        and meta["base"]
+        and meta.get("base_n_buckets") == n_buckets
         else None
     )
+    n_buckets = grown
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -183,10 +210,12 @@ def lsh_store_compact(
     segments.write_meta(
         store_path,
         {
+            **meta,  # preserve pinned properties
             "base": new_base,
             "consumed_through": hi,
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
+            "base_rows": segments.base_row_count(spark, store_path, new_base),
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))

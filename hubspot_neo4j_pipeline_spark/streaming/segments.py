@@ -128,15 +128,23 @@ def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = No
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
     if bucket_col is not None:
-        touched = sorted(
-            r[0]
-            for r in df.sparkSession.read.parquet(tmp)
-            .select(bucket_col)
-            .distinct()
+        # one slim aggregation over the just-written parquet gives BOTH
+        # the touched-bucket list (partial compaction) and the delta's
+        # row count (r11: scale-adaptive bucket sizing) — footer-cheap,
+        # never a recompute of the batch plan
+        per_bucket = (
+            df.sparkSession.read.parquet(tmp)
+            .groupBy(bucket_col)
+            .count()
             .collect()
         )
+        touched = sorted(r[0] for r in per_bucket)
+        rows = int(sum(r[1] for r in per_bucket))
         with open(os.path.join(tmp, MANIFEST), "w") as fh:
-            json.dump({"bucket_col": bucket_col, "touched": touched}, fh)
+            json.dump(
+                {"bucket_col": bucket_col, "touched": touched, "rows": rows},
+                fh,
+            )
     os.rename(tmp, os.path.join(store_path, DELTAS, f"b{batch_id}"))
 
 
@@ -226,6 +234,78 @@ def pin_n_buckets(store_path: str, meta: dict, n_buckets: int) -> int:
     meta["n_buckets"] = n_buckets
     write_meta(store_path, meta)
     return n_buckets
+
+
+def pin_value(store_path: str, meta: dict, key: str, value) -> None:
+    """Pin an immutable store property (e.g. the id column's Spark
+    dtype) in meta at first ingest and RAISE on any later mismatch —
+    the same provenance rule as ``pin_n_buckets``, but for properties
+    where silently keeping the old value would corrupt semantics
+    instead of just layout (r10 ADVICE: a store whose min-owner ids
+    switch from long to string mid-life silently flips min() from
+    numeric to lexicographic)."""
+    if meta.get(key) is not None:
+        if meta[key] != value:
+            raise ValueError(
+                f"store {store_path} pinned {key}={meta[key]!r} at first "
+                f"ingest, got {value!r} — rebuild the store to change it"
+            )
+        return
+    meta[key] = value
+    write_meta(store_path, meta)
+
+
+# Scale-adaptive bucketing (r11, r10 VERDICT task 5). A store's bucket
+# count is still pinned for LAYOUT consistency (every live delta and
+# the base must share one bucketing for partial carry-over), but it is
+# no longer pinned for LIFE: at compaction time — the one moment the
+# whole visible state is rewritten into a single new generation — the
+# count may GROW (power-of-2 steps) when the store has outgrown it.
+# Sizing rule: keep ~ROWS_PER_BUCKET rows per bucket in the compacted
+# base, so per-bucket partition work stays bounded as the store grows
+# 10-1000x; without growth, production batch sizes eventually touch
+# every bucket and partial compaction degrades to the full rewrite.
+# Growth always takes the full-rewrite path (the manifests' bucket ids
+# are meaningless under the new modulus) and commits the new count in
+# the same atomic meta replace as the new base — deltas written after
+# it pick the grown count up from meta via pin_n_buckets.
+ROWS_PER_BUCKET = 2_000_000
+
+
+def grown_n_buckets(
+    meta: dict,
+    deltas: dict[int, str],
+    n_buckets: int,
+    rows_per_bucket: int = ROWS_PER_BUCKET,
+) -> int:
+    """Bucket count for the NEXT base generation: doubled until the
+    store's known row count fits ~rows_per_bucket per bucket; never
+    shrinks. Row counts come from meta's ``base_rows`` (recorded at
+    every compaction) plus the live deltas' manifest ``rows`` — when
+    either is missing (pre-r11 state) the current count is kept, so
+    correctness never depends on the sizing metadata."""
+    total = 0
+    if meta.get("base"):
+        if meta.get("base_rows") is None:
+            return n_buckets
+        total += int(meta["base_rows"])
+    for _bid, path in deltas.items():
+        m = delta_manifest(path)
+        if m is None or "rows" not in m:
+            return n_buckets
+        total += int(m["rows"])
+    grown = n_buckets
+    while total > grown * rows_per_bucket:
+        grown *= 2
+    return grown
+
+
+def base_row_count(spark, store_path: str, base_name: str) -> int:
+    """Row count of a committed base — parquet-footer metadata only
+    (Spark's count over parquet aggregates row-group counts, no data
+    scan), recorded in meta as ``base_rows`` for the next compaction's
+    sizing decision."""
+    return spark.read.parquet(os.path.join(store_path, base_name)).count()
 
 
 def next_base_name(meta: dict) -> str:

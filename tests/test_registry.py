@@ -66,9 +66,12 @@ def test_priority_prefix_spans_all_families():
         "scd2_version_chain",
         "relationship_diff",
         # soft_delete_candidates rotated out in r10 (T4/T5 stay
-        # in-window via scd2_golden_merge)
+        # in-window via scd2_golden_merge); scd2_golden_changelog
+        # rotated out in r11 for incremental_scd2_roundtrip (T2 via
+        # change_classification / scd2_golden_merge, T6 via
+        # relationship_diff)
         "scd2_golden_merge",
-        "scd2_golden_changelog",
+        "incremental_scd2_roundtrip",
     ):
         assert name in prefix, f"temporal family member {name} fell out of the prefix"
     for name in (
@@ -105,13 +108,14 @@ def test_priority_prefix_spans_all_families():
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Fourteen §2-redundant queries are rotated past the driver's
+    """Fifteen §2-redundant queries are rotated past the driver's
     50-query window (five in r4 for the sequence/sketch/funnel/
     semantic-dedup flagships, three in r5 for the sink round-trips and
     the real media decode, two in r6 for the rewritten
     fuzzy_name_pairs / doc_simhash_pairs scale flagships, one in r7
     for the trained-centroid IVF flagship, one in r8 for the Neo4j
-    dry-run sink, two in r10 for the LSM streaming-store flagships);
+    dry-run sink, two in r10 for the LSM streaming-store flagships,
+    one in r11 for the SCD2-store round-trip — T8's only carrier);
     they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
@@ -143,6 +147,10 @@ def test_demoted_queries_still_registered_with_oracles():
         # r10: demoted for incremental_neardup_pairs (J6 via
         # fuzzy_name_pairs)
         "staged_entity_match",
+        # r11: demoted for incremental_scd2_roundtrip — T8's only
+        # carrier enters the window (T2 via change_classification /
+        # change_summary / scd2_golden_merge, T6 via relationship_diff)
+        "scd2_golden_changelog",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"

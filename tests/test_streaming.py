@@ -1272,3 +1272,203 @@ def test_scd2_history_segments_fold(spark, tmp_path_factory, monkeypatch):
     assert {r["k"]: r["v"] for r in read_current(spark, store).collect()} == {
         1: "v5", 2: "x"
     }
+
+
+def test_bucket_count_grows_at_compaction(spark, tmp_path_factory):
+    """r11 scale-adaptive bucketing (r10 VERDICT task 5): a store that
+    outgrows ~rows_per_bucket rows per bucket must DOUBLE its bucket
+    count at compaction (full-rewrite path, new count committed
+    atomically with the new base), reads must stay exact across the
+    generation bump, a simulated crash mid-growth must be invisible,
+    and post-growth compactions must regain the PARTIAL path (<100%
+    touched buckets, untouched files hard-link-identical)."""
+    import os
+
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.gram_store import (
+        _partial_counts,
+        gram_store_compact,
+        gram_store_update_batch,
+        read_gram_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path_factory.mktemp("gram_grow")) + "/store"
+    gram_store_update_batch(docs, store, batch_id=0, n_buckets=4)
+    man0 = segments.delta_manifest(os.path.join(store, "deltas", "b0"))
+    total0 = man0["rows"]
+    assert total0 > 64  # the fixture is big enough to force growth below
+
+    # rows_per_bucket chosen so the pinned 4 buckets are outgrown
+    rpb = max(total0 // 16, 1)
+    expected = 4
+    while total0 > expected * rpb:
+        expected *= 2
+    assert expected > 4
+
+    gram_store_compact(spark, store, rows_per_bucket=rpb)
+    meta0 = segments.read_meta(store)
+    assert meta0["n_buckets"] == expected == meta0["base_n_buckets"]
+    assert meta0["base_rows"] == total0
+    # reads exact across the generation bump
+    got = sorted((r["h"], r["n"]) for r in read_gram_store(spark, store).collect())
+    want = sorted(
+        (r["h"], r["n"]) for r in _partial_counts(docs, "doc_id", "text", None).collect()
+    )
+    assert got == want
+
+    def inodes(base):
+        return {
+            os.path.relpath(os.path.join(dp, f), base): os.stat(
+                os.path.join(dp, f)
+            ).st_ino
+            for dp, _d, fs in os.walk(base)
+            for f in fs
+        }
+
+    ino0 = inodes(os.path.join(store, meta0["base"]))
+
+    # a small batch at the GROWN generation: crash-tour then partial
+    small = spark.createDataFrame(
+        [(999001, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    gram_store_update_batch(small, store, batch_id=1)
+    man1 = segments.delta_manifest(os.path.join(store, "deltas", "b1"))
+    touched = set(man1["touched"])
+    assert 0 < len(touched) < expected  # strictly partial at the new count
+    want2 = sorted(
+        (r["h"], r["n"])
+        for r in _partial_counts(
+            docs.unionByName(small), "doc_id", "text", None
+        ).collect()
+    )
+    # simulated crash: all work done, commit skipped — reads unchanged
+    # (base + live deltas, i.e. docs ∪ small, exactly as before the
+    # crashed attempt)
+    gram_store_compact(spark, store, rows_per_bucket=rpb, _crash_before_commit=True)
+    assert sorted(
+        (r["h"], r["n"]) for r in read_gram_store(spark, store).collect()
+    ) == want2
+    # retry converges; untouched buckets carried by hard-link
+    gram_store_compact(spark, store, rows_per_bucket=rpb)
+    meta1 = segments.read_meta(store)
+    assert meta1["n_buckets"] == expected  # no further growth needed
+    assert meta1["consumed_through"] == 1
+    ino1 = inodes(os.path.join(store, meta1["base"]))
+    untouched_files = [
+        p
+        for p in ino1
+        if p.split(os.sep)[0].startswith("bucket=")
+        and int(p.split(os.sep)[0].split("=")[1]) not in touched
+    ]
+    assert untouched_files
+    for p in untouched_files:
+        assert ino1[p] == ino0[p], f"untouched bucket file {p} was rewritten"
+    got2 = sorted((r["h"], r["n"]) for r in read_gram_store(spark, store).collect())
+    assert got2 == want2
+
+
+def test_hash_store_pins_id_type(spark, tmp_path_factory):
+    """r10 ADVICE: a long-keyed store ingesting string ids later would
+    unionByName-coerce owners to string and silently flip min() from
+    numeric to lexicographic ('10' < '9'). The id dtype is pinned in
+    meta at first ingest and a mismatched ingest or scoring call must
+    raise instead."""
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
+        dedup_batch_against_store,
+        hash_store_update_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("hash_store_pin")) + "/hashes"
+    hist = spark.createDataFrame(
+        [(9, "same text"), (10, "other text")], "doc_id long, text string"
+    )
+    hash_store_update_batch(hist, store, batch_id=0)
+    assert segments.read_meta(store)["id_type"] == "bigint"
+
+    strings = spark.createDataFrame(
+        [("10", "same text")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="id_type"):
+        hash_store_update_batch(strings, store, batch_id=1)
+    with pytest.raises(ValueError, match="owner ids"):
+        dedup_batch_against_store(strings, store).collect()
+
+    # pre-r11 upgrade path: a store whose meta lacks the pin backfills
+    # it from the STORED schema, so the first post-upgrade ingest with
+    # the wrong type still fails loudly
+    meta = segments.read_meta(store)
+    del meta["id_type"]
+    segments.write_meta(store, meta)
+    with pytest.raises(ValueError, match="id_type"):
+        hash_store_update_batch(strings, store, batch_id=1)
+
+    # matching ingests keep working and the pin survives compaction
+    more = spark.createDataFrame(
+        [(3, "same text")], "doc_id long, text string"
+    )
+    hash_store_update_batch(more, store, batch_id=1)
+    from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
+        hash_store_compact,
+        read_hash_store,
+    )
+
+    hash_store_compact(spark, store)
+    assert segments.read_meta(store)["id_type"] == "bigint"
+    owners = {
+        r["content_hash"]: r["owner_id"]
+        for r in read_hash_store(spark, store).collect()
+    }
+    assert set(owners.values()) == {3, 10}  # numeric min: 3 < 9
+
+
+def test_lsh_store_duplicate_id_in_batch_is_deterministic(
+    spark, tmp_path_factory
+):
+    """r10 ADVICE: duplicate doc_ids within one micro-batch share one
+    _ubid, so the read-side latest-writer window would pick a winner
+    nondeterministically. _doc_rows must keep exactly one row per id,
+    chosen by a content-keyed rule (max sha2(text)), so every replay
+    picks the same winner."""
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
+        _doc_rows,
+        lsh_store_update_batch,
+        read_lsh_store,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    batch = spark.createDataFrame(
+        [(7, t1), (7, t2), (8, t1)], "doc_id long, text string"
+    )
+    rows = _doc_rows(batch, "doc_id", "text").collect()
+    assert sorted(r["doc_id"] for r in rows) == [7, 8]
+    winner_text = max(
+        [t1, t2],
+        key=lambda t: spark.createDataFrame([(t,)], "t string")
+        .select(F.sha2("t", 256))
+        .collect()[0][0],
+    )
+    expected_sig = (
+        _doc_rows(
+            spark.createDataFrame([(7, winner_text)], "doc_id long, text string"),
+            "doc_id",
+            "text",
+        )
+        .collect()[0]["sig"]
+    )
+    got_sig = next(r["sig"] for r in rows if r["doc_id"] == 7)
+    assert got_sig == expected_sig
+
+    # and through the store: one row per id after ingest
+    store = str(tmp_path_factory.mktemp("lsh_dup")) + "/lsh"
+    lsh_store_update_batch(batch, store, batch_id=0)
+    stored = read_lsh_store(spark, store).collect()
+    assert sorted(r["doc_id"] for r in stored) == [7, 8]
+    assert next(r["sig"] for r in stored if r["doc_id"] == 7) == expected_sig

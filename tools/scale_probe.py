@@ -250,6 +250,9 @@ def main() -> int:
                 fh,
                 indent=1,
             )
+        from tools import gatefresh
+
+        gatefresh.record([out_json])  # gate-freshness (r11): artifact pins the engine code it measured
     return 1 if failures else 0
 
 

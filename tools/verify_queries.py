@@ -185,6 +185,9 @@ def main() -> int:
                 fh,
                 indent=1,
             )
+        from tools import gatefresh
+
+        gatefresh.record([json_out])  # gate-freshness (r11): artifact pins the engine code it measured
     return 1 if n_fail else 0
 
 
