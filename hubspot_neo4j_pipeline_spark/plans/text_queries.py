@@ -1277,6 +1277,129 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agreement_slice_oracle(k_mod: int) -> str:
+    """The agreement roll-up over BOTH arms' deterministic 1/k_mod
+    slices: the exact arm keeps only md5-bigint shingles ≡ 0 (mod
+    k_mod) — the CC slice twins' predicate — and the MinHash arm keeps
+    only band buckets ≡ 0 (mod k_mod) — doc_minhash_lsh_pairs_slice's
+    predicate. Both slices are computable identically in DuckDB, so
+    the agreement MATRIX itself gets a 100x cell-exact row (r10
+    VERDICT task 6; the full query's shared-shingle CTE is the
+    oracle-side quadratic that keeps it on the sf10 exclusion list)."""
+    return f"""
+        WITH mh AS ({_minhash_oracle(band_slice=(k_mod, 0))}),
+        shingled2 AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 4),
+                       i -> CAST(('0x' || substr(md5(array_to_string(
+                                string_split(text, ' ')[i:i+4], ' ')), 1, 15))
+                            AS BIGINT)
+                   ))) AS shingle
+            FROM documents
+        ),
+        sliced AS (
+            SELECT doc_id, shingle FROM shingled2 WHERE shingle % {k_mod} = 0
+        ),
+        sp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sliced a JOIN sliced b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
+        ),
+        bb AS (SELECT id_a, id_b FROM mh),
+        na AS (SELECT count(*) AS n_shingle_pairs FROM sp),
+        nb AS (SELECT count(*) AS n_minhash_pairs FROM bb),
+        nboth AS (
+            SELECT count(*) AS n_both FROM sp JOIN bb USING (id_a, id_b)
+        )
+        SELECT n_shingle_pairs, n_minhash_pairs, n_both,
+               n_shingle_pairs - n_both AS n_only_shingle,
+               n_minhash_pairs - n_both AS n_only_minhash,
+               CASE WHEN n_shingle_pairs + n_minhash_pairs - n_both = 0
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE floor(CAST(n_both AS DOUBLE)
+                         / (n_shingle_pairs + n_minhash_pairs - n_both)
+                         * 10000) / 10000
+               END AS agreement
+        FROM na CROSS JOIN nb CROSS JOIN nboth
+    """
+
+
+@register(
+    "dedup_method_agreement_slice",
+    oracle=_agreement_slice_oracle(VERIFY_SLICE_K),
+    covers=("D1", "U3", "A8"),
+    doc=(
+        "dedup_method_agreement over BOTH arms' deterministic 1/8 "
+        "slices (exact arm: md5-bigint shingle % 8 == 0, the CC slice "
+        "twins' universe; MinHash arm: band buckets % 8 == 0, "
+        "doc_minhash_lsh_pairs_slice's bands) — the 100x-scale exact-"
+        "verification variant of the method-agreement audit itself, "
+        "not just of its arms (r10 VERDICT task 6). The sliced report "
+        "is a well-defined production audit (both pair generators run "
+        "their full machinery on the shared sliced universe); the "
+        "oracle's quadratic candidate joins shrink ~8x each. Shares "
+        "ONE cached string-shingle scan across both arms like the "
+        "full query."
+    ),
+)
+def dedup_method_agreement_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs, shingle_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = (
+        docs.where(F.size(F.split(F.col("text"), " ")) >= 5)
+        .select("doc_id", shingle_set("text").alias("shingles"))
+        .transform(tracked_cache)
+    )
+    md5_hash = _MD5_SHINGLE_SQL.format(gram="s")
+    sp = (
+        _dup_pairs_from_exploded(
+            shingled.select(
+                "doc_id",
+                F.expr(
+                    f"explode(array_distinct("
+                    f"transform(shingles, s -> {md5_hash})))"
+                ).alias("shingle"),
+            ).where(F.pmod(F.col("shingle"), F.lit(VERIFY_SLICE_K)) == 0)
+        )
+        .select("id_a", "id_b")
+        .transform(tracked_cache)
+    )
+    mh = (
+        minhash_lsh_pairs(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            shingles=shingled,
+            band_slice=(VERIFY_SLICE_K, 0),
+        )
+        .select("id_a", "id_b")
+        .transform(tracked_cache)
+    )
+    na = sp.agg(F.count("*").alias("n_shingle_pairs"))
+    nb = mh.agg(F.count("*").alias("n_minhash_pairs"))
+    nboth = sp.join(mh, ["id_a", "id_b"]).agg(F.count("*").alias("n_both"))
+    denom = (
+        F.col("n_shingle_pairs") + F.col("n_minhash_pairs") - F.col("n_both")
+    )
+    return (
+        na.join(F.broadcast(nb))
+        .join(F.broadcast(nboth))
+        .select(
+            "n_shingle_pairs",
+            "n_minhash_pairs",
+            "n_both",
+            (F.col("n_shingle_pairs") - F.col("n_both")).alias("n_only_shingle"),
+            (F.col("n_minhash_pairs") - F.col("n_both")).alias("n_only_minhash"),
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(F.floor(F.col("n_both").cast("double") / denom * 10000) / 10000)
+            .alias("agreement"),
+        )
+    )
+
+
 def _simhash_pairs_oracle(
     max_hamming: int = 3, chunk_slice: tuple[int, int] | None = None
 ) -> str:

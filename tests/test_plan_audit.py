@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "source_temperature_weights",  # 1-row global-max char-mass anchor
     "corpus_kmv_sketch",  # 1-row merged-sketch (kth-min) frame
     "dedup_method_agreement",  # three 1-row count frames joined
+    "dedup_method_agreement_slice",  # same three 1-row count frames (r11)
     "fuzzy_name_pairs",  # 1-row corpus-lcp frame (prefix strip, r8)
 }
 

@@ -52,6 +52,7 @@ ALLOWED_RATIOS: dict[str, float] = {
     # runs BOTH pair pipelines above and intersects them — inherits
     # their pair-count-driven growth (measured 6.5x at 10x data).
     "dedup_method_agreement": 12.0,
+    "dedup_method_agreement_slice": 12.0,  # r11: same arms, 1/8 slices
     # exact deletion-neighborhood join: variant-bucket population is
     # bounded by LOCAL near-match density, which on the synthetic
     # dense sequential keyspace grows ~N^0.5 (max bucket 66 → 192 for
@@ -111,6 +112,10 @@ ALLOWED_RATIOS_100X: dict[str, float] = {
     # fixed-overhead-dominated. Candidate join itself is id-only.
     "ann_lsh_topk": 8.0,  # measured 5.2x (r7), linear build
     "dedup_method_agreement": 20.0,  # measured 15.1x (both pair pipelines)
+    # r11 slice twin: both arms on deterministic 1/8 universes — the
+    # pair-count-driven growth is the full query's, damped ~8x; bound
+    # inherited from the MinHash-slice family
+    "dedup_method_agreement_slice": 24.0,
     "doc_minhash_lsh_pairs": 24.0,  # measured 17.7x
     # r10 streaming near-dup store round-trips: the SAME signature /
     # banding / verify kernel as doc_minhash_lsh_pairs over
