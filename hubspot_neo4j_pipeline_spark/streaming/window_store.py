@@ -1,0 +1,280 @@
+"""Streaming event-time analytics against the FULL ingested history:
+a per-(day, user) windowed-count store on the shared LSM segment layer.
+
+The reference's event analytics are rolling recency predicates over a
+re-extracted window — "activity in the last 30 days" style CONTAINS /
+date-arithmetic filters recomputed from scratch every pipeline run
+(reference README.md:224-246 recency reporting; SURVEY §2.8 notes the
+reference is batch-only). Structured Streaming's windowed aggregation
+(streaming/event_analytics.windowed_event_counts) makes the CURRENT
+window incremental but its state lives inside one query's checkpoint —
+it cannot be read by other consumers, joined, or survive a topology
+change. This store is the durable half: each micro-batch folds its
+events into additive per-(day, user_id) partials — (n, total_value) —
+ingested in O(batch) as an atomic delta on streaming/segments.py's
+commit/replay/crash contract (the gram store's exact layout; counts
+are sum-mergeable, so replay and out-of-order batches cannot corrupt
+them once the per-batch-id guard admits each batch exactly once).
+Any rolling window — P7D, P30D, the reference's 90-day extraction
+fence — is then ONE filtered aggregation over the slim store, no
+event re-scan.
+
+Scale: the store holds one row per (user, active day) — bounded by
+users x days regardless of event volume (a 100 TB event history with
+1e8 users x 365 days is a ~4e10-row slim table, itself bucket-
+partitioned by user hash and partially compacted). Ingest per batch is
+one map-side-combinable groupBy; reads aggregate base + live deltas
+only; compaction is O(touched + deltas) with r11 adaptive bucket
+growth.
+
+Exactness: total_value folds through DECIMAL(18,2) per-row casts
+(house money rule) so per-batch partial sums merge associatively and
+bit-match DuckDB's one-shot sum; day = to_date(ts), identical to
+CAST(ts AS DATE).
+
+Reference parity: utils of the recency reports (SURVEY §2 F10/J11
+family); the batch oracle is a plain GROUP BY over the replayed event
+union (registered query ``incremental_window_counts``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import segments
+
+WINDOW_STORE_BUCKETS = 32
+COMPACT_EVERY = 8
+
+
+def _partial_counts(
+    batch: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """One batch's additive (day, user_id, n, total_value) partials.
+    total_value is a DECIMAL(18,2) sum of per-row decimal casts —
+    exact and order-free, so partials from any batch split merge to
+    the identical one-shot sum."""
+    return (
+        batch.select(
+            # midnight TIMESTAMP, not DATE — the registry's day-grain
+            # convention (daily_event_spine), identical to DuckDB's
+            # date_trunc('day', ts)
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.col(user_col).alias("user_id"),
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        )
+        .groupBy("day", "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_v").cast("decimal(18,2)").alias("total_value"),
+        )
+    )
+
+
+def _bucket_expr(n_buckets: int):
+    return F.pmod(
+        F.xxhash64(F.col("user_id").cast("string")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def read_window_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's current (day, user_id, n, total_value) view: meta's
+    base plus live deltas, sum-merged. Plain scan after a compaction
+    with no new deltas."""
+    meta = segments.read_meta(store_path)
+    frames = []
+    if meta["base"]:
+        frames.append(
+            spark.read.parquet(os.path.join(store_path, meta["base"])).select(
+                "day", "user_id", "n", "total_value"
+            )
+        )
+    for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
+        frames.append(
+            spark.read.parquet(path).select("day", "user_id", "n", "total_value")
+        )
+    if not frames:
+        raise FileNotFoundError(f"empty window store at {store_path}")
+    if len(frames) == 1:
+        return frames[0]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("day", "user_id").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+    )
+
+
+def window_store_update_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    compact_every: int = COMPACT_EVERY,
+    n_buckets: int = WINDOW_STORE_BUCKETS,
+) -> None:
+    """Ingest one micro-batch's per-(day, user) partial counts as an
+    atomic delta — O(batch), the existing state is NOT read. Same
+    replay / crash / compaction contract as the sibling stores; sums
+    are additive, so the per-batch-id replay guard is the only thing
+    idempotency needs."""
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed micro-batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    partial = _partial_counts(batch, ts_col, user_col, value_col).withColumn(
+        "_bucket", _bucket_expr(n_buckets)
+    )
+    segments.commit_delta(partial, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        window_store_compact(batch.sparkSession, store_path, n_buckets)
+
+
+def window_store_compact(
+    spark: SparkSession,
+    store_path: str,
+    n_buckets: int = WINDOW_STORE_BUCKETS,
+    rows_per_bucket: int = segments.ROWS_PER_BUCKET,
+) -> None:
+    """Fold live deltas into a fresh user-bucketed base, committed by
+    one atomic meta replace — bucket-PARTIAL like the sibling stores
+    (sum-merge only the buckets the live deltas touch, hard-link the
+    rest), with r11 adaptive growth (power-of-2 full rewrite when the
+    store outgrows ~rows_per_bucket rows per bucket)."""
+    meta = segments.read_meta(store_path)
+    segments.sweep(store_path, meta)
+    deltas = segments.live_deltas(store_path, meta)
+    if not deltas:
+        return
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    grown = segments.grown_n_buckets(meta, deltas, n_buckets, rows_per_bucket)
+    new_base = segments.next_base_name(meta)
+    touched = (
+        segments.touched_buckets(deltas, "_bucket")
+        if grown == n_buckets
+        and meta["base"]
+        and meta.get("base_n_buckets") == n_buckets
+        else None
+    )
+    n_buckets = grown
+    if touched == []:  # only empty deltas live: carry the base verbatim
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        os.makedirs(merged_tmp, exist_ok=True)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    elif touched is not None and len(touched) < n_buckets:
+        frames = [
+            spark.read.parquet(os.path.join(store_path, meta["base"]))
+            .where(F.col("_bucket").isin(touched))  # partition-pruned
+            .select("day", "user_id", "n", "total_value")
+        ]
+        for _bid, path in sorted(deltas.items()):
+            frames.append(
+                spark.read.parquet(path).select(
+                    "day", "user_id", "n", "total_value"
+                )
+            )
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        merged = (
+            merged.groupBy("day", "user_id")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+            )
+            .withColumn("_bucket", _bucket_expr(n_buckets))
+        )
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(merged_tmp)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    else:
+        merged = read_window_store(spark, store_path).withColumn(
+            "_bucket", _bucket_expr(n_buckets)
+        )
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(store_path, new_base))
+    segments.write_meta(
+        store_path,
+        {
+            **meta,  # preserve pinned properties
+            "base": new_base,
+            "consumed_through": max(deltas),
+            "n_buckets": n_buckets,
+            "base_n_buckets": n_buckets,
+            "base_rows": segments.base_row_count(spark, store_path, new_base),
+        },
+    )
+    segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def recency_report_from_store(
+    spark: SparkSession, store_path: str, window_days: int = 7
+) -> DataFrame:
+    """The reference's rolling-recency report recomputed from the
+    store, no event re-scan: per user, lifetime activity totals plus
+    the last-``window_days`` window (inclusive of the anchor day). The
+    anchor is the store's global max day — data-derived, never the
+    wall clock (house rule), so the report is deterministic and equals
+    the same SQL over the replayed event union.
+
+    Output: (user_id, n_events_total, total_value_total DOUBLE,
+    n_days_active, first_active_day, last_active_day, n_events_recent,
+    active_recent)."""
+    store = read_window_store(spark, store_path)
+    anchor = store.agg(F.max("day").alias("_max_day"))
+    recent = F.col("day") >= F.expr(
+        f"_max_day - INTERVAL {window_days - 1} DAYS"
+    )
+    return (
+        store.join(F.broadcast(anchor))  # 1-row anchor
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events_total"),
+            F.sum("total_value")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_value_total"),
+            F.count("*").alias("n_days_active"),
+            F.min("day").alias("first_active_day"),
+            F.max("day").alias("last_active_day"),
+            F.sum(F.when(recent, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_events_recent"),
+            F.max(recent).alias("active_recent"),
+        )
+    )
+
+
+def stream_window_store(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch driver: each micro-batch folds its per-(day, user)
+    partials into the store (same shape as stream_gram_store)."""
+    from .incremental import run_foreach_batch
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        window_store_update_batch(batch, store_path, batch_id=batch_id)
+
+    run_foreach_batch(stream_df, _sink, checkpoint_dir, timeout_sec)

@@ -1472,3 +1472,63 @@ def test_lsh_store_duplicate_id_in_batch_is_deterministic(
     stored = read_lsh_store(spark, store).collect()
     assert sorted(r["doc_id"] for r in stored) == [7, 8]
     assert next(r["sig"] for r in stored if r["doc_id"] == 7) == expected_sig
+
+
+def test_stream_window_store_recency_equals_batch(spark, tmp_path_factory):
+    """r11 windowed-count store (r10 VERDICT task 7): the per-(day,
+    user) count store maintained by foreachBatch over 3 micro-batches
+    must drive the rolling-recency report to the EXACT batch result
+    over the same events, the replay guard must hold across a
+    compaction, and total_value partials must merge to the identical
+    decimal sum regardless of the batch split."""
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.streaming.window_store import (
+        _partial_counts,
+        read_window_store,
+        recency_report_from_store,
+        stream_window_store,
+        window_store_compact,
+        window_store_update_batch,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path_factory.mktemp("win_src"))
+    store = str(tmp_path_factory.mktemp("win_store")) + "/windows"
+    ckpt = str(tmp_path_factory.mktemp("win_ckpt"))
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    assert stream.isStreaming
+    stream_window_store(stream, store, ckpt)
+
+    # store view ≡ one-shot partials over ALL events (decimal-exact)
+    got = sorted(tuple(r) for r in read_window_store(spark, store).collect())
+    want = sorted(tuple(r) for r in _partial_counts(events).collect())
+    assert got == want and want
+
+    # recency report from the store ≡ the same report computed from a
+    # one-shot single-batch store (pure batch path)
+    one_shot = str(tmp_path_factory.mktemp("win_oneshot")) + "/windows"
+    window_store_update_batch(events, one_shot, batch_id=0)
+    rep_stream = sorted(
+        tuple(r) for r in recency_report_from_store(spark, store, 7).collect()
+    )
+    rep_batch = sorted(
+        tuple(r) for r in recency_report_from_store(spark, one_shot, 7).collect()
+    )
+    assert rep_stream == rep_batch
+    # sanity: the 7-day window genuinely discriminates on this fixture
+    rows = recency_report_from_store(spark, store, 7).collect()
+    assert any(r["n_events_recent"] < r["n_events_total"] for r in rows)
+
+    # replay guard across compaction: counts are NOT idempotent, so a
+    # broken guard doubles them
+    window_store_update_batch(events, store, batch_id=2)
+    assert sorted(tuple(r) for r in read_window_store(spark, store).collect()) == want
+    window_store_compact(spark, store)
+    assert sorted(tuple(r) for r in read_window_store(spark, store).collect()) == want
+    window_store_update_batch(events, store, batch_id=2)
+    assert sorted(tuple(r) for r in read_window_store(spark, store).collect()) == want
