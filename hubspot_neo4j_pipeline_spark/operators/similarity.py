@@ -192,6 +192,139 @@ def lsh_buckets(
     )
 
 
+def _arrow_cosine_pairs(
+    pairs_src: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """In-bucket cosine verify, Arrow-vectorized (r11).
+
+    Same contract as the in-expression kernel it replaces on the hot
+    path (see embedding_near_dup_pairs): for every (table_id, bucket)
+    group, score all i < j pairs and keep cosine >= threshold. The
+    r9 expression shape already minimized SHUFFLE (vectors ride the
+    one groupBy sized by bucket rows); what remained was CPU — Spark
+    evaluates higher-order lambdas interpreted, so 59.85M candidate
+    pairs x dim-64 folds cost ~19 s of the query's 24.7 s at sf10.
+    Here the same pairs flow through ONE mapInPandas over rows
+    pre-clustered by repartition + sortWithinPartitions on the bucket
+    key (no per-group UDF dispatch — groups are consumed as runs
+    inside each Arrow batch, split groups carried across batch
+    boundaries), and the arithmetic is numpy-vectorized ACROSS pairs
+    while staying SEQUENTIAL across dimensions:
+
+        acc_0 = 0.0;  acc_{j+1} = acc_j + (x_j * y_j)
+
+    — each step one rounded IEEE754 multiply then one rounded add,
+    the exact op tree of the SQL fold ``aggregate(zip_with(x, y,
+    (a,b) -> a*b), 0.0d, (acc,v) -> acc+v)`` — so every dot, every
+    cosine = dot/(n_a*n_b) (norms precomputed by the SAME l2_norm
+    expression and shipped through Arrow bit-intact), and every
+    threshold comparison is BITWISE identical to the expression
+    kernel and to the DuckDB oracle's list_reduce fold (equality
+    pinned by test at two SFs; never np.dot/einsum — BLAS reorders
+    the summation). Measured sf10: 24.7 -> 7.7 s min-of-3 end-to-end.
+
+    Scale: one extra hash shuffle of the slim bucket rows replaces
+    the groupBy exchange of the expression shape (same bytes moved);
+    Python-side temporaries are blocked at ~2M pairs, so memory per
+    worker stays bounded regardless of bucket population; the
+    max_bucket_df cap (<= 4096) keeps any single group's pair count
+    finite. At 1000 executors this is the same plan — data-parallel
+    over buckets with no driver involvement."""
+    id_type = dict(pairs_src.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    rows = (
+        pairs_src.withColumn("_n", l2_norm("e"))
+        .select(
+            "table_id", "bucket", F.col(id_col).alias("_i"), "e", "_n"
+        )
+        .repartition("table_id", "bucket")
+        .sortWithinPartitions("table_id", "bucket", "_i")
+    )
+    thr = float(threshold)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        tri_cache: dict = {}
+        blocks: list = []
+
+        def pairs_of(pdf: "pd.DataFrame"):
+            if len(pdf) == 0:
+                return None
+            # group run boundaries on the (table_id, bucket) key
+            tb = pdf["table_id"].to_numpy()
+            bk = pdf["bucket"].to_numpy()
+            change = np.flatnonzero((tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1]))
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(pdf)]))
+            a_parts, b_parts = [], []
+            for s, e in zip(starts, ends):
+                k = e - s
+                if k < 2:
+                    continue
+                tri = tri_cache.get(k)
+                if tri is None:
+                    tri = tri_cache[k] = np.triu_indices(k, 1)
+                a_parts.append(tri[0] + s)
+                b_parts.append(tri[1] + s)
+            if not a_parts:
+                return None
+            A = np.concatenate(a_parts)
+            B = np.concatenate(b_parts)
+            # dim-major layout: XT[j] is one contiguous row per
+            # dimension and the whole matrix is Arrow-batch-sized
+            # (~10k x dim doubles, cache-resident), so the per-dim
+            # gathers below stream the PAIR arrays while the vector
+            # data stays hot — no pairs x dim temporaries at all
+            # (a gathered-matrix variant allocated ~2 GB per worker
+            # per block and thrashed; measured 88-115 s at sf10)
+            XT = np.ascontiguousarray(np.stack(pdf["e"].to_numpy()).T)
+            n = pdf["_n"].to_numpy()
+            ids = pdf["_i"].to_numpy()
+            acc = np.zeros(len(A), dtype=np.float64)
+            for j in range(XT.shape[0]):  # SEQUENTIAL across dims
+                acc += XT[j, A] * XT[j, B]
+            cos = acc / (n[A] * n[B])
+            keep = cos >= thr
+            if not keep.any():
+                return None
+            return pd.DataFrame(
+                {
+                    "id_a": ids[A[keep]],
+                    "id_b": ids[B[keep]],
+                    "cosine": cos[keep],
+                }
+            )
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing group: it may continue in the
+            # next Arrow batch of this partition
+            tb = pdf["table_id"].to_numpy()
+            bk = pdf["bucket"].to_numpy()
+            last_start = int(
+                np.flatnonzero((tb != tb[-1]) | (bk != bk[-1]))[-1] + 1
+                if ((tb != tb[-1]) | (bk != bk[-1])).any()
+                else 0
+            )
+            carry = pdf.iloc[last_start:]
+            done = pairs_of(pdf.iloc[:last_start])
+            if done is not None:
+                yield done
+        if carry is not None:
+            tail = pairs_of(carry)
+            if tail is not None:
+                yield tail
+
+    return rows.mapInPandas(score, out_schema).dropDuplicates(["id_a", "id_b"])
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -203,6 +336,7 @@ def embedding_near_dup_pairs(
     n_vectors: int | None = None,
     bucket_slice: tuple[int, int] | None = None,
     no_cache: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold), candidates restricted to shared LSH buckets — the
@@ -272,6 +406,12 @@ def embedding_near_dup_pairs(
     # most k(k-1)/2 24-byte structs transiently per collected row, and
     # the filter inside the flatten keeps only passing pairs.
     if max_bucket_df is not None and max_bucket_df <= 4096:
+        # r11: the verify arithmetic moves to the Arrow-vectorized
+        # kernel (same candidate set, bitwise-identical scores — see
+        # _arrow_cosine_pairs; sf10 24.7 -> 7.7 s). use_arrow=False
+        # keeps the r9 in-expression shape for the equality pin.
+        if use_arrow:
+            return _arrow_cosine_pairs(pairs_src, id_col, threshold)
         items = (
             pairs_src.withColumn("_n", l2_norm("e"))
             .select(

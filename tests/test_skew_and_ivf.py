@@ -172,6 +172,32 @@ def test_near_dup_in_bucket_verify_bit_equals_reattach_path(emb):
     assert capped == uncapped and capped  # exact doubles, not approx
 
 
+def test_arrow_cosine_kernel_bit_equals_expression_kernel(emb):
+    """The r11 Arrow-vectorized in-bucket verify (numpy accumulation,
+    vectorized across pairs but SEQUENTIAL across dims — the exact op
+    tree of the SQL fold) must be BIT-identical — ids and cosine
+    doubles — to the r9 in-expression kernel on the same capped path,
+    including the deterministic 1/8 bucket slice."""
+    from hubspot_neo4j_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    def rows(use_arrow, bucket_slice=None):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dup_pairs(
+                emb,
+                threshold=0.4,
+                max_bucket_df=1024,
+                bucket_slice=bucket_slice,
+                use_arrow=use_arrow,
+            ).collect()
+        )
+
+    assert rows(True) == rows(False) and rows(True)
+    assert rows(True, (8, 0)) == rows(False, (8, 0))
+
+
 def test_kmeans_seeds_quantized_matches_pure_python_reenactment(emb):
     """The fixed-point one-round trainer (the oracle-exact path behind
     ann_ivf_topk_trained) is deterministic integer arithmetic, so a

@@ -124,12 +124,13 @@ ALLOWED_RATIOS_100X: dict[str, float] = {
     "incremental_neardup_pairs": 24.0,
     "incremental_neardup_pairs_slice": 24.0,
     "doc_shingle_candidates": 45.0,  # measured 33.1x (110x candidate growth)
-    # r9 in-bucket cosine verify (vectors ride the bucket groupBy,
-    # only passing pairs leave the bucket) cut sf10 63.8 -> 25.7 s and
-    # sf0.1 2.36 -> 1.81 s: measured 14.2x, x1.4 headroom. True
-    # near-dup pairs still grow 462x at 100x docs by the generator's
-    # design, so the wall stays sub-linear in output.
-    "embedding_near_dup_pairs": 20.0,
+    # r11 Arrow-vectorized in-bucket cosine verify (bit-equal to the
+    # r9 expression kernel, pinned by test) cut sf10 24.7 -> 7.7 s
+    # min-of-3 and sf0.1 1.37 -> 1.04 s: measured ratio ~7.4x; bound
+    # TIGHTENED 20 -> 12 (r10 VERDICT task 3). True near-dup pairs
+    # still grow 462x at 100x docs by the generator's design, so the
+    # wall stays sub-linear in output.
+    "embedding_near_dup_pairs": 12.0,
     "fuzzy_name_pairs": 8.0,  # r7 44.1x -> r8 4.4x (corpus-prefix strip)
     "neo4j_dryrun_batches": 13.0,  # measured 9.1x (serial-sink emulation)
     "semantic_dedup": 10.0,  # measured 5.8x
