@@ -127,6 +127,7 @@ def lsh_buckets(
     n_tables: int = 8,
     planes_per_table: int | None = 4,
     n_vectors: int | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: one (table_id, bucket) row per
     vector per table (OR-construction).
@@ -152,6 +153,14 @@ def lsh_buckets(
         )
     n_planes = n_tables * planes_per_table
     v = df.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("e"))
+    # The Arrow build wins only when the interpreted fold work is
+    # large: at 2k vectors (sf0.1) the Python-worker spin-up + plane
+    # collect cost MORE than the folds (measured 0.91 -> 1.82 s for
+    # ann_lsh_topk), while at 200k vectors (sf10) the same switch cut
+    # the build ~3x (embedding_near_dup_pairs 7.7 -> 4.0 s). Size-
+    # gated like an AQE decision — both paths are bit-equal (pinned).
+    if use_arrow and n_vectors is not None and n_vectors >= ARROW_BUILD_MIN_VECTORS:
+        return _arrow_lsh_buckets(v, id_col, n_tables, planes_per_table)
     # All planes collected into ONE broadcast row (array of structs,
     # sorted by plane id — collect_list order is not deterministic on
     # its own). Plane idx j = t*planes_per_table + b maps to
@@ -189,6 +198,93 @@ def lsh_buckets(
         v.join(F.broadcast(planes_row))
         .select("_id", "e", F.posexplode(bucket_expr).alias("table_id", "bucket"))
         .select(F.col("_id").alias(id_col), "table_id", "bucket", "e")
+    )
+
+
+# Below this corpus size the interpreted-fold bucket build is cheaper
+# than the Arrow round-trip's fixed costs (see lsh_buckets); callers
+# that cannot supply n_vectors keep the expression path.
+ARROW_BUILD_MIN_VECTORS = 50_000
+
+
+def _arrow_lsh_buckets(
+    v: DataFrame, id_col: str, n_tables: int, planes_per_table: int
+) -> DataFrame:
+    """Sign-bit bucket computation for lsh_buckets, Arrow-vectorized
+    (r11). The in-expression shape folds n_tables x planes_per_table
+    interpreted dot lambdas per vector — at sf10 the bucket BUILD was
+    4.7 s of embedding_near_dup_pairs' 7.7 s once the verify moved to
+    numpy, and the same build fronts ann_lsh_topk. Here Python
+    computes ONLY the per-vector bucket-long array: vectors ship in
+    once (Arrow float64, bit-intact), the 8 longs ship out, and the
+    table fan-out stays a JVM posexplode so the embedding arrays
+    never ride the Python boundary twice.
+
+    Bit-exactness: each plane's dot is accumulated SEQUENTIALLY
+    across dimensions (one rounded multiply + one rounded add per
+    step — the SQL fold's op tree, never BLAS, whose reordered sums
+    could flip a borderline sign and change a bucket), and the planes
+    are the same first-n_planes-by-id rows the expression path
+    broadcasts, collected once (bounded: n_planes x dim doubles, the
+    same k*dim driver-state class as the IVF centroids). The
+    under-populated-table guard matches the expression path: only
+    fully-populated tables emit buckets. Equality pinned by test.
+
+    Scale: one narrow mapInPandas projection, data-parallel, no
+    shuffle introduced; the collected plane block is n_planes x dim
+    regardless of corpus size."""
+    ppt = planes_per_table
+    plane_rows = v.orderBy("_id").limit(n_tables * ppt).select("e").collect()
+    n_full = len(plane_rows) // ppt
+    id_type = dict(v.dtypes)["_id"]
+    if n_full == 0:
+        # corpus smaller than one table's planes: no buckets at all
+        # (matches the expression path's empty-array guard)
+        return v.select(
+            F.col("_id").alias(id_col), "e",
+            F.lit(0).alias("table_id"), F.lit(0).cast("long").alias("bucket"),
+        ).where(F.lit(False))
+    import numpy as np
+
+    planes = np.array([r["e"] for r in plane_rows], dtype=np.float64)
+
+    def buckets_of(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ET = np.ascontiguousarray(np.stack(pdf["e"].to_numpy()).T)
+            n = ET.shape[1]
+            out = []
+            for t in range(n_full):
+                bucket = np.zeros(n, dtype=np.int64)
+                for b in range(ppt):
+                    p = planes[t * ppt + b]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for j in range(ET.shape[0]):  # SEQUENTIAL across dims
+                        acc += ET[j] * p[j]
+                    bucket += np.where(acc >= 0, np.int64(1) << b, 0)
+                out.append(bucket)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "e": pdf["e"],  # Arrow float64 pass-through, bit-intact
+                    "_buckets": list(np.stack(out, axis=1)),
+                }
+            )
+
+    # e ships through the Python boundary (in + out) so NO join — the
+    # plan stays shuffle-free like the expression path's broadcast
+    # projection (a join-back by id would add two exchanges; a
+    # broadcast of the bucket table would grow with N — both rejected)
+    bucketed = v.mapInPandas(
+        buckets_of, f"_id {id_type}, e array<double>, _buckets array<bigint>"
+    )
+    return (
+        bucketed.select(
+            "_id", "e", F.posexplode("_buckets").alias("table_id", "bucket")
+        ).select(F.col("_id").alias(id_col), "table_id", "bucket", "e")
     )
 
 

@@ -198,6 +198,37 @@ def test_arrow_cosine_kernel_bit_equals_expression_kernel(emb):
     assert rows(True, (8, 0)) == rows(False, (8, 0))
 
 
+def test_arrow_lsh_bucket_build_bit_equals_expression_build(emb):
+    """The r11 Arrow bucket build (numpy sign-bit folds, sequential
+    across dims) must assign every vector the IDENTICAL (table_id,
+    bucket) set as the in-expression broadcast projection — a single
+    borderline sign flip would change a bucket and the candidate set.
+    n_vectors is pinned above the size gate so the Arrow path runs;
+    planes_per_table is explicit so the gate value cannot change the
+    plane count."""
+    from hubspot_neo4j_pipeline_spark.operators.similarity import (
+        ARROW_BUILD_MIN_VECTORS,
+        lsh_buckets,
+    )
+
+    def rows(use_arrow):
+        return sorted(
+            (r["vec_id"], r["table_id"], r["bucket"])
+            for r in lsh_buckets(
+                emb,
+                "vec_id",
+                "embedding",
+                n_tables=8,
+                planes_per_table=4,
+                n_vectors=ARROW_BUILD_MIN_VECTORS,  # force the Arrow path
+                use_arrow=use_arrow,
+            ).collect()
+        )
+
+    a, b = rows(True), rows(False)
+    assert a == b and a
+
+
 def test_kmeans_seeds_quantized_matches_pure_python_reenactment(emb):
     """The fixed-point one-round trainer (the oracle-exact path behind
     ann_ivf_topk_trained) is deterministic integer arithmetic, so a
