@@ -27,7 +27,7 @@ distributed by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.caching import tracked_cache
@@ -579,6 +579,77 @@ def doc_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_dedup_quality_keeplist",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+        , members AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   len(string_split(d.text, ' ')) AS n_tokens
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ), canon AS (
+            SELECT cluster_id, doc_id AS canonical_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_tokens DESC, doc_id)
+                           AS rn
+                FROM members
+            ) WHERE rn = 1
+        )
+        SELECT m.doc_id, m.cluster_id, m.n_tokens, k.canonical_id,
+               m.doc_id = k.canonical_id AS keep
+        FROM members m JOIN canon k USING (cluster_id)
+    """,
+    covers=("D1", "D3", "W1"),
+    doc=(
+        "Dedup keeplist with a QUALITY-canonical keep rule (r11): "
+        "within each duplicate cluster the survivor is the doc with "
+        "the most tokens (ties -> lowest id), not the minimum id — "
+        "the rule production pipelines actually want (near-dup "
+        "clusters mix full documents with truncated re-crawls; min-id "
+        "keeps whichever was crawled first, argmax-quality keeps the "
+        "most complete copy). cluster_id stays the CC min-member "
+        "label, so the audit trail is unchanged and the two keeplists "
+        "are directly joinable. Scale: the same pointer-jump CC over "
+        "the bounded pair graph plus ONE window over cluster_id "
+        "(latest-per-entity shape, W1) — no new pair work; the "
+        "quality key is computed at the corpus scan."
+    ),
+)
+def doc_dedup_quality_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_dup_pairs(docs), src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("_cluster")
+    )
+    members = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_cluster", F.col("doc_id")).alias("cluster_id"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    canon = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return members.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )
+
+
 # --- 100x-verifiable SLICE twins of the CC pipelines (r9) ---------------
 # doc_dup_clusters / doc_dedup_keeplist are oracle-infeasible at sf10
 # (the shared-shingle CTE is the quadratic, not the Spark side), so they
@@ -698,6 +769,71 @@ def doc_dedup_keeplist_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("_cluster", F.col("doc_id")).alias("cluster_id"),
         (F.col("doc_id") == F.coalesce("_cluster", F.col("doc_id"))).alias("keep"),
+    )
+
+
+@register(
+    "doc_dedup_quality_keeplist_slice",
+    oracle=_cc_slice_oracle_prefix(VERIFY_SLICE_K)
+    + """
+        , members AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   len(string_split(d.text, ' ')) AS n_tokens
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ), canon AS (
+            SELECT cluster_id, doc_id AS canonical_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_tokens DESC, doc_id)
+                           AS rn
+                FROM members
+            ) WHERE rn = 1
+        )
+        SELECT m.doc_id, m.cluster_id, m.n_tokens, k.canonical_id,
+               m.doc_id = k.canonical_id AS keep
+        FROM members m JOIN canon k USING (cluster_id)
+    """,
+    covers=("D1", "D3", "W1"),
+    doc=(
+        "doc_dedup_quality_keeplist over the deterministic 1/8 shingle "
+        "slice — per-document argmax-quality keep verdicts from the "
+        "sliced pair graph; the 100x-scale exact-verification twin "
+        "(see doc_dup_clusters_slice for the slice recipe)."
+    ),
+)
+def doc_dedup_quality_keeplist_slice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        _dup_pairs_sliced(docs, VERIFY_SLICE_K), src="id_a", dst="id_b"
+    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("_cluster"))
+    members = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_cluster", F.col("doc_id")).alias("cluster_id"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    canon = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return members.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
     )
 
 

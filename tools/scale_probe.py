@@ -71,6 +71,8 @@ ALLOWED_RATIOS: dict[str, float] = {
     # verification variants): same CC pipeline, same growth shape.
     "doc_dup_clusters_slice": 8.0,
     "doc_dedup_keeplist_slice": 8.0,
+    "doc_dedup_quality_keeplist": 8.0,  # r11: same CC family
+    "doc_dedup_quality_keeplist_slice": 8.0,
     # r7 slice-verification variants: full signature/banding cost plus
     # 1/K of the parent's pair-count-driven candidate work — inherit
     # the parent's bound.
