@@ -289,7 +289,12 @@ def _arrow_lsh_buckets(
 
 
 def _arrow_cosine_pairs(
-    pairs_src: DataFrame, id_col: str, threshold: float
+    pairs_src: DataFrame,
+    id_col: str,
+    threshold: float,
+    group_cols: tuple = ("table_id", "bucket"),
+    dedup: bool = True,
+    emit_group_cols: bool = False,
 ) -> DataFrame:
     """In-bucket cosine verify, Arrow-vectorized (r11).
 
@@ -328,30 +333,43 @@ def _arrow_cosine_pairs(
     over buckets with no driver involvement."""
     id_type = dict(pairs_src.dtypes)[id_col]
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    if emit_group_cols:
+        src_types = dict(pairs_src.dtypes)
+        out_schema += "".join(f", {g} {src_types[g]}" for g in group_cols)
     rows = (
-        pairs_src.withColumn("_n", l2_norm("e"))
-        .select(
-            "table_id", "bucket", F.col(id_col).alias("_i"), "e", "_n"
+        (
+            pairs_src
+            if "_n" in pairs_src.columns
+            else pairs_src.withColumn("_n", l2_norm("e"))
         )
-        .repartition("table_id", "bucket")
-        .sortWithinPartitions("table_id", "bucket", "_i")
+        .select(
+            *group_cols, F.col(id_col).alias("_i"), "e", "_n"
+        )
+        .repartition(*group_cols)
+        .sortWithinPartitions(*group_cols, "_i")
     )
     thr = float(threshold)
+    gcols = list(group_cols)
 
     def score(batches):
         import numpy as np
         import pandas as pd
 
         tri_cache: dict = {}
-        blocks: list = []
+
+        def key_change_mask(pdf):
+            """True at i where row i starts a new group (vs i-1)."""
+            m = None
+            for g in gcols:
+                col = pdf[g].to_numpy()
+                d = col[1:] != col[:-1]
+                m = d if m is None else (m | d)
+            return m
 
         def pairs_of(pdf: "pd.DataFrame"):
             if len(pdf) == 0:
                 return None
-            # group run boundaries on the (table_id, bucket) key
-            tb = pdf["table_id"].to_numpy()
-            bk = pdf["bucket"].to_numpy()
-            change = np.flatnonzero((tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1]))
+            change = np.flatnonzero(key_change_mask(pdf))
             starts = np.concatenate(([0], change + 1))
             ends = np.concatenate((change + 1, [len(pdf)]))
             a_parts, b_parts = [], []
@@ -385,13 +403,15 @@ def _arrow_cosine_pairs(
             keep = cos >= thr
             if not keep.any():
                 return None
-            return pd.DataFrame(
-                {
-                    "id_a": ids[A[keep]],
-                    "id_b": ids[B[keep]],
-                    "cosine": cos[keep],
-                }
-            )
+            out = {
+                "id_a": ids[A[keep]],
+                "id_b": ids[B[keep]],
+                "cosine": cos[keep],
+            }
+            if emit_group_cols:
+                for g in gcols:
+                    out[g] = pdf[g].to_numpy()[A[keep]]
+            return pd.DataFrame(out)
 
         carry = None
         for pdf in batches:
@@ -402,12 +422,13 @@ def _arrow_cosine_pairs(
                 continue
             # hold back the trailing group: it may continue in the
             # next Arrow batch of this partition
-            tb = pdf["table_id"].to_numpy()
-            bk = pdf["bucket"].to_numpy()
+            not_last = None
+            for g in gcols:
+                col = pdf[g].to_numpy()
+                d = col != col[-1]
+                not_last = d if not_last is None else (not_last | d)
             last_start = int(
-                np.flatnonzero((tb != tb[-1]) | (bk != bk[-1]))[-1] + 1
-                if ((tb != tb[-1]) | (bk != bk[-1])).any()
-                else 0
+                np.flatnonzero(not_last)[-1] + 1 if not_last.any() else 0
             )
             carry = pdf.iloc[last_start:]
             done = pairs_of(pdf.iloc[:last_start])
@@ -418,7 +439,8 @@ def _arrow_cosine_pairs(
             if tail is not None:
                 yield tail
 
-    return rows.mapInPandas(score, out_schema).dropDuplicates(["id_a", "id_b"])
+    out = rows.mapInPandas(score, out_schema)
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
 
 
 def embedding_near_dup_pairs(

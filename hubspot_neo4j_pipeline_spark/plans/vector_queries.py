@@ -1011,9 +1011,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_frame(
-    spark: SparkSession, sf_dir: str, sub_slice: tuple[int, int] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    sub_slice: tuple[int, int] | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    from ..operators.similarity import dot, ivf_assign, ivf_seeds, l2_norm
+    from ..operators.similarity import (
+        ARROW_BUILD_MIN_VECTORS,
+        _arrow_cosine_pairs,
+        dot,
+        ivf_assign,
+        ivf_seeds,
+        l2_norm,
+    )
     from ..operators.skew import hash_subsplit
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1026,27 +1036,49 @@ def _semantic_dedup_frame(
     # norms per in-cell pair; dot/(n_a*n_b) is the identical double-op
     # tree on identical values (bit-exact, oracle unchanged)
     normed = subbed.withColumn("_n", l2_norm("e"))
-    a = normed.select(
-        F.col("vec_id").alias("kept_cand"),
-        "cell",
-        "sub",
-        F.col("e").alias("e_a"),
-        F.col("_n").alias("n_a"),
-    )
-    b = normed.select(
-        "vec_id", "cell", "sub", F.col("e").alias("e_b"), F.col("_n").alias("n_b")
-    )
-    dup_pairs = (
-        a.join(b, ["cell", "sub"])
-        .where(F.col("kept_cand") < F.col("vec_id"))
-        .select(
+    n_vectors = table_row_count(spark, sf_dir, "embeddings")
+    if use_arrow and n_vectors >= ARROW_BUILD_MIN_VECTORS:
+        # r11: the in-cell all-pairs cosine runs in the shared Arrow
+        # kernel (same pair set — every a < b within (cell, sub); the
+        # MAX_CELL sub-split bounds group size exactly like the LSH
+        # cap) instead of a two-sided self-join: one clustering
+        # shuffle of slim rows replaces the join's two exchanges, and
+        # the scores are bitwise the expression tree's (pinned).
+        # Size-gated like the LSH build.
+        dup_pairs = _arrow_cosine_pairs(
+            normed,
             "vec_id",
+            0.35,
+            group_cols=("cell", "sub"),
+            dedup=False,  # one (cell, sub) per vector: pairs are unique
+            emit_group_cols=True,
+        ).select(
+            F.col("id_b").alias("vec_id"),
             "cell",
-            "kept_cand",
-            (dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b"))).alias("cos"),
+            F.col("id_a").alias("kept_cand"),
         )
-        .where(F.col("cos") >= 0.35)
-    )
+    else:
+        a = normed.select(
+            F.col("vec_id").alias("kept_cand"),
+            "cell",
+            "sub",
+            F.col("e").alias("e_a"),
+            F.col("_n").alias("n_a"),
+        )
+        b = normed.select(
+            "vec_id", "cell", "sub", F.col("e").alias("e_b"), F.col("_n").alias("n_b")
+        )
+        dup_pairs = (
+            a.join(b, ["cell", "sub"])
+            .where(F.col("kept_cand") < F.col("vec_id"))
+            .select(
+                "vec_id",
+                "cell",
+                "kept_cand",
+                (dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b"))).alias("cos"),
+            )
+            .where(F.col("cos") >= 0.35)
+        )
     return dup_pairs.groupBy("vec_id", "cell").agg(
         F.min("kept_cand").alias("dup_of")
     )

@@ -348,3 +348,38 @@ def test_packed_self_pairs_range_guard_raises(spark):
         )
         with pytest.raises(Exception, match="ids must be in"):
             packed_self_pairs(df, ["bucket"], "id", no_cache=True).collect()
+
+
+def test_semantic_dedup_arrow_kernel_bit_equals_join_path(spark, monkeypatch):
+    """The r11 Arrow in-cell cosine for semantic_dedup must produce the
+    IDENTICAL (vec_id, cell, dup_of) verdicts as the two-sided
+    self-join it replaces (gate forced open so the Arrow path runs at
+    fixture scale)."""
+    from hubspot_neo4j_pipeline_spark.operators import similarity
+    from hubspot_neo4j_pipeline_spark.plans.vector_queries import (
+        _semantic_dedup_frame,
+    )
+
+    monkeypatch.setattr(similarity, "ARROW_BUILD_MIN_VECTORS", 0)
+    sf = "/root/testdata/sf0.01"
+    a = sorted(
+        tuple(r) for r in _semantic_dedup_frame(spark, sf, use_arrow=True).collect()
+    )
+    b = sorted(
+        tuple(r) for r in _semantic_dedup_frame(spark, sf, use_arrow=False).collect()
+    )
+    assert a == b and a
+    # and on the 1/8 sub-slice
+    a = sorted(
+        tuple(r)
+        for r in _semantic_dedup_frame(
+            spark, sf, sub_slice=(8, 0), use_arrow=True
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in _semantic_dedup_frame(
+            spark, sf, sub_slice=(8, 0), use_arrow=False
+        ).collect()
+    )
+    assert a == b
