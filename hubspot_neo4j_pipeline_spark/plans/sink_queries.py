@@ -886,3 +886,60 @@ def incremental_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.where("event_id % 3 = 2"), store, batch_id=2, compact_every=2
     )
     return recency_report_from_store(spark, store, window_days=7)
+
+
+@register(
+    "incremental_decontam_flags",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 7),
+                       i -> CAST(('0x' || substring(md5(array_to_string(
+                                string_split(text, ' ')[i:i+7], ' ')), 1, 15))
+                            AS BIGINT)
+                   ))) AS gram
+            FROM documents
+        ), eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0
+        )
+        SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+        FROM grams g JOIN eval_grams e ON g.gram = e.gram
+        WHERE g.doc_id % 29 <> 0
+        GROUP BY g.doc_id
+    """,
+    covers=("J12", "D1"),
+    doc=(
+        "EXECUTED streaming-decontamination round-trip (r11): the "
+        "eval split (doc_id % 29 = 0, standing in for a benchmark "
+        "corpus) ingests its 8-gram hashes into the persisted gram "
+        "store in two micro-batches (compact_every=2, so the query "
+        "exercises a real compaction), then the TRAINING split is "
+        "screened via contamination_against_store — one equi-join "
+        "against the slim stored gram set, no benchmark re-scan. Must "
+        "equal the one-shot doc_decontaminate semantics over the same "
+        "split (shared-8-gram counts, md5->bigint family so both "
+        "engines mark the identical gram set): a store that dropped a "
+        "benchmark batch or double-counted a replay changes a count "
+        "and hash-mismatches."
+    ),
+)
+def incremental_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.gram_store import (
+        contamination_against_store,
+        gram_store_update_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(_scratch(spark, "incremental_decontam", sf_dir), "evalgrams")
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    bench = docs.where("doc_id % 29 = 0")
+    train = docs.where("doc_id % 29 != 0")
+    gram_store_update_batch(
+        bench.where("doc_id % 2 = 0"), store, batch_id=0, k=8, compact_every=2
+    )
+    gram_store_update_batch(
+        bench.where("doc_id % 2 = 1"), store, batch_id=1, k=8, compact_every=2
+    )
+    return contamination_against_store(train, store, k=8)

@@ -173,6 +173,13 @@ def gram_store_update_batch(
     # one bucketing — a caller passing a different n_buckets later
     # gets the pinned one
     n_buckets = _pin_n_buckets(store_path, meta, n_buckets)
+    # the gram size is part of the store's identity: counts from
+    # different k are meaningless to merge, so a mismatched ingest
+    # must fail loudly, not blend (r11 — same provenance class as the
+    # hash store's id_type pin)
+    from ..operators.dedup import DEFAULT_SHINGLE
+
+    _segments.pin_value(store_path, meta, "gram_k", k or DEFAULT_SHINGLE)
     partial = _partial_counts(batch_docs, id_col, text_col, k).withColumn(
         "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
     )
@@ -329,4 +336,43 @@ def stream_gram_store(
         ),
         checkpoint_dir,
         timeout_sec,
+    )
+
+
+def contamination_against_store(
+    batch_docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination of an incoming batch against a
+    PERSISTED eval-gram store (r11): one row per contaminated incoming
+    doc — (id, n_shared_grams = distinct k-grams it shares with
+    anything ever ingested into the store). The streaming closure of
+    the batch ``doc_decontaminate`` operator: the benchmark corpus is
+    ingested ONCE (any number of micro-batches, O(batch) each), and
+    every training batch is screened with one equi-join against the
+    slim gram set — the benchmark text is never re-scanned.
+
+    Scale: the store holds one row per distinct benchmark gram; the
+    join key is the house md5->bigint gram hash (uniform shuffle key);
+    AQE size-gates broadcast vs shuffle exactly as the batch operator
+    documents. Unlike score_batch_against_store, the batch's OWN grams
+    are NOT unioned in — contamination is containment in the fixed
+    reference set, not self-duplication."""
+    from ..operators.dedup import DEFAULT_SHINGLE, sliding_gram_rows
+
+    store_grams = read_gram_store(batch_docs.sparkSession, store_path).select(
+        F.col("h").alias("_h")
+    )  # (h, n) is already one row per distinct gram
+    grams = (
+        sliding_gram_rows(batch_docs, id_col, text_col, k or DEFAULT_SHINGLE)
+        .select(F.col("_did").alias(id_col), "_h")
+        .distinct()
+    )
+    return (
+        grams.join(store_grams, "_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
     )

@@ -1532,3 +1532,27 @@ def test_stream_window_store_recency_equals_batch(spark, tmp_path_factory):
     assert sorted(tuple(r) for r in read_window_store(spark, store).collect()) == want
     window_store_update_batch(events, store, batch_id=2)
     assert sorted(tuple(r) for r in read_window_store(spark, store).collect()) == want
+
+
+def test_gram_store_pins_gram_size(spark, tmp_path_factory):
+    """r11: counts from different k are meaningless to merge — a
+    mismatched-k ingest must raise, and matching ingests must keep
+    working with the pin surviving compaction."""
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.gram_store import (
+        gram_store_compact,
+        gram_store_update_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path_factory.mktemp("gram_k")) + "/grams"
+    gram_store_update_batch(docs, store, batch_id=0, k=8, compact_every=99)
+    assert segments.read_meta(store)["gram_k"] == 8
+    with pytest.raises(ValueError, match="gram_k"):
+        gram_store_update_batch(docs, store, batch_id=1, k=5)
+    gram_store_update_batch(docs, store, batch_id=1, k=8, compact_every=99)
+    gram_store_compact(spark, store)
+    assert segments.read_meta(store)["gram_k"] == 8
