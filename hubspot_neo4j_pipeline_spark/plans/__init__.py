@@ -105,6 +105,14 @@ _DEMOTED = {
     # in-window via change_classification / change_summary /
     # scd2_golden_merge; T6 via relationship_diff.
     "scd2_golden_changelog",
+    # Round 11 (second rotation): the batch windowed-count row yields
+    # its slot to its streaming-store successor
+    # (incremental_window_counts — the executed windowed-count-store
+    # round-trip, r10 VERDICT task 7 — covers F10/J11/A9, a strict
+    # superset of windowed_event_counts' F10/A9; both op ids also stay
+    # in-window via recent_activity / event_sessionization /
+    # asof_order_before_event).
+    "windowed_event_counts",
 }
 
 _PRIORITY = [
@@ -157,6 +165,10 @@ _PRIORITY = [
     # backfill) gets its driver-green row (see _DEMOTED note for the
     # row it displaces)
     "incremental_scd2_roundtrip",
+    # round 11: the executed windowed-count-store round-trip (rolling
+    # recency from the store alone — see _DEMOTED note for the batch
+    # row it displaces)
+    "incremental_window_counts",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

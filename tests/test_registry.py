@@ -103,19 +103,24 @@ def test_priority_prefix_spans_all_families():
         # and near-dup LSH-store round-trips, real compactions)
         "incremental_hash_dedup_verdicts",
         "incremental_neardup_pairs",
+        # round 11: SCD2-store round-trip (T8's only carrier) and the
+        # windowed-count-store round-trip (displacing the batch
+        # windowed_event_counts row — F10/A9 stay multiply covered)
+        "incremental_scd2_roundtrip",
+        "incremental_window_counts",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Fifteen §2-redundant queries are rotated past the driver's
+    """Sixteen §2-redundant queries are rotated past the driver's
     50-query window (five in r4 for the sequence/sketch/funnel/
     semantic-dedup flagships, three in r5 for the sink round-trips and
     the real media decode, two in r6 for the rewritten
     fuzzy_name_pairs / doc_simhash_pairs scale flagships, one in r7
     for the trained-centroid IVF flagship, one in r8 for the Neo4j
     dry-run sink, two in r10 for the LSM streaming-store flagships,
-    one in r11 for the SCD2-store round-trip — T8's only carrier);
+    two in r11 for the SCD2-store and windowed-count-store round-trips);
     they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
@@ -151,6 +156,10 @@ def test_demoted_queries_still_registered_with_oracles():
         # carrier enters the window (T2 via change_classification /
         # change_summary / scd2_golden_merge, T6 via relationship_diff)
         "scd2_golden_changelog",
+        # r11: demoted for incremental_window_counts (its streaming-
+        # store successor; F10/A9 stay in-window via recent_activity /
+        # event_sessionization / asof_order_before_event)
+        "windowed_event_counts",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"
