@@ -943,3 +943,108 @@ def incremental_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench.where("doc_id % 2 = 1"), store, batch_id=1, k=8, compact_every=2
     )
     return contamination_against_store(train, store, k=8)
+
+
+@register(
+    "incremental_ann_topk",
+    oracle="""
+        WITH seed AS (
+            SELECT count(*) AS n FROM embeddings WHERE vec_id % 3 = 1
+        ), prm AS (
+            -- auto_planes_per_table over the FIRST BATCH's size (the
+            -- store pins planes at first ingest); coalesce mirrors the
+            -- hi=20 clamp
+            SELECT coalesce(min(p), 20) AS ppt
+            FROM generate_series(4, 20) t(p), seed
+            WHERE (CAST(1 AS BIGINT) << p) * 64 >= seed.n
+        ), v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), numbered AS (
+            -- plane source = first vectors BY ID of the first batch
+            SELECT row_number() OVER (ORDER BY vec_id) AS rn, e
+            FROM v WHERE vec_id % 3 = 1
+        ), planes AS (
+            SELECT table_id, bit, pe FROM (
+                SELECT CAST((rn - 1) // prm.ppt AS INT) AS table_id,
+                       (rn - 1) % prm.ppt AS bit,
+                       e AS pe,
+                       count(*) OVER (PARTITION BY (rn - 1) // prm.ppt)
+                           AS tn,
+                       prm.ppt AS ppt
+                FROM numbered, prm
+                WHERE rn <= 8 * prm.ppt)
+            WHERE tn = ppt
+        ), scored AS (
+            SELECT v.vec_id, p.table_id,
+                   CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                            i -> v.e[i] * p.pe[i]), (a,b) -> a+b) >= 0
+                        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END AS bit_val
+            FROM v CROSS JOIN planes p
+        ), bucketed AS (
+            SELECT vec_id, table_id, sum(bit_val) AS bucket
+            FROM scored GROUP BY vec_id, table_id
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM bucketed q JOIN bucketed c
+              ON q.table_id = c.table_id AND q.bucket = c.bucket
+            WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+        ), pairs AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list_transform(generate_series(1, 64),
+                                              i -> qv.e[i] * cv.e[i]), (a,b) -> a+b)
+                   / (sqrt(list_reduce(list_transform(qv.e, x -> x*x), (a,b) -> a+b))
+                      * sqrt(list_reduce(list_transform(cv.e, x -> x*x), (a,b) -> a+b)))
+                       AS cosine
+            FROM cand
+            JOIN v qv ON qv.vec_id = cand.query_id
+            JOIN v cv ON cv.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pairs)
+        WHERE rank <= 10
+    """,
+    covers=("J1", "W2"),
+    doc=(
+        "EXECUTED streaming-ANN round-trip (r11 — the last streaming "
+        "surface: similarity SEARCH against the full ingested "
+        "history): the corpus ingests into the persisted vector store "
+        "(streaming/vector_store.py — LSM segment layout, vectors + "
+        "norms + LSH bucket arrays precomputed under planes PINNED at "
+        "first ingest) in three micro-batches with compact_every=2, "
+        "so the query exercises a real compaction AND a post-"
+        "compaction live delta; then the first 100 ids are answered "
+        "via ann_topk_against_store — one (table_id, bucket) equi-"
+        "join against the store's exploded bucket view plus exact "
+        "cosine rank, no corpus re-scan. Must equal ann_lsh_topk's "
+        "integer-exact oracle pattern with the plane CTEs rooted at "
+        "the FIRST BATCH (plane provenance is the store's pin "
+        "contract): a store that re-derived planes per batch, lost a "
+        "delta, or mis-merged a writer changes the candidate set and "
+        "hash-mismatches."
+    ),
+)
+def incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.vector_store import (
+        ann_topk_against_store,
+        vector_store_update_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = os.path.join(_scratch(spark, "incremental_ann", sf_dir), "vectors")
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    vector_store_update_batch(
+        emb.where("vec_id % 3 = 1"), store, batch_id=0, compact_every=2
+    )
+    vector_store_update_batch(  # triggers the compaction (2 live deltas)
+        emb.where("vec_id % 3 = 2"), store, batch_id=1, compact_every=2
+    )
+    vector_store_update_batch(  # stays a live delta on the compacted base
+        emb.where("vec_id % 3 = 0"), store, batch_id=2, compact_every=2
+    )
+    return ann_topk_against_store(emb.where("vec_id < 100"), store, k=10)

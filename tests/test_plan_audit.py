@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "dedup_method_agreement_slice",  # same three 1-row count frames (r11)
     "fuzzy_name_pairs",  # 1-row corpus-lcp frame (prefix strip, r8)
     "incremental_window_counts",  # 1-row store max-day anchor (r11)
+    "incremental_ann_topk",  # 1-row pinned-planes frame (r11 vector store)
 }
 
 

@@ -1556,3 +1556,88 @@ def test_gram_store_pins_gram_size(spark, tmp_path_factory):
     gram_store_update_batch(docs, store, batch_id=1, k=8, compact_every=99)
     gram_store_compact(spark, store)
     assert segments.read_meta(store)["gram_k"] == 8
+
+
+def test_stream_vector_store_ann_equals_one_shot(spark, tmp_path_factory):
+    """r11 streaming vector store: ANN answers against a store built
+    from 3 micro-batches must equal the same search against a store
+    built in ONE batch (same pinned planes — the first micro-batch and
+    the one-shot seed share a prefix ordering), the plane pins must
+    survive compaction, and a replayed ingest must be a no-op."""
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.vector_store import (
+        ann_topk_against_store,
+        read_vector_store,
+        stream_vector_store,
+        vector_store_update_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    src = str(tmp_path_factory.mktemp("vec_src"))
+    store = str(tmp_path_factory.mktemp("vec_store")) + "/vectors"
+    ckpt = str(tmp_path_factory.mktemp("vec_ckpt"))
+    # order the stream's FIRST file to be the plane-seed batch: write
+    # the seed subset as its own file, then the rest
+    seed = emb.where("vec_id % 3 = 1")
+    rest = emb.where("vec_id % 3 != 1")
+    seed.coalesce(1).write.mode("overwrite").parquet(src)
+    rest.coalesce(2).write.mode("append").parquet(src)
+
+    one_shot = str(tmp_path_factory.mktemp("vec_oneshot")) + "/vectors"
+    # one-shot store: seed batch pins planes, everything else second
+    vector_store_update_batch(seed, one_shot, batch_id=0)
+    vector_store_update_batch(rest, one_shot, batch_id=1)
+
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    assert stream.isStreaming
+    stream_vector_store(stream, store, ckpt)
+
+    # identical pinned planes -> identical buckets -> identical answers
+    meta_a = segments.read_meta(store)
+    meta_b = segments.read_meta(one_shot)
+    assert meta_a["planes"] == meta_b["planes"]
+    assert meta_a["planes_per_table"] == meta_b["planes_per_table"]
+    q = emb.where("vec_id < 20")
+    got = sorted(tuple(r) for r in ann_topk_against_store(q, store, k=5).collect())
+    want = sorted(
+        tuple(r) for r in ann_topk_against_store(q, one_shot, k=5).collect()
+    )
+    assert got == want and got
+
+    # replay guard: re-ingesting the last batch id changes nothing
+    before = sorted(
+        tuple(r)
+        for r in read_vector_store(spark, store)
+        .select("vec_id", "buckets")
+        .collect()
+    )
+    last = max(
+        [segments.read_meta(store)["consumed_through"],
+         *segments.committed_deltas(store)]
+    )
+    vector_store_update_batch(emb, store, batch_id=last)
+    after = sorted(
+        tuple(r)
+        for r in read_vector_store(spark, store)
+        .select("vec_id", "buckets")
+        .collect()
+    )
+    assert before == after
+
+    # compaction preserves the pins and the store view
+    from hubspot_neo4j_pipeline_spark.streaming.vector_store import (
+        vector_store_compact,
+    )
+
+    vector_store_compact(spark, store)
+    meta_c = segments.read_meta(store)
+    assert meta_c["planes"] == meta_a["planes"]
+    assert meta_c["planes_per_table"] == meta_a["planes_per_table"]
+    assert sorted(
+        tuple(r)
+        for r in read_vector_store(spark, store)
+        .select("vec_id", "buckets")
+        .collect()
+    ) == before
