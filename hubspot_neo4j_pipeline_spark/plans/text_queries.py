@@ -838,6 +838,117 @@ def doc_dedup_quality_keeplist_slice(
 
 
 @register(
+    "cluster_safe_split",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+        , members AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, cluster_id,
+               CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM members
+    """,
+    covers=("D1", "F9"),
+    doc=(
+        "Leakage-free train/val/test split (r11): the deterministic "
+        "md5-bucket split rule of dataset_split_assignment applied at "
+        "duplicate-CLUSTER granularity — every member of a near-dup "
+        "cluster hashes on the cluster's min-member id, so a document "
+        "and its near-copies can NEVER straddle train and test (the "
+        "eval-leakage channel a doc-level split leaves open: the "
+        "re-crawl of a test doc lands in train and the model "
+        "memorizes it). Scale: the same pointer-jump CC plus pure map "
+        "work — no window, no new pair work; the split column is what "
+        "a 100 TB run would partitionBy on write."
+    ),
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_dup_pairs(docs), src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("_cluster")
+    )
+    members = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("_cluster", F.col("doc_id")).alias("cluster_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return members.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "cluster_safe_split_slice",
+    oracle=_cc_slice_oracle_prefix(VERIFY_SLICE_K)
+    + """
+        , members AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, cluster_id,
+               CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM members
+    """,
+    covers=("D1", "F9"),
+    doc=(
+        "cluster_safe_split over the deterministic 1/8 shingle slice — "
+        "the 100x-scale exact-verification twin (see "
+        "doc_dup_clusters_slice for the slice recipe)."
+    ),
+)
+def cluster_safe_split_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        _dup_pairs_sliced(docs, VERIFY_SLICE_K), src="id_a", dst="id_b"
+    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("_cluster"))
+    members = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("_cluster", F.col("doc_id")).alias("cluster_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return members.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
     "doc_novelty",
     oracle="""
         WITH sh AS (

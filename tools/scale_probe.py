@@ -73,6 +73,8 @@ ALLOWED_RATIOS: dict[str, float] = {
     "doc_dedup_keeplist_slice": 8.0,
     "doc_dedup_quality_keeplist": 8.0,  # r11: same CC family
     "doc_dedup_quality_keeplist_slice": 8.0,
+    "cluster_safe_split": 8.0,  # r11: same CC family
+    "cluster_safe_split_slice": 8.0,
     # r7 slice-verification variants: full signature/banding cost plus
     # 1/K of the parent's pair-count-driven candidate work — inherit
     # the parent's bound.

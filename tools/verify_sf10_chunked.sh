@@ -32,6 +32,7 @@ EXCLUDE=(
   doc_dup_clusters             # oracle = the same shared-shingle CTE + recursive reachability; slice twin runs (r9)
   doc_dedup_keeplist           # ditto; slice twin runs (r9)
   doc_dedup_quality_keeplist   # ditto (r11); slice twin runs
+  cluster_safe_split           # ditto (r11); slice twin runs
   incremental_neardup_pairs    # oracle = the full minhash signature self-join (doc_minhash_lsh_pairs' infeasibility); slice twin incremental_neardup_pairs_slice runs (r10)
 )
 
