@@ -1048,3 +1048,198 @@ def incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where("vec_id % 3 = 0"), store, batch_id=2, compact_every=2
     )
     return ann_topk_against_store(emb.where("vec_id < 100"), store, k=10)
+
+
+def _cluster_oracle(band_slice: tuple[int, int] | None = None) -> str:
+    """Recursive-CTE transitive closure over the MinHash pair set —
+    the incremental cluster store's ground truth (doc_dup_clusters'
+    oracle mechanism applied to _minhash_oracle's pairs, because the
+    store clusters the pairs the LSH store detects)."""
+    from .text_queries import _minhash_oracle
+
+    return f"""
+        WITH RECURSIVE mh AS ({_minhash_oracle(band_slice=band_slice)}
+        ), sym AS (
+            SELECT id_a AS a, id_b AS b FROM mh
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM mh
+        ), nodes AS (
+            SELECT DISTINCT a AS id FROM sym
+        ), reach(id, root) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.id
+        ), comp AS (
+            SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
+_CLUSTER_DOC = (
+    "EXECUTED streaming dedup-CLUSTER round-trip (r11 — the verdict "
+    "layer of the streaming-dedup story: the hash store answers exact "
+    "dups, the LSH store answers near-dup PAIRS; this store maintains "
+    "the CLUSTER assignment a pipeline actually consumes). Three "
+    "micro-batches partition the corpus; each batch's near-dup pairs "
+    "are scored against (history ∪ batch) via the signature store, "
+    "then folded into the persisted assignment table "
+    "(streaming/cluster_store.py — CC over batch pairs ∪ stars of "
+    "touched components only, min-merge on read, LSM segment layout "
+    "with compact_every=2 so the query exercises a real compaction). "
+    "Because every pair surfaces in the batch of its later-ingested "
+    "member, the union of the per-batch pair sets is exactly "
+    "minhash_lsh_pairs' full pair set, so the final per-doc verdicts "
+    "(cluster_id, keep=is-canonical) must equal one-shot CC over the "
+    "whole corpus — the oracle is the recursive-CTE transitive "
+    "closure over the registered MinHash oracle's pairs. A store "
+    "that lost a delta, skipped relabeling a merged component, or "
+    "mis-compacted strands a doc under a stale label and "
+    "hash-mismatches."
+)
+
+
+@register(
+    "incremental_dup_clusters",
+    oracle=_cluster_oracle(),
+    covers=("D1", "D3", "J1", "J12"),
+    doc=_CLUSTER_DOC,
+)
+def incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.cluster_store import (
+        cluster_store_update_batch,
+        dedup_verdicts_from_store,
+    )
+    from ..streaming.lsh_store import (
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch(spark, "incremental_dup_clusters", sf_dir)
+    lsh = os.path.join(base, "lsh")
+    clusters = os.path.join(base, "clusters")
+    shutil.rmtree(lsh, ignore_errors=True)  # deterministic rebuild per run
+    shutil.rmtree(clusters, ignore_errors=True)
+    for k in range(3):  # batch k sees batches < k as history
+        batch = docs.where(f"doc_id % 3 = {k}")
+        pairs = neardup_pairs_against_store(batch, lsh)
+        cluster_store_update_batch(pairs, clusters, batch_id=k, compact_every=2)
+        lsh_store_update_batch(batch, lsh, batch_id=k, compact_every=2)
+    return dedup_verdicts_from_store(docs, clusters)
+
+
+@register(
+    "incremental_dup_clusters_slice",
+    oracle=_cluster_oracle(band_slice=(8, 0)),
+    covers=("D1", "D3", "J1", "J12"),
+    doc=_CLUSTER_DOC
+    + (
+        " SLICE TWIN for 100x verification: band_slice=(8,0) keeps "
+        "only band buckets both engines deterministically sample "
+        "(incremental_neardup_pairs_slice's mechanism), so the DuckDB "
+        "candidate self-join and recursive closure stay affordable at "
+        "sf10 while Spark exercises the full two-store ingest, "
+        "relabel, and compaction path."
+    ),
+)
+def incremental_dup_clusters_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.cluster_store import (
+        cluster_store_update_batch,
+        dedup_verdicts_from_store,
+    )
+    from ..streaming.lsh_store import (
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch(spark, "incremental_dup_clusters_slice", sf_dir)
+    lsh = os.path.join(base, "lsh")
+    clusters = os.path.join(base, "clusters")
+    shutil.rmtree(lsh, ignore_errors=True)  # deterministic rebuild per run
+    shutil.rmtree(clusters, ignore_errors=True)
+    for k in range(3):
+        batch = docs.where(f"doc_id % 3 = {k}")
+        pairs = neardup_pairs_against_store(batch, lsh, band_slice=(8, 0))
+        cluster_store_update_batch(pairs, clusters, batch_id=k, compact_every=2)
+        lsh_store_update_batch(batch, lsh, batch_id=k, compact_every=2)
+    return dedup_verdicts_from_store(docs, clusters)
+
+
+@register(
+    "incremental_tfidf_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE length(term) >= 3
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000) / 10000
+                       AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf FROM (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term
+                   ) AS rk
+            FROM scored)
+        WHERE rk <= 3 AND doc_id % 3 = 0
+    """,
+    covers=("A2", "W1", "J1"),
+    doc=(
+        "EXECUTED corpus-statistics round-trip (r11 — corpus-wide term "
+        "statistics as streaming state): two history micro-batches fold "
+        "their per-term distinct-document counts AND their document "
+        "counts into the persisted vocabulary store "
+        "(streaming/df_store.py — LSM segment layout, additive partials "
+        "in one atomic delta so df and n_docs can never tear, "
+        "compact_every=2 so the query exercises a real compaction), "
+        "then the held-out batch's top-3 TF-IDF terms are scored with "
+        "df/n_docs covering (history ∪ batch) — the store semi-join-"
+        "pruned to the batch's vocabulary, NO corpus re-scan. Must "
+        "equal the registered one-shot doc_tfidf_top_terms over the "
+        "full corpus restricted to the held-out docs (ln on identical "
+        "double inputs, floor-quantized at 1e-4 — the registered "
+        "cross-engine float rule). A store that lost a delta, "
+        "double-applied a replay, or mis-summed a compaction shifts a "
+        "df and hash-mismatches."
+    ),
+)
+def incremental_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.df_store import (
+        df_store_update_batch,
+        tfidf_batch_against_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(_scratch(spark, "incremental_tfidf", sf_dir), "vocab")
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    history = docs.where("doc_id % 3 != 0")
+    incoming = docs.where("doc_id % 3 = 0")
+    df_store_update_batch(
+        history.where("doc_id % 2 = 0"), store, batch_id=0, compact_every=2
+    )
+    df_store_update_batch(
+        history.where("doc_id % 2 = 1"), store, batch_id=1, compact_every=2
+    )
+    return tfidf_batch_against_store(incoming, store)

@@ -1,0 +1,308 @@
+"""Incremental duplicate-CLUSTER maintenance: connected-component
+assignments kept current as near-dup PAIRS stream in.
+
+The LSH store (streaming/lsh_store.py) closes pair DETECTION against
+the full ingested history; what a production dedup pipeline actually
+consumes is the cluster verdict per document — which cluster am I in,
+and am I its canonical keeper. One-shot, that is
+``operators/graph.dedup_clusters`` (hash-min CC over the pair set);
+this module maintains the SAME assignment table incrementally, so a
+micro-batch of new pairs never re-clusters the corpus.
+
+Key invariant (what makes an exact oracle possible): if micro-batches
+partition the corpus and each batch's pairs are computed against
+(history ∪ batch) restricted to pairs touching the batch — exactly
+``neardup_pairs_against_store``'s contract — then the UNION of those
+per-batch pair sets is the one-shot operator's full pair set: every
+pair (a, b) surfaces in the batch of its later-ingested member. So
+after ingesting every batch, the store's assignments must equal
+one-shot CC over ``minhash_lsh_pairs`` of the whole corpus — pinned by
+test AND by the registered oracle ``incremental_dup_clusters``
+(DuckDB recursive-CTE transitive closure).
+
+Incremental step (the star-contraction argument): a stored component
+with label c = min member id is connectivity-equivalent to the star
+{(m, c) : m ∈ members}. For a batch of new edges it therefore
+suffices to run CC over (new pairs ∪ stars of TOUCHED components) —
+components containing no endpoint of a new pair cannot change.
+Because edges are only ever ADDED, a vertex's label (min reachable
+id) is monotonically non-increasing over time, so the store merges on
+read with an idempotent, order-free ``min(comp) per doc_id`` — the
+hash store's rule — and replays, out-of-order deltas, or a guard
+bypass cannot corrupt an assignment. (Edge RETRACTION — a doc
+re-ingested with dissimilar text — is out of scope: near-dup edges in
+a training-data pipeline are append-only facts about observed
+content; a corpus rebuild is the retraction path.)
+
+Scale (100 TB): the store holds one slim (doc_id, comp) row per
+PAIRED document — duplicates only, typically a small fraction of the
+corpus, two orderable columns wide. Per batch: one scan of that slim
+table (to locate touched components), CC over (batch pairs + touched
+members) — O(touched + batch) shuffles, never O(corpus) — and one
+O(batch + touched) atomic delta. Compactions are bucket-partial with
+r11 adaptive bucket growth (segments.py contract, shared with the
+four sibling stores).
+
+Reference parity: the reference has no streaming surface; this is the
+streaming closure of its dedup step's cluster form (SURVEY §2 D1/D3),
+with ``operators/graph.connected_components`` as the kernel and the
+recursive-CTE oracle of ``doc_dup_clusters`` as the ground-truth
+model.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import segments
+
+CLUSTER_STORE_BUCKETS = 32
+COMPACT_EVERY = 8
+
+
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def read_cluster_assignments(spark: SparkSession, store_path: str) -> DataFrame:
+    """(doc_id, comp = min doc id reachable over every pair ever
+    ingested). Merge-on-read is min(comp) per doc_id — idempotent and
+    order-free because labels only decrease (see module docstring).
+    Only PAIRED docs have rows; singletons are their own cluster by
+    definition and never need storage."""
+    meta = segments.read_meta(store_path)
+    frames = []
+    if meta["base"]:
+        frames.append(
+            spark.read.parquet(os.path.join(store_path, meta["base"])).select(
+                "doc_id", "comp"
+            )
+        )
+    for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
+        frames.append(spark.read.parquet(path).select("doc_id", "comp"))
+    if not frames:
+        raise FileNotFoundError(f"empty cluster store at {store_path}")
+    if len(frames) == 1:
+        return frames[0]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("doc_id").agg(F.min("comp").alias("comp"))
+
+
+def cluster_store_update_batch(
+    pairs: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    compact_every: int = COMPACT_EVERY,
+    n_buckets: int = CLUSTER_STORE_BUCKETS,
+) -> None:
+    """Fold one micro-batch of near-dup PAIRS into the assignment
+    table: CC over (batch pairs ∪ stars of touched components), the
+    relabeled subgraph committed as one atomic delta. O(touched +
+    batch) — untouched components' rows are never rewritten (pinned
+    by test). Same replay / crash / compaction contract as the
+    sibling stores (segments.py); min-merge additionally makes even a
+    replay-guard bypass harmless."""
+    spark = pairs.sparkSession
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed micro-batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    # ids must stay one orderable type store-wide: min(comp) is numeric
+    # for numeric ids, lexicographic for strings — mixed ingest would
+    # unionByName-coerce and silently flip the order (hash_store's r10
+    # ADVICE fix, same rule here)
+    segments.pin_value(store_path, meta, "id_type", dict(pairs.dtypes)[id_a])
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    try:
+        assign = read_cluster_assignments(spark, store_path)
+    except FileNotFoundError:
+        assign = None
+    if assign is not None:
+        verts = (
+            edges.select(F.col("src").alias("vid"))
+            .unionByName(edges.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        touched = (
+            assign.join(verts, assign.doc_id == verts.vid, "left_semi")
+            .select("comp")
+            .distinct()
+        )
+        members = assign.join(touched, "comp", "left_semi")
+        star = members.where(F.col("doc_id") != F.col("comp")).select(
+            F.col("doc_id").alias("src"), F.col("comp").alias("dst")
+        )
+        edges = edges.unionByName(star)
+    from ..operators.graph import connected_components
+
+    labels = connected_components(edges, src="src", dst="dst")
+    delta = labels.select(F.col("id").alias("doc_id"), "comp").withColumn(
+        "_bucket", _bucket_expr(n_buckets)
+    )
+    segments.commit_delta(delta, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        cluster_store_compact(spark, store_path, n_buckets)
+
+
+def cluster_store_compact(
+    spark: SparkSession,
+    store_path: str,
+    n_buckets: int = CLUSTER_STORE_BUCKETS,
+    rows_per_bucket: int = segments.ROWS_PER_BUCKET,
+) -> None:
+    """Fold live deltas into a fresh doc-bucketed base via one atomic
+    meta replace — bucket-PARTIAL (only delta-touched ``_bucket=K``
+    partitions are min-merged; the rest hard-link into the new base)
+    with r11 adaptive bucket growth, exactly the hash store's
+    contract. The merge rule is min(comp) per doc_id, so compaction
+    order and replayed deltas cannot corrupt assignments."""
+    meta = segments.read_meta(store_path)
+    segments.sweep(store_path, meta)
+    deltas = segments.live_deltas(store_path, meta)
+    if not deltas:
+        return
+    n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    grown = segments.grown_n_buckets(meta, deltas, n_buckets, rows_per_bucket)
+    new_base = segments.next_base_name(meta)
+    touched = (
+        segments.touched_buckets(deltas, "_bucket")
+        if grown == n_buckets
+        and meta["base"]
+        and meta.get("base_n_buckets") == n_buckets
+        else None
+    )
+    n_buckets = grown
+    if touched == []:  # only empty deltas live: carry the base verbatim
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        os.makedirs(merged_tmp, exist_ok=True)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    elif touched is not None and len(touched) < n_buckets:
+        merged = (
+            spark.read.parquet(os.path.join(store_path, meta["base"]))
+            .where(F.col("_bucket").isin(touched))  # partition-pruned
+            .select("doc_id", "comp")
+        )
+        for _b, p in sorted(deltas.items()):
+            merged = merged.unionByName(
+                spark.read.parquet(p).select("doc_id", "comp")
+            )
+        merged = (
+            merged.groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .withColumn("_bucket", _bucket_expr(n_buckets))
+        )
+        merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(merged_tmp)
+        segments.assemble_partial_base(
+            store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
+        )
+    else:
+        merged = read_cluster_assignments(spark, store_path).withColumn(
+            "_bucket", _bucket_expr(n_buckets)
+        )
+        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(store_path, new_base))
+    segments.write_meta(
+        store_path,
+        {
+            **meta,  # preserve pinned properties (id_type, ...)
+            "base": new_base,
+            "consumed_through": max(deltas),
+            "n_buckets": n_buckets,
+            "base_n_buckets": n_buckets,
+            "base_rows": segments.base_row_count(spark, store_path, new_base),
+        },
+    )
+    segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def dedup_verdicts_from_store(
+    docs: DataFrame, store_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The consumable dedup answer per document, straight from the
+    assignment table — no pair recomputation, no CC run: (doc_id,
+    cluster_id, keep). cluster_id is the doc's component label (its
+    own id for singletons); keep is true iff the doc is its cluster's
+    canonical (min member) — ``doc_dedup_keeplist``'s exact contract,
+    answered incrementally. One left equi-join against the slim
+    store."""
+    spark = docs.sparkSession
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    try:
+        assign = read_cluster_assignments(spark, store_path)
+    except FileNotFoundError:
+        assign = None
+    if assign is None:
+        return ids.select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
+    joined = ids.join(assign, "doc_id", "left")
+    cluster = F.coalesce("comp", F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (F.col("doc_id") == cluster).alias("keep"),
+    )
+
+
+def stream_dedup_clusters(
+    stream_df: DataFrame,
+    lsh_store_path: str,
+    cluster_store_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 240,
+    compact_every: int = COMPACT_EVERY,
+    threshold: float = 0.5,
+) -> None:
+    """The full streaming dedup pipeline in one foreachBatch driver:
+    per micro-batch of documents — (1) signatures ingested into the
+    LSH store, (2) near-dup pairs vs (history ∪ batch) scored from it,
+    (3) the pairs folded into the cluster assignments. Both stores
+    share the batch id, so a replayed micro-batch is a no-op
+    end-to-end — and the ORDER makes a crash between the two writes
+    recoverable: the signature ingest lands first, and because
+    ``neardup_pairs_against_store`` dedups doc_id collisions
+    batch-wins, re-scoring a batch whose signatures are already stored
+    yields the identical pair set, so the replay completes the cluster
+    fold it crashed before. checkpoint_dir lives and dies with BOTH
+    store paths (segments.py lifecycle contract)."""
+    from .incremental import run_foreach_batch
+    from .lsh_store import lsh_store_update_batch, neardup_pairs_against_store
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if segments.already_ingested(cluster_store_path, batch_id):
+            return  # fully applied on a prior attempt
+        lsh_store_update_batch(  # own replay guard: no-op if landed
+            batch, lsh_store_path, batch_id, compact_every=compact_every
+        )
+        pairs = neardup_pairs_against_store(
+            batch, lsh_store_path, threshold=threshold
+        )
+        cluster_store_update_batch(
+            pairs, cluster_store_path, batch_id, compact_every=compact_every
+        )
+
+    run_foreach_batch(stream_df, _sink, checkpoint_dir, timeout_sec)

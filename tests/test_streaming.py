@@ -1641,3 +1641,249 @@ def test_stream_vector_store_ann_equals_one_shot(spark, tmp_path_factory):
         .select("vec_id", "buckets")
         .collect()
     ) == before
+
+
+def test_cluster_store_matches_one_shot_cc(spark, tmp_path_factory):
+    """Incremental duplicate-cluster maintenance (r11,
+    streaming/cluster_store.py): after ingesting per-batch pair sets
+    scored against (history ∪ batch), the store's per-doc verdicts
+    must equal one-shot CC over minhash_lsh_pairs of the whole corpus
+    — the union-of-batch-touching-pairs invariant the module builds
+    on. Exercises a real compaction in BOTH stores (compact_every=2)."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from hubspot_neo4j_pipeline_spark.operators.graph import connected_components
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_update_batch,
+        dedup_verdicts_from_store,
+    )
+    from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    lsh = str(tmp_path_factory.mktemp("cc_lsh")) + "/lsh"
+    clusters = str(tmp_path_factory.mktemp("cc_clusters")) + "/clusters"
+    for k in range(3):
+        batch = docs.where(f"doc_id % 3 = {k}")
+        pairs = neardup_pairs_against_store(batch, lsh)
+        cluster_store_update_batch(pairs, clusters, batch_id=k, compact_every=2)
+        lsh_store_update_batch(batch, lsh, batch_id=k, compact_every=2)
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_verdicts_from_store(docs, clusters).collect()
+    }
+    one_shot = minhash_lsh_pairs(docs, "doc_id", "text")
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components(one_shot, "id_a", "id_b").collect()
+    }
+    want = {
+        d: (comp.get(d, d), comp.get(d, d) == d)
+        for d in (r["doc_id"] for r in docs.select("doc_id").collect())
+    }
+    assert got == want
+    assert any(not keep for _, keep in got.values())  # real dups exist
+
+
+def test_cluster_store_merges_and_relabels_old_clusters(spark, tmp_path_factory):
+    """The incremental step's hard case: a later pair UNITES two
+    previously separate components — every member of both must be
+    relabeled to the union's min id. And a batch touching NO existing
+    component must write a delta containing only its own vertices
+    (the O(touched + batch) contract)."""
+    import glob as _glob
+
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_update_batch,
+        read_cluster_assignments,
+    )
+
+    store = str(tmp_path_factory.mktemp("cc_unit")) + "/clusters"
+
+    def pairs_df(*ab):
+        return spark.createDataFrame(list(ab), "id_a long, id_b long")
+
+    cluster_store_update_batch(pairs_df((1, 2)), store, batch_id=0)
+    cluster_store_update_batch(pairs_df((3, 4)), store, batch_id=1)
+    assign = {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, store).collect()
+    }
+    assert assign == {1: 1, 2: 1, 3: 3, 4: 3}
+
+    # (2, 3) bridges the two clusters: 3 and 4 must relabel to 1
+    cluster_store_update_batch(pairs_df((2, 3)), store, batch_id=2)
+    assign = {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, store).collect()
+    }
+    assert assign == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    # a disjoint batch must not rewrite the settled component
+    cluster_store_update_batch(pairs_df((8, 9)), store, batch_id=3)
+    assert _glob.glob(f"{store}/deltas/b3")
+    delta3 = spark.read.parquet(f"{store}/deltas/b3")
+    assert {r["doc_id"] for r in delta3.select("doc_id").collect()} == {8, 9}
+    assign = {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, store).collect()
+    }
+    assert assign == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_cluster_store_replay_and_compaction_invariance(spark, tmp_path_factory):
+    """A replayed batch id is a no-op; compaction (min-merge into a
+    fresh bucketed base) must not change the merged view."""
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_compact,
+        cluster_store_update_batch,
+        read_cluster_assignments,
+    )
+
+    store = str(tmp_path_factory.mktemp("cc_replay")) + "/clusters"
+
+    def pairs_df(*ab):
+        return spark.createDataFrame(list(ab), "id_a long, id_b long")
+
+    cluster_store_update_batch(pairs_df((10, 11), (11, 12)), store, batch_id=0)
+    cluster_store_update_batch(pairs_df((20, 21)), store, batch_id=1)
+    before = {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, store).collect()
+    }
+    # replay: same id, DIFFERENT (wrong) pairs — must be ignored
+    cluster_store_update_batch(pairs_df((10, 20)), store, batch_id=1)
+    after_replay = {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, store).collect()
+    }
+    assert after_replay == before
+    cluster_store_compact(spark, store)
+    after_compact = {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, store).collect()
+    }
+    assert after_compact == before == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_stream_dedup_clusters_end_to_end(spark, tmp_path_factory):
+    """The one-call streaming dedup pipeline (stream_dedup_clusters:
+    signature ingest → pair scoring → cluster fold per micro-batch)
+    must land the same verdicts as one-shot CC over the whole corpus."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from hubspot_neo4j_pipeline_spark.operators.graph import connected_components
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        dedup_verdicts_from_store,
+        stream_dedup_clusters,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path_factory.mktemp("cc_stream_src"))
+    lsh = str(tmp_path_factory.mktemp("cc_stream")) + "/lsh"
+    clusters = str(tmp_path_factory.mktemp("cc_stream")) + "/clusters"
+    ckpt = str(tmp_path_factory.mktemp("cc_stream_ckpt"))
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_dedup_clusters(stream, lsh, clusters, ckpt, compact_every=2)
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_verdicts_from_store(docs, clusters).collect()
+    }
+    one_shot = minhash_lsh_pairs(docs, "doc_id", "text")
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components(one_shot, "id_a", "id_b").collect()
+    }
+    want = {
+        d: (comp.get(d, d), comp.get(d, d) == d)
+        for d in (r["doc_id"] for r in docs.select("doc_id").collect())
+    }
+    assert got == want
+
+
+def test_df_store_tfidf_vs_one_shot(spark, tmp_path_factory):
+    """Corpus-statistics store (r11, streaming/df_store.py): scoring a
+    held-out batch's TF-IDF against the store must equal the one-shot
+    operator over (history ∪ batch) restricted to the batch's docs —
+    df and n_docs covering everything ever ingested plus the batch."""
+    from hubspot_neo4j_pipeline_spark.plans.curation_queries import (
+        doc_tfidf_top_terms,
+    )
+    from hubspot_neo4j_pipeline_spark.streaming.df_store import (
+        df_store_update_batch,
+        tfidf_batch_against_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path_factory.mktemp("df_store")) + "/vocab"
+    history = docs.where("doc_id % 3 != 0")
+    incoming = docs.where("doc_id % 3 = 0")
+    df_store_update_batch(
+        history.where("doc_id % 2 = 0"), store, batch_id=0, compact_every=2
+    )
+    df_store_update_batch(  # triggers a real compaction
+        history.where("doc_id % 2 = 1"), store, batch_id=1, compact_every=2
+    )
+    got = sorted(
+        tuple(r) for r in tfidf_batch_against_store(incoming, store).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in doc_tfidf_top_terms(spark, "/root/testdata/sf0.001")
+        .where("doc_id % 3 = 0")
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_df_store_counts_replay_and_compaction(spark, tmp_path_factory):
+    """df partials and the in-delta doc-count row must sum-merge
+    exactly; a replayed batch id is a no-op; compaction preserves the
+    merged view (including n_docs)."""
+    from hubspot_neo4j_pipeline_spark.streaming.df_store import (
+        corpus_doc_count,
+        df_store_compact,
+        df_store_update_batch,
+        read_df_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("df_unit")) + "/vocab"
+
+    def docs_df(*rows):
+        return spark.createDataFrame(list(rows), "doc_id long, text string")
+
+    df_store_update_batch(
+        docs_df((1, "red apple pie"), (2, "red apple")), store, batch_id=0
+    )
+    df_store_update_batch(
+        docs_df((3, "apple pie pie pie"), (4, "xy")), store, batch_id=1
+    )
+    want = {"red": 2, "apple": 3, "pie": 2}  # distinct docs per term
+    got = {r["term"]: r["df"] for r in read_df_store(spark, store).collect()}
+    assert got == want
+    assert corpus_doc_count(spark, store).collect()[0]["n_docs"] == 4
+
+    # replay with different (wrong) content must be ignored
+    df_store_update_batch(docs_df((9, "red red red")), store, batch_id=1)
+    got = {r["term"]: r["df"] for r in read_df_store(spark, store).collect()}
+    assert got == want
+    assert corpus_doc_count(spark, store).collect()[0]["n_docs"] == 4
+
+    df_store_compact(spark, store)
+    got = {r["term"]: r["df"] for r in read_df_store(spark, store).collect()}
+    assert got == want
+    assert corpus_doc_count(spark, store).collect()[0]["n_docs"] == 4
