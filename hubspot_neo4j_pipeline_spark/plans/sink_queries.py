@@ -1126,11 +1126,18 @@ def incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = os.path.join(base, "clusters")
     shutil.rmtree(lsh, ignore_errors=True)  # deterministic rebuild per run
     shutil.rmtree(clusters, ignore_errors=True)
+    from ..streaming.lsh_store import _doc_rows
+
     for k in range(3):  # batch k sees batches < k as history
         batch = docs.where(f"doc_id % 3 = {k}")
-        pairs = neardup_pairs_against_store(batch, lsh)
+        # the batch's signature frame is built ONCE and shared by the
+        # scoring and the ingest (checkpoint: both consume it)
+        rows = _doc_rows(batch, "doc_id", "text").localCheckpoint(eager=True)
+        pairs = neardup_pairs_against_store(batch, lsh, doc_rows=rows)
         cluster_store_update_batch(pairs, clusters, batch_id=k, compact_every=2)
-        lsh_store_update_batch(batch, lsh, batch_id=k, compact_every=2)
+        lsh_store_update_batch(
+            batch, lsh, batch_id=k, compact_every=2, doc_rows=rows
+        )
     return dedup_verdicts_from_store(docs, clusters)
 
 
@@ -1166,11 +1173,18 @@ def incremental_dup_clusters_slice(spark: SparkSession, sf_dir: str) -> DataFram
     clusters = os.path.join(base, "clusters")
     shutil.rmtree(lsh, ignore_errors=True)  # deterministic rebuild per run
     shutil.rmtree(clusters, ignore_errors=True)
+    from ..streaming.lsh_store import _doc_rows
+
     for k in range(3):
         batch = docs.where(f"doc_id % 3 = {k}")
-        pairs = neardup_pairs_against_store(batch, lsh, band_slice=(8, 0))
+        rows = _doc_rows(batch, "doc_id", "text").localCheckpoint(eager=True)
+        pairs = neardup_pairs_against_store(
+            batch, lsh, band_slice=(8, 0), doc_rows=rows
+        )
         cluster_store_update_batch(pairs, clusters, batch_id=k, compact_every=2)
-        lsh_store_update_batch(batch, lsh, batch_id=k, compact_every=2)
+        lsh_store_update_batch(
+            batch, lsh, batch_id=k, compact_every=2, doc_rows=rows
+        )
     return dedup_verdicts_from_store(docs, clusters)
 
 

@@ -20,28 +20,47 @@ one-shot CC over ``minhash_lsh_pairs`` of the whole corpus — pinned by
 test AND by the registered oracle ``incremental_dup_clusters``
 (DuckDB recursive-CTE transitive closure).
 
-Incremental step (the star-contraction argument): a stored component
-with label c = min member id is connectivity-equivalent to the star
-{(m, c) : m ∈ members}. For a batch of new edges it therefore
-suffices to run CC over (new pairs ∪ stars of TOUCHED components) —
-components containing no endpoint of a new pair cannot change.
-Because edges are only ever ADDED, a vertex's label (min reachable
-id) is monotonically non-increasing over time, so the store merges on
-read with an idempotent, order-free ``min(comp) per doc_id`` — the
-hash store's rule — and replays, out-of-order deltas, or a guard
-bypass cannot corrupt an assignment. (Edge RETRACTION — a doc
-re-ingested with dissimilar text — is out of scope: near-dup edges in
-a training-data pipeline are append-only facts about observed
-content; a corpus rebuild is the retraction path.)
+Incremental step (the contraction argument): a stored component with
+label c = min member id is connectivity-equivalent to the single
+vertex c, so new edges are CONDENSED — each endpoint replaced by its
+current label — before any clustering runs. The condensed graph's
+nodes are component labels and never-assigned batch vertices; its
+size is O(batch pairs), independent of component sizes. Components
+containing no endpoint of a new pair cannot change. Connectivity over
+the condensed graph yields an (old label → new label) map; applying
+it is one equi-join against the assignment table (relabeling exactly
+the touched components' members) plus the map's never-assigned rows.
+Labels stay min member ids because every condensed node IS a min
+(or an unassigned vertex id). Because edges are only ever ADDED, a
+vertex's label is monotonically non-increasing over time, so the
+store merges on read with an idempotent, order-free ``min(comp) per
+doc_id`` — the hash store's rule — and replays, out-of-order deltas,
+or a guard bypass cannot corrupt an assignment. (Edge RETRACTION — a
+doc re-ingested with dissimilar text — is out of scope: near-dup
+edges in a training-data pipeline are append-only facts about
+observed content; a corpus rebuild is the retraction path.)
+
+Connectivity solve: micro-batches condense to a few thousand edges at
+most in any realistic trigger interval, so the default solve is a
+driver-side union-find over one bounded collect (≤
+``driver_cc_max_edges`` condensed edges — the same bounded-collect
+class as the 32-row bucket manifests); a batch that exceeds the bound
+falls back to the distributed hash-min CC kernel
+(``operators/graph.connected_components``) over the SAME condensed
+graph, so the scale path is never a correctness fork (pinned by a
+test that forces the bound to 0 and compares).
 
 Scale (100 TB): the store holds one slim (doc_id, comp) row per
 PAIRED document — duplicates only, typically a small fraction of the
 corpus, two orderable columns wide. Per batch: one scan of that slim
-table (to locate touched components), CC over (batch pairs + touched
-members) — O(touched + batch) shuffles, never O(corpus) — and one
-O(batch + touched) atomic delta. Compactions are bucket-partial with
-r11 adaptive bucket growth (segments.py contract, shared with the
-four sibling stores).
+table (the condensation join), a connectivity solve over O(batch
+pairs) condensed edges, and one O(batch + touched members) atomic
+delta — never O(corpus). The expensive upstream (the LSH scoring
+plan feeding ``pairs``) is executed exactly ONCE per batch: the
+condensation consumes it a single time and everything downstream
+works off the collected/condensed map. Compactions are bucket-partial
+with r11 adaptive bucket growth (segments.py contract, shared with
+the five sibling stores).
 
 Reference parity: the reference has no streaming surface; this is the
 streaming closure of its dedup step's cluster form (SURVEY §2 D1/D3),
@@ -95,6 +114,36 @@ def read_cluster_assignments(spark: SparkSession, store_path: str) -> DataFrame:
     return out.groupBy("doc_id").agg(F.min("comp").alias("comp"))
 
 
+def _driver_union_find(edge_rows: list) -> dict:
+    """Min-label union-find over a bounded, collected condensed edge
+    list — path-compressed, deterministic (the root is always the
+    minimum node id, matching hash-min CC and the recursive-CTE
+    oracle)."""
+    parent: dict = {}
+    nodes: set = set()
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent[hi] = lo
+    # every node gets a row — roots map to themselves — matching the
+    # distributed kernel's output shape (and the store's documented
+    # "every paired doc has an assignment" semantic)
+    return {n: find(n) for n in nodes}
+
+
 def cluster_store_update_batch(
     pairs: DataFrame,
     store_path: str,
@@ -103,14 +152,19 @@ def cluster_store_update_batch(
     id_b: str = "id_b",
     compact_every: int = COMPACT_EVERY,
     n_buckets: int = CLUSTER_STORE_BUCKETS,
+    driver_cc_max_edges: int = 200_000,
 ) -> None:
     """Fold one micro-batch of near-dup PAIRS into the assignment
-    table: CC over (batch pairs ∪ stars of touched components), the
-    relabeled subgraph committed as one atomic delta. O(touched +
-    batch) — untouched components' rows are never rewritten (pinned
-    by test). Same replay / crash / compaction contract as the
-    sibling stores (segments.py); min-merge additionally makes even a
-    replay-guard bypass harmless."""
+    table: condense each pair endpoint to its current component label,
+    solve connectivity over the condensed graph (driver union-find
+    when it is small — the normal case; distributed hash-min CC past
+    ``driver_cc_max_edges``), and commit the relabeled rows as one
+    atomic delta. O(touched members + batch) — untouched components'
+    rows are never rewritten (pinned by test), and the expensive
+    upstream plan feeding ``pairs`` executes exactly once. Same
+    replay / crash / compaction contract as the sibling stores
+    (segments.py); min-merge additionally makes even a replay-guard
+    bypass harmless."""
     spark = pairs.sparkSession
     os.makedirs(store_path, exist_ok=True)
     if batch_id is None:
@@ -124,37 +178,117 @@ def cluster_store_update_batch(
     # unionByName-coerce and silently flip the order (hash_store's r10
     # ADVICE fix, same rule here)
     segments.pin_value(store_path, meta, "id_type", dict(pairs.dtypes)[id_a])
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    id_type = dict(pairs.dtypes)[id_a]
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
     try:
         assign = read_cluster_assignments(spark, store_path)
     except FileNotFoundError:
         assign = None
     if assign is not None:
-        verts = (
-            edges.select(F.col("src").alias("vid"))
-            .unionByName(edges.select(F.col("dst").alias("vid")))
-            .distinct()
+        # condense: endpoint -> its current label (own id if never
+        # assigned), carrying a was-assigned flag per endpoint so the
+        # driver path never needs a second pass over the store to
+        # tell fresh vertices from old labels (a node value cannot be
+        # both: a label always has its own (c, c) assignment row)
+        la = assign.select(
+            F.col("doc_id").alias("src"), F.col("comp").alias("_ca")
         )
-        touched = (
-            assign.join(verts, assign.doc_id == verts.vid, "left_semi")
-            .select("comp")
-            .distinct()
+        lb = assign.select(
+            F.col("doc_id").alias("dst"), F.col("comp").alias("_cb")
         )
-        members = assign.join(touched, "comp", "left_semi")
-        star = members.where(F.col("doc_id") != F.col("comp")).select(
-            F.col("doc_id").alias("src"), F.col("comp").alias("dst")
+        edges = (
+            edges.join(la, "src", "left")
+            .join(lb, "dst", "left")
+            .select(
+                F.coalesce("_ca", F.col("src")).alias("src"),
+                F.coalesce("_cb", F.col("dst")).alias("dst"),
+                F.col("_ca").isNotNull().alias("sa"),
+                F.col("_cb").isNotNull().alias("sb"),
+            )
+            .where(F.col("src") != F.col("dst"))
         )
-        edges = edges.unionByName(star)
-    from ..operators.graph import connected_components
+    else:
+        edges = edges.select(
+            "src", "dst", F.lit(False).alias("sa"), F.lit(False).alias("sb")
+        )
+    cond = edges.distinct()
+    # the ONE execution of the upstream pairs plan: a bounded collect
+    # (condensed edges, not raw pairs). limit(N+1) caps driver memory;
+    # an overflowing batch re-plans distributed.
+    head = cond.limit(driver_cc_max_edges + 1).collect()
+    relabel_changed = None  # (node, new_comp) for old labels that moved
+    fresh_delta = None  # (doc_id, comp) rows needing no store join
+    if not head:
+        # nothing to relabel, but the batch id must still commit so
+        # replay accounting stays exact (empty delta, like the sibling
+        # stores' empty-batch path)
+        pass
+    elif len(head) <= driver_cc_max_edges:
+        mapping = _driver_union_find([(r["src"], r["dst"]) for r in head])
+        was_assigned: set = set()
+        for r in head:
+            if r["sa"]:
+                was_assigned.add(r["src"])
+            if r["sb"]:
+                was_assigned.add(r["dst"])
+        changed_rows = [
+            (n, m) for n, m in mapping.items() if n in was_assigned and m != n
+        ]
+        fresh_rows = [
+            (n, m) for n, m in mapping.items() if n not in was_assigned
+        ]
+        schema = f"node {id_type}, new_comp {id_type}"
+        if changed_rows:
+            relabel_changed = F.broadcast(
+                spark.createDataFrame(changed_rows, schema)
+            )
+        if fresh_rows:
+            fresh_delta = spark.createDataFrame(fresh_rows, schema).select(
+                F.col("node").alias("doc_id"),
+                F.col("new_comp").alias("comp"),
+            )
+    else:
+        from ..operators.graph import connected_components
 
-    labels = connected_components(edges, src="src", dst="dst")
-    delta = labels.select(F.col("id").alias("doc_id"), "comp").withColumn(
-        "_bucket", _bucket_expr(n_buckets)
-    )
+        cond = cond.select("src", "dst").localCheckpoint(eager=False)
+        labels = connected_components(cond, src="src", dst="dst").select(
+            F.col("id").alias("node"), F.col("comp").alias("new_comp")
+        )
+        relabel_changed = labels.where(F.col("node") != F.col("new_comp"))
+        if assign is not None:
+            fresh_delta = labels.join(
+                assign, labels.node == assign.doc_id, "left_anti"
+            ).select(
+                F.col("node").alias("doc_id"),
+                F.col("new_comp").alias("comp"),
+            )
+        else:
+            fresh_delta = labels.select(
+                F.col("node").alias("doc_id"),
+                F.col("new_comp").alias("comp"),
+            )
+    # members of components whose label CHANGED relabel via one
+    # equi-join on comp — minimal: unchanged components write nothing
+    parts = []
+    if relabel_changed is not None and assign is not None:
+        parts.append(
+            assign.join(
+                relabel_changed, assign.comp == relabel_changed.node
+            ).select("doc_id", F.col("new_comp").alias("comp"))
+        )
+    if fresh_delta is not None:
+        parts.append(fresh_delta)
+    if parts:
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        delta = delta.withColumn("_bucket", _bucket_expr(n_buckets))
+    else:
+        delta = spark.createDataFrame(
+            [], f"doc_id {id_type}, comp {id_type}, _bucket int"
+        )
     segments.commit_delta(delta, store_path, batch_id, bucket_col="_bucket")
     if len(segments.live_deltas(store_path)) >= compact_every:
         cluster_store_compact(spark, store_path, n_buckets)
@@ -292,14 +426,22 @@ def stream_dedup_clusters(
     from .incremental import run_foreach_batch
     from .lsh_store import lsh_store_update_batch, neardup_pairs_against_store
 
+    from .lsh_store import _doc_rows
+
     def _sink(batch: DataFrame, batch_id: int) -> None:
         if segments.already_ingested(cluster_store_path, batch_id):
             return  # fully applied on a prior attempt
+        # one signature build per batch, shared by ingest and scoring
+        rows = _doc_rows(batch, "doc_id", "text").localCheckpoint(eager=True)
         lsh_store_update_batch(  # own replay guard: no-op if landed
-            batch, lsh_store_path, batch_id, compact_every=compact_every
+            batch,
+            lsh_store_path,
+            batch_id,
+            compact_every=compact_every,
+            doc_rows=rows,
         )
         pairs = neardup_pairs_against_store(
-            batch, lsh_store_path, threshold=threshold
+            batch, lsh_store_path, threshold=threshold, doc_rows=rows
         )
         cluster_store_update_batch(
             pairs, cluster_store_path, batch_id, compact_every=compact_every

@@ -115,6 +115,7 @@ def lsh_store_update_batch(
     text_col: str = "text",
     compact_every: int = COMPACT_EVERY,
     n_buckets: int = LSH_STORE_BUCKETS,
+    doc_rows: DataFrame | None = None,
 ) -> None:
     """Ingest one micro-batch's (doc_id, shingles, sig) rows as an
     atomic delta — O(batch), the existing state is NOT read. Same
@@ -126,8 +127,10 @@ def lsh_store_update_batch(
         return  # replayed micro-batch
     meta = segments.read_meta(store_path)
     n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
+    if doc_rows is None:
+        doc_rows = _doc_rows(batch, id_col, text_col)
     delta = (
-        _doc_rows(batch, id_col, text_col)
+        doc_rows
         .withColumn("_ubid", F.lit(batch_id).cast("long"))
         .withColumn("_bucket", _bucket_expr(n_buckets))
     )
@@ -229,6 +232,7 @@ def neardup_pairs_against_store(
     threshold: float = 0.5,
     band_slice: tuple[int, int] | None = None,
     no_cache: bool = False,
+    doc_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs of an incoming (not-yet-ingested) batch
     against everything ever ingested PLUS the batch itself: exactly
@@ -241,12 +245,17 @@ def neardup_pairs_against_store(
 
     ``band_slice`` passes through to the kernel (the deterministic
     1/K bucket sample both engines compute identically — the 100x
-    oracle-verification aid)."""
+    oracle-verification aid). ``doc_rows`` (shared with
+    ``lsh_store_update_batch``) lets a score-then-ingest pipeline
+    build the batch's signature frame ONCE — pass the same
+    ``_doc_rows(batch)`` (ideally checkpointed) to both calls."""
     from ..operators.caching import tracked_cache
     from ..operators.dedup import lsh_pairs_from_signatures
 
     spark = batch.sparkSession
-    batch_rows = _doc_rows(batch, id_col, text_col)
+    batch_rows = doc_rows if doc_rows is not None else _doc_rows(
+        batch, id_col, text_col
+    )
     try:
         hist = read_lsh_store(spark, store_path)
     except FileNotFoundError:

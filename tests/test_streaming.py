@@ -1887,3 +1887,40 @@ def test_df_store_counts_replay_and_compaction(spark, tmp_path_factory):
     got = {r["term"]: r["df"] for r in read_df_store(spark, store).collect()}
     assert got == want
     assert corpus_doc_count(spark, store).collect()[0]["n_docs"] == 4
+
+
+def test_cluster_store_distributed_path_equals_driver_path(
+    spark, tmp_path_factory
+):
+    """The scale fallback (distributed hash-min CC past
+    driver_cc_max_edges) must produce the identical store state as
+    the default bounded driver union-find — forced by setting the
+    bound to 0 so every batch takes the distributed path."""
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_update_batch,
+        read_cluster_assignments,
+    )
+
+    batches = [
+        [(1, 2), (3, 4)],
+        [(5, 6)],
+        [(2, 3), (6, 7)],  # merges {1,2}+{3,4}; extends {5,6}
+    ]
+    stores = {}
+    for bound, tag in ((200_000, "driver"), (0, "dist")):
+        store = str(tmp_path_factory.mktemp(f"cc_{tag}")) + "/clusters"
+        stores[tag] = store
+        for i, pairs in enumerate(batches):
+            cluster_store_update_batch(
+                spark.createDataFrame(pairs, "id_a long, id_b long"),
+                store,
+                batch_id=i,
+                driver_cc_max_edges=bound,
+            )
+    read = lambda s: {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, s).collect()
+    }
+    assert read(stores["driver"]) == read(stores["dist"]) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5,
+    }
