@@ -1924,3 +1924,103 @@ def test_cluster_store_distributed_path_equals_driver_path(
     assert read(stores["driver"]) == read(stores["dist"]) == {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5,
     }
+
+
+def test_cluster_and_df_store_crash_tour(spark, tmp_path_factory):
+    """Crash-point tour for the two r11 stores (segments.py contract):
+    an orphan _tmp ingest dir, an orphan base-0 from a compaction that
+    died before the meta commit, an orphan _tmp-merge dir from a died
+    partial compaction, and a resurrected already-consumed delta must
+    all leave reads exact; the next operation sweeps them."""
+    import os as _os
+    import shutil as _shutil
+
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_compact,
+        cluster_store_update_batch,
+        read_cluster_assignments,
+    )
+    from hubspot_neo4j_pipeline_spark.streaming.df_store import (
+        corpus_doc_count,
+        df_store_compact,
+        df_store_update_batch,
+        read_df_store,
+    )
+
+    cstore = str(tmp_path_factory.mktemp("cc_crash")) + "/clusters"
+    cluster_store_update_batch(
+        spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long"),
+        cstore,
+        batch_id=0,
+    )
+    cluster_store_update_batch(
+        spark.createDataFrame([(2, 3)], "id_a long, id_b long"),
+        cstore,
+        batch_id=1,
+    )
+    c_truth = {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, cstore).collect()
+    }
+    assert c_truth == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    dstore = str(tmp_path_factory.mktemp("df_crash")) + "/vocab"
+    df_store_update_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta")],
+            "doc_id long, text string",
+        ),
+        dstore,
+        batch_id=0,
+    )
+    d_truth = {
+        r["term"]: r["df"] for r in read_df_store(spark, dstore).collect()
+    }
+
+    for store, read in (
+        (
+            cstore,
+            lambda: {
+                r["doc_id"]: r["comp"]
+                for r in read_cluster_assignments(spark, store).collect()
+            },
+        ),
+        (
+            dstore,
+            lambda: {
+                r["term"]: r["df"]
+                for r in read_df_store(spark, store).collect()
+            },
+        ),
+    ):
+        truth = read()
+        # orphan ingest tmp, merge tmp, and unreferenced base dirs —
+        # none reader-resolvable
+        for junk in ("_tmp-b9", "_tmp-merge-base-7", "base-7"):
+            _os.makedirs(_os.path.join(store, junk), exist_ok=True)
+            with open(_os.path.join(store, junk, "junk.parquet"), "w") as fh:
+                fh.write("not parquet")
+        assert read() == truth
+        # resurrected consumed delta: excluded by id <= consumed_through
+        # after the next compaction consumes it
+        compact = (
+            cluster_store_compact if store is cstore else df_store_compact
+        )
+        compact(spark, store)
+        assert read() == truth
+        stale = _os.path.join(store, "deltas", "b0")
+        _os.makedirs(stale, exist_ok=True)
+        assert read() == truth
+        compact(spark, store)  # no live deltas: sweep-only
+        meta = segments.read_meta(store)
+        segments.sweep(store, meta)
+        assert read() == truth
+        for junk in ("_tmp-b9", "_tmp-merge-base-7", "base-7"):
+            assert not _os.path.exists(_os.path.join(store, junk))
+        assert not _os.path.exists(stale)
+
+    assert corpus_doc_count(spark, dstore).collect()[0]["n_docs"] == 2
+    assert {
+        r["term"]: r["df"] for r in read_df_store(spark, dstore).collect()
+    } == d_truth == {"alpha": 2, "beta": 2, "gamma": 1}

@@ -34,6 +34,7 @@ EXCLUDE=(
   doc_dedup_quality_keeplist   # ditto (r11); slice twin runs
   cluster_safe_split           # ditto (r11); slice twin runs
   incremental_neardup_pairs    # oracle = the full minhash signature self-join (doc_minhash_lsh_pairs' infeasibility); slice twin incremental_neardup_pairs_slice runs (r10)
+  incremental_dup_clusters     # oracle = the same full signature self-join PLUS recursive reachability over its pairs (r11); slice twin incremental_dup_clusters_slice runs
 )
 
 QUERIES=($(python - "${EXCLUDE[@]}" <<'PYEOF'
