@@ -118,13 +118,19 @@ def read_df_store(
     spark: SparkSession, store_path: str, terms_filter: DataFrame | None = None
 ) -> DataFrame:
     """The store's current (term, df) view, sum-merged; the reserved
-    doc-count row is excluded (use ``corpus_doc_count``)."""
-    return (
-        _merged_rows(spark, store_path, terms_filter)
-        .where(F.col("term") != DOC_COUNT_KEY)
-        .groupBy("term")
-        .agg(F.sum("df").cast("long").alias("df"))
+    doc-count row is excluded (use ``corpus_doc_count``). Single-frame
+    stores (compacted base, or exactly one delta — both already one
+    row per term) skip the merge shuffle."""
+    meta = segments.read_meta(store_path)
+    n_frames = (1 if meta["base"] else 0) + len(
+        segments.live_deltas(store_path, meta)
     )
+    rows = _merged_rows(spark, store_path, terms_filter).where(
+        F.col("term") != DOC_COUNT_KEY
+    )
+    if n_frames == 1:
+        return rows
+    return rows.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
 
 
 def corpus_doc_count(spark: SparkSession, store_path: str) -> DataFrame:

@@ -96,6 +96,13 @@ def read_lsh_store(spark: SparkSession, store_path: str) -> DataFrame:
         frames.append(spark.read.parquet(path))
     if not frames:
         raise FileNotFoundError(f"empty lsh store at {store_path}")
+    if len(frames) == 1:
+        # single-frame read (compacted base, or exactly one delta):
+        # both are latest-writer-unique per doc_id by construction
+        # (_doc_rows dedups within a batch; compaction windows), so
+        # the window below would be a semantic no-op costing a full
+        # store shuffle (the hash store's single-frame shortcut)
+        return frames[0].select("doc_id", "shingles", "sig")
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
