@@ -448,3 +448,31 @@ def stream_dedup_clusters(
         )
 
     run_foreach_batch(stream_df, _sink, checkpoint_dir, timeout_sec)
+
+
+def cluster_store_bootstrap(
+    pairs: DataFrame,
+    store_path: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> None:
+    """Day-0 bulk load: one-shot distributed CC over the existing
+    corpus' full pair set (the initial clustering a production dedup
+    runs ONCE in batch), written directly as the first compacted base;
+    incremental pair batches then maintain it. Equivalent state to
+    folding the same pairs through update_batch, pinned by test."""
+    from ..operators.graph import connected_components
+
+    id_type = dict(pairs.dtypes)[id_a]
+    labels = connected_components(pairs, src=id_a, dst=id_b).select(
+        F.col("id").alias("doc_id"), "comp"
+    )
+    n_rows = pairs.select(id_a).unionByName(
+        pairs.select(F.col(id_b).alias(id_a))
+    ).distinct().count()
+    n_buckets = segments.sized_n_buckets(n_rows)
+    rows = labels.withColumn("_bucket", _bucket_expr(n_buckets))
+    segments.bootstrap_base(
+        rows, store_path, "_bucket", n_buckets,
+        extra_meta={"id_type": id_type},
+    )

@@ -331,3 +331,22 @@ def stream_df_store(
         checkpoint_dir,
         timeout_sec,
     )
+
+
+def df_store_bootstrap(
+    corpus: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Day-0 bulk load: the whole existing corpus' (term, df) totals
+    plus its doc count written directly as the first compacted base.
+    Bucket count sized by the corpus' document count (vocabulary row
+    count is sublinear in documents, so this over-provisions — the
+    safe direction). Equivalent state to update-then-compact, pinned
+    by test."""
+    n_buckets = segments.sized_n_buckets(corpus.count())
+    rows = _partial_df(corpus, id_col, text_col).withColumn(
+        "_bucket", _bucket_expr(n_buckets)
+    )
+    segments.bootstrap_base(rows, store_path, "_bucket", n_buckets)

@@ -319,3 +319,25 @@ def stream_lsh_store(
         checkpoint_dir,
         timeout_sec,
     )
+
+
+def lsh_store_bootstrap(
+    corpus: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Day-0 bulk load: the whole existing corpus' signature rows
+    written directly as the first compacted base (one partitioned
+    write — no per-batch delta bytes), bucket count sized up front by
+    the compaction growth rule so production-scale loads start with a
+    sane layout instead of growing into one. Streaming ingest then
+    continues on top (batch ids start after the bootstrap's).
+    Equivalent state to update-then-compact, pinned by test."""
+    n_buckets = segments.sized_n_buckets(corpus.count())
+    rows = (
+        _doc_rows(corpus, id_col, text_col)
+        .withColumn("_ubid", F.lit(0).cast("long"))
+        .withColumn("_bucket", _bucket_expr(n_buckets))
+    )
+    segments.bootstrap_base(rows, store_path, "_bucket", n_buckets)

@@ -311,3 +311,103 @@ def base_row_count(spark, store_path: str, base_name: str) -> int:
 def next_base_name(meta: dict) -> str:
     gen = int(meta["base"].split("-")[1]) + 1 if meta["base"] else 0
     return f"base-{gen}"
+
+
+def store_stats(store_path: str) -> dict:
+    """Operational introspection: one dict describing the store's
+    visible state — base generation and its recorded row count, live
+    delta ids with manifest row counts, the pinned layout/provenance
+    properties, and the touched-bucket fraction the NEXT compaction
+    would merge (1.0 when any live delta lacks a manifest or a growth
+    is pending). Reads meta + manifests only — no data scan, safe on
+    a live store."""
+    meta = read_meta(store_path)
+    deltas = live_deltas(store_path, meta)
+    delta_rows: dict[int, int | None] = {}
+    touched: set | None = set()
+    for bid, path in sorted(deltas.items()):
+        m = delta_manifest(path)
+        delta_rows[bid] = None if m is None else int(m.get("rows", -1))
+        if touched is not None and m is not None and "touched" in m:
+            touched.update(m["touched"])
+        else:
+            touched = None
+    n_buckets = meta.get("n_buckets")
+    pending_growth = (
+        grown_n_buckets(meta, deltas, n_buckets) != n_buckets
+        if n_buckets and deltas
+        else False
+    )
+    frac = None
+    if n_buckets:
+        if pending_growth or touched is None or not meta.get("base"):
+            frac = 1.0 if deltas else 0.0
+        else:
+            frac = len(touched) / n_buckets
+    layout_keys = {
+        "base", "consumed_through", "n_buckets", "base_n_buckets",
+        "base_rows",
+    }
+    return {
+        "base": meta["base"],
+        "base_rows": meta.get("base_rows"),
+        "n_buckets": n_buckets,
+        "base_n_buckets": meta.get("base_n_buckets"),
+        "consumed_through": meta["consumed_through"],
+        "live_delta_ids": sorted(deltas),
+        "live_delta_rows": delta_rows,
+        "next_compaction_bucket_fraction": frac,
+        "pending_bucket_growth": pending_growth,
+        "pinned": {
+            k: v for k, v in meta.items() if k not in layout_keys
+        },
+    }
+
+
+def bootstrap_base(
+    df,
+    store_path: str,
+    bucket_col: str,
+    n_buckets: int,
+    batch_id: int = 0,
+    extra_meta: dict | None = None,
+) -> None:
+    """Day-0 BULK LOAD: write ``df`` (already in the store's row
+    shape, carrying ``bucket_col``) directly as the first compacted
+    base — one partitioned write plus one atomic meta commit.
+    Equivalent to ingesting it as delta b<batch_id> and compacting,
+    without materializing the delta bytes twice: the right path for
+    loading an existing corpus into a store before streaming starts.
+    Refuses on a non-empty store (bootstrap is not an upsert)."""
+    meta = read_meta(store_path)
+    if meta["base"] or committed_deltas(store_path):
+        raise ValueError(
+            f"bootstrap requires an empty store, {store_path} is not"
+        )
+    os.makedirs(store_path, exist_ok=True)
+    base = "base-0"
+    df.repartition(bucket_col).write.partitionBy(bucket_col).mode(
+        "overwrite"
+    ).parquet(os.path.join(store_path, base))
+    write_meta(
+        store_path,
+        {
+            **meta,
+            **(extra_meta or {}),
+            "base": base,
+            "consumed_through": batch_id,
+            "n_buckets": n_buckets,
+            "base_n_buckets": n_buckets,
+            "base_rows": base_row_count(df.sparkSession, store_path, base),
+        },
+    )
+
+
+def sized_n_buckets(n_rows: int, floor: int = 32) -> int:
+    """Bucket count for a bulk load of ``n_rows`` store rows — the
+    compaction growth rule applied up front (power-of-2, ~
+    ROWS_PER_BUCKET rows per bucket, never below the default floor)."""
+    n = floor
+    while n_rows > n * ROWS_PER_BUCKET:
+        n *= 2
+    return n

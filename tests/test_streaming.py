@@ -2024,3 +2024,95 @@ def test_cluster_and_df_store_crash_tour(spark, tmp_path_factory):
     assert {
         r["term"]: r["df"] for r in read_df_store(spark, dstore).collect()
     } == d_truth == {"alpha": 2, "beta": 2, "gamma": 1}
+
+
+def test_store_bootstrap_equals_batch_ingest(spark, tmp_path_factory):
+    """Day-0 bulk loads (r11, segments.bootstrap_base): for the lsh,
+    cluster, and df stores, bootstrapping an existing corpus must land
+    the identical visible state as ingesting it through update_batch —
+    and streaming must continue on top of a bootstrapped base (the
+    next batch id follows the bootstrap's, scoring sees both)."""
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_bootstrap,
+        cluster_store_update_batch,
+        read_cluster_assignments,
+    )
+    from hubspot_neo4j_pipeline_spark.streaming.df_store import (
+        corpus_doc_count,
+        df_store_bootstrap,
+        df_store_update_batch,
+        read_df_store,
+    )
+    from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
+        lsh_store_bootstrap,
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+        read_lsh_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.where("doc_id % 3 != 0")
+    incoming = docs.where("doc_id % 3 = 0")
+    root = str(tmp_path_factory.mktemp("bootstrap"))
+
+    # --- LSH store
+    boot, inc = root + "/lsh_boot", root + "/lsh_inc"
+    lsh_store_bootstrap(corpus, boot)
+    lsh_store_update_batch(corpus, inc, batch_id=0)
+    read = lambda p: sorted(
+        (r["doc_id"], tuple(r["sig"]), tuple(sorted(r["shingles"])))
+        for r in read_lsh_store(spark, p).collect()
+    )
+    assert read(boot) == read(inc)
+    # streaming continues on top: same pair verdicts from either state
+    got = sorted(
+        tuple(r) for r in neardup_pairs_against_store(incoming, boot).collect()
+    )
+    want = sorted(
+        tuple(r) for r in neardup_pairs_against_store(incoming, inc).collect()
+    )
+    assert got == want and got
+    assert segments.next_batch_id(boot) == 1
+    st = segments.store_stats(boot)
+    assert st["base"] == "base-0" and st["live_delta_ids"] == []
+
+    # --- cluster store (bootstrap = one-shot CC over the pair set)
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    cboot, cinc = root + "/cc_boot", root + "/cc_inc"
+    cluster_store_bootstrap(pairs, cboot)
+    cluster_store_update_batch(pairs, cinc, batch_id=0)
+    creads = lambda p: {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, p).collect()
+    }
+    assert creads(cboot) == creads(cinc) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7,
+    }
+    # incremental merge on top of the bootstrapped base
+    cluster_store_update_batch(
+        spark.createDataFrame([(4, 7)], "id_a long, id_b long"), cboot
+    )
+    assert creads(cboot) == {1: 1, 2: 1, 3: 1, 4: 1, 7: 1, 9: 1}
+
+    # --- df store
+    dboot, dinc = root + "/df_boot", root + "/df_inc"
+    df_store_bootstrap(corpus, dboot)
+    df_store_update_batch(corpus, dinc, batch_id=0)
+    dread = lambda p: sorted(
+        tuple(r) for r in read_df_store(spark, p).collect()
+    )
+    assert dread(dboot) == dread(dinc)
+    assert (
+        corpus_doc_count(spark, dboot).collect()
+        == corpus_doc_count(spark, dinc).collect()
+    )
+    # bootstrap refuses a non-empty store
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        df_store_bootstrap(corpus, dboot)

@@ -134,3 +134,31 @@ def test_gate_fingerprint_reacts_to_engine_changes(tmp_path, monkeypatch):
 
     rec = json.loads((tmp_path / "fp.json").read_text())
     assert rec[art.name] == fp0
+
+
+def test_store_stats_shapes(spark, tmp_path_factory):
+    """store_stats (r11 ops surface) reads meta + manifests only and
+    reports the next compaction's touched-bucket fraction."""
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
+        hash_store_compact,
+        hash_store_update_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("stats")) + "/hashes"
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd"), (3, "aa bb")],
+        "doc_id long, text string",
+    )
+    hash_store_update_batch(docs, store, batch_id=0)
+    st = segments.store_stats(store)
+    assert st["base"] is None and st["live_delta_ids"] == [0]
+    assert st["live_delta_rows"][0] == 2  # two distinct contents
+    assert 0 < st["next_compaction_bucket_fraction"] <= 1.0
+    assert st["pinned"]["id_type"] == "bigint"
+    hash_store_compact(spark, store)
+    st = segments.store_stats(store)
+    assert st["base"] == "base-0" and st["base_rows"] == 2
+    assert st["live_delta_ids"] == []
+    assert st["next_compaction_bucket_fraction"] == 0.0
+    assert st["pending_bucket_growth"] is False
