@@ -113,6 +113,16 @@ _DEMOTED = {
     # in-window via recent_activity / event_sessionization /
     # asof_order_before_event).
     "windowed_event_counts",
+    # Round 11 (third rotation): one §2-redundant temporal row yields
+    # its slot to the streaming dedup-CLUSTER round-trip
+    # (incremental_dup_clusters — the verdict layer of the streaming-
+    # dedup story: LSH-store pair scoring folded into maintained CC
+    # assignments, D1/D3/J1/J12). scd2_version_chain's ops all keep
+    # in-window carriers: T3 via the EXECUTED incremental_scd2_roundtrip
+    # (strictly stronger — the store round-trip replays the chain),
+    # T9 via current_state, W1 via doc_shard_packing /
+    # user_value_trend / asof_order_before_event / event_sessionization.
+    "scd2_version_chain",
 }
 
 _PRIORITY = [
@@ -169,6 +179,10 @@ _PRIORITY = [
     # recency from the store alone — see _DEMOTED note for the batch
     # row it displaces)
     "incremental_window_counts",
+    # round 11: the executed streaming dedup-CLUSTER round-trip (LSH
+    # pair scoring folded into maintained CC assignments per batch —
+    # see _DEMOTED note for the row it displaces)
+    "incremental_dup_clusters",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

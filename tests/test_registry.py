@@ -63,13 +63,15 @@ def test_priority_prefix_spans_all_families():
     assert "deals_by_company" in prefix  # reference flagship
     for name in (
         "change_classification",
-        "scd2_version_chain",
         "relationship_diff",
         # soft_delete_candidates rotated out in r10 (T4/T5 stay
         # in-window via scd2_golden_merge); scd2_golden_changelog
         # rotated out in r11 for incremental_scd2_roundtrip (T2 via
         # change_classification / scd2_golden_merge, T6 via
-        # relationship_diff)
+        # relationship_diff); scd2_version_chain rotated out in r11
+        # for incremental_dup_clusters (T3 via the EXECUTED
+        # incremental_scd2_roundtrip, T9 via current_state, W1 via
+        # doc_shard_packing / user_value_trend / asof / sessionize)
         "scd2_golden_merge",
         "incremental_scd2_roundtrip",
     ):
@@ -103,24 +105,28 @@ def test_priority_prefix_spans_all_families():
         # and near-dup LSH-store round-trips, real compactions)
         "incremental_hash_dedup_verdicts",
         "incremental_neardup_pairs",
-        # round 11: SCD2-store round-trip (T8's only carrier) and the
+        # round 11: SCD2-store round-trip (T8's only carrier), the
         # windowed-count-store round-trip (displacing the batch
-        # windowed_event_counts row — F10/A9 stay multiply covered)
+        # windowed_event_counts row — F10/A9 stay multiply covered),
+        # and the dedup-CLUSTER store round-trip (displacing
+        # scd2_version_chain — T3/T9/W1 stay multiply covered)
         "incremental_scd2_roundtrip",
         "incremental_window_counts",
+        "incremental_dup_clusters",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Sixteen §2-redundant queries are rotated past the driver's
+    """Seventeen §2-redundant queries are rotated past the driver's
     50-query window (five in r4 for the sequence/sketch/funnel/
     semantic-dedup flagships, three in r5 for the sink round-trips and
     the real media decode, two in r6 for the rewritten
     fuzzy_name_pairs / doc_simhash_pairs scale flagships, one in r7
     for the trained-centroid IVF flagship, one in r8 for the Neo4j
     dry-run sink, two in r10 for the LSM streaming-store flagships,
-    two in r11 for the SCD2-store and windowed-count-store round-trips);
+    three in r11 for the SCD2-store, windowed-count-store, and
+    dedup-cluster-store round-trips);
     they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
@@ -160,6 +166,11 @@ def test_demoted_queries_still_registered_with_oracles():
         # store successor; F10/A9 stay in-window via recent_activity /
         # event_sessionization / asof_order_before_event)
         "windowed_event_counts",
+        # r11: demoted for incremental_dup_clusters (T3 via the
+        # EXECUTED incremental_scd2_roundtrip, T9 via current_state,
+        # W1 via doc_shard_packing / user_value_trend / asof /
+        # sessionize)
+        "scd2_version_chain",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"
