@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "edge_endpoint_validation",  # two scalar count frames joined (1 row each)
     "repeat_buyers_intersect",  # 1-row data-derived mid-date anchor
     "doc_tfidf_top_terms",  # 1-row corpus doc-count frame
+    "incremental_tfidf_topk",  # 1-row (store + batch) doc-count frame
     "source_mixture_sample",  # 1-row global-min char-mass target
     "source_temperature_weights",  # 1-row global-max char-mass anchor
     "corpus_kmv_sketch",  # 1-row merged-sketch (kth-min) frame
