@@ -39,17 +39,26 @@ def main() -> None:
     only = {
         n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
     }
+    # r12 (r11 VERDICT task 6): the multi-second store round-trips are
+    # the rows whose single-shot noise dominates round-over-round
+    # comparison, and they are few — whatever `reps` is configured,
+    # any query whose first pass clears HEAVY_SECONDS gets min-of-3.
+    HEAVY_SECONDS = 2.0
     timings: dict[str, float] = {}
     for name, fn in sorted(get_queries().items()):
         if only and name not in only:
             continue
         best = None
-        for _ in range(reps):
+        n_reps = reps
+        r = 0
+        while r < n_reps:
             t0 = time.perf_counter()
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 el = time.perf_counter() - t0
                 best = el if best is None or el < best else best
+                if r == 0 and el >= HEAVY_SECONDS:
+                    n_reps = max(n_reps, 3)
             except Exception as exc:  # keep the bench line parseable on failure
                 print(f"bench error {name}: {exc}", file=sys.stderr)
                 break
@@ -57,6 +66,7 @@ def main() -> None:
                 # operators cache internal frames (LSH buckets, MinHash
                 # sigs); drop them between runs so memory stays bounded
                 spark.catalog.clearCache()
+            r += 1
         timings[name] = round(best, 3) if best is not None else -1.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -489,6 +489,19 @@ def minhash_lsh_pairs(
     )
 
 
+def band_slice_pred(band_slice: tuple[int, int]):
+    """The deterministic 1/K band-bucket sample predicate (see
+    ``minhash_lsh_pairs``' band_slice doc) — factored (r12) so the
+    streaming store's split batch/history band frames filter with the
+    IDENTICAL expression the one-shot kernel applies to its one band
+    frame (a bucket is kept or dropped as a whole, so filtering the
+    two sides separately is the same as filtering their union)."""
+    k, r = band_slice
+    return F.expr(
+        f"cast(conv(substr(band_hash, 1, 2), 16, 10) as bigint) % {k} = {r}"
+    )
+
+
 def lsh_pairs_from_signatures(
     sigs: DataFrame,
     id_col: str,
@@ -519,13 +532,7 @@ def lsh_pairs_from_signatures(
         )
         bands = bands.join(cold, ["band_id", "band_hash"])
     if band_slice is not None:
-        k, r = band_slice
-        bands = bands.where(
-            F.expr(
-                f"cast(conv(substr(band_hash, 1, 2), 16, 10) as bigint) "
-                f"% {k} = {r}"
-            )
-        )
+        bands = bands.where(band_slice_pred(band_slice))
 
     # in-bucket pair expansion (one shuffle, i < j only) instead of a
     # two-sided band self-join — see operators/skew.bucket_self_pairs
@@ -536,6 +543,22 @@ def lsh_pairs_from_signatures(
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    return verified_jaccard_pairs(candidates, sigs, id_col, threshold)
+
+
+def verified_jaccard_pairs(
+    candidates: DataFrame,
+    sigs: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard VERIFY over candidate (id_a, id_b) rows:
+    attach both shingle sets by equi-join against the signature frame,
+    compute |A∩B| / (|A|+|B|-|A∩B|), keep >= threshold. Factored from
+    ``lsh_pairs_from_signatures`` (r12) so the streaming LSH store's
+    batch-restricted candidate path runs the IDENTICAL verify
+    expressions the one-shot operator runs — pair-value equality stays
+    by construction, not by re-derivation."""
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     pairs = candidates.join(
         sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"

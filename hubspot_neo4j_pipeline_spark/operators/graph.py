@@ -110,6 +110,77 @@ def dedup_clusters(
     )
 
 
+PR_SCALE = 1 << 20  # fixed-point scale for the oracle-exact variant
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-iteration PageRank in fixed-point INTEGER arithmetic →
+    (id, rank_q: bigint) with rank_q ≈ rank × scale — the oracle-exact
+    sibling of ``pagerank`` (same recurrence, same dangling-mass
+    simplification), the ``kmeans_seeds_quantized`` trick applied to
+    the iteration (r12, r11 VERDICT task 4: the double variant's rank
+    sums depend on float addition order, so it could never hash-match
+    a DuckDB oracle; every step here is int64 — exact, associative,
+    order-free — so an unrolled-CTE SQL oracle matches cell-exact).
+
+    Recurrence per round, all non-negative int64 (Spark's truncating
+    ``div`` ≡ DuckDB's flooring ``//`` on non-negatives):
+        contrib(u→v) = rank_q(u) div out_deg(u)
+        rank_q'(v)   = (scale·(den−num)) div den
+                       + (num · Σ contrib) div den
+    Overflow headroom: total mass never exceeds N·scale (dangling
+    vertices leak mass), so num·mass < 100·N·2^20 — safe past N=10^11.
+    Quantization error ≤ out_deg/scale per vertex per round —
+    irrelevant to ranking; the double variant remains the production
+    default. Scale: identical shuffle structure to ``pagerank`` (one
+    join pair per round, lineage truncated per round)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    teleport = (scale * (damping_den - damping_num)) // damping_den
+    ranks = vertices.select(
+        "id", F.lit(scale).cast("long").alias("rank_q")
+    )
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(out_deg, ranks.id == out_deg.src, "inner")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank_q div out_deg").alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_mass, 0L)) "
+                        f"div {damping_den}"
+                    )
+                ).cast("long").alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

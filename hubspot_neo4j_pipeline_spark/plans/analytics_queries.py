@@ -685,3 +685,116 @@ def priority_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status_col",
         valueColumnName="n",
     )
+
+
+def _pagerank_oracle(
+    n_iter: int = 5, scale: int = 1 << 20, num: int = 85, den: int = 100
+) -> str:
+    """Unrolled-CTE fixed-point PageRank — one CTE per iteration, no
+    RECURSIVE needed (the iteration count is part of the spec). Every
+    step is int64 (floor division on non-negatives ≡ Spark's `div`),
+    so the ranks are cross-engine cell-exact; see
+    operators/graph.pagerank_quantized."""
+    teleport = (scale * (den - num)) // den
+    rounds = "".join(
+        f""", r{i + 1} AS (
+            SELECT v.id AS id,
+                   CAST({teleport} + ({num} * COALESCE(m.in_mass, 0)) // {den}
+                        AS BIGINT) AS rank_q
+            FROM vertices v LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.rank_q // o.od) AS in_mass
+                FROM r{i} r JOIN outdeg o ON r.id = o.src
+                            JOIN edges e ON e.src = r.id
+                GROUP BY e.dst
+            ) m ON v.id = m.id
+        )"""
+        for i in range(n_iter)
+    )
+    return f"""
+        WITH edges AS (
+            SELECT CAST(c_custkey AS BIGINT) AS src,
+                   CAST(1000000000 + c_nationkey AS BIGINT) AS dst
+            FROM customer
+            UNION ALL
+            SELECT CAST(3000000000 + s_suppkey AS BIGINT),
+                   CAST(1000000000 + s_nationkey AS BIGINT)
+            FROM supplier
+            UNION ALL
+            SELECT CAST(1000000000 + n_nationkey AS BIGINT),
+                   CAST(2000000000 + n_regionkey AS BIGINT)
+            FROM nation
+        ), vertices AS (
+            SELECT DISTINCT src AS id FROM edges
+            UNION
+            SELECT DISTINCT dst FROM edges
+        ), outdeg AS (
+            SELECT src, count(*) AS od FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT id, CAST({scale} AS BIGINT) AS rank_q FROM vertices
+        ){rounds}
+        SELECT id, rank_q, CAST(rank_q AS DOUBLE) / {scale} AS rank
+        FROM r{n_iter}
+        ORDER BY rank_q DESC, id
+        LIMIT 25
+    """
+
+
+@register(
+    "pagerank_topk",
+    oracle=_pagerank_oracle(),
+    covers=("A1", "W2", "J7"),
+    doc=(
+        "Fixed-point PageRank over the ownership DAG (customer → "
+        "nation ← supplier, nation → region — the same layered "
+        "ownership shape as the reference's contact → company → owner "
+        "traversal, reference loaders/neo4j_loader.py relationship "
+        "edges), top 25 vertices by rank with a unique id tie-break. "
+        "r12 (r11 VERDICT task 4): the LAST operator with no "
+        "oracle-checked registry row. Rank ties on leaf vertices are "
+        "exact (identical teleport-only integers), hub ranks "
+        "accumulate real mass; 5 unrolled iterations, all int64 — "
+        "Spark's truncating div and DuckDB's flooring // agree on the "
+        "non-negative recurrence, so the ranks hash-match cell-exact "
+        "(the kmeans_seeds_quantized technique applied to an "
+        "iterative graph algorithm). Scale: one join pair + one "
+        "aggregation per round, lineage truncated per round; top-k is "
+        "TakeOrderedAndProject, never a global sort."
+    ),
+)
+def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import PR_SCALE, pagerank_quantized
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    E = 1_000_000_000
+    edges = (
+        cust.select(
+            F.col("c_custkey").cast("long").alias("src"),
+            (F.lit(E) + F.col("c_nationkey").cast("long")).alias("dst"),
+        )
+        .unionByName(
+            supp.select(
+                (F.lit(3 * E) + F.col("s_suppkey").cast("long")).alias("src"),
+                (F.lit(E) + F.col("s_nationkey").cast("long")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                (F.lit(E) + F.col("n_nationkey").cast("long")).alias("src"),
+                (F.lit(2 * E) + F.col("n_regionkey").cast("long")).alias("dst"),
+            )
+        )
+    )
+    ranks = pagerank_quantized(edges, n_iter=5)
+    return (
+        ranks.orderBy(F.desc("rank_q"), F.asc("id"))
+        .limit(25)
+        .select(
+            "id",
+            "rank_q",
+            (F.col("rank_q").cast("double") / F.lit(float(PR_SCALE))).alias(
+                "rank"
+            ),
+        )
+    )

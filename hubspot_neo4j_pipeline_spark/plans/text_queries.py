@@ -277,11 +277,16 @@ def doc_shingle_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle(band_slice: tuple[int, int] | None = None) -> str:
+def _minhash_oracle(
+    band_slice: tuple[int, int] | None = None, doc_where: str = ""
+) -> str:
     """``band_slice=(K, r)`` mirrors minhash_lsh_pairs' band_slice: a
     deterministic 1/K bucket sample keyed on the first two band_hash
     hex digits, making the candidate self-join affordable for
-    100x-scale oracle runs."""
+    100x-scale oracle runs. ``doc_where`` (r12): an extra predicate on
+    the source documents (e.g. ``doc_id % 2 = 0``) so a slice-twin
+    query can restrict its CORPUS identically on both engines — the
+    Spark side filters the same way before signing."""
     from ..operators.dedup import (
         DEFAULT_BANDS,
         DEFAULT_PERMS,
@@ -320,6 +325,7 @@ def _minhash_oracle(band_slice: tuple[int, int] | None = None) -> str:
                    )) AS shingles
             FROM documents
             WHERE len(string_split(text, ' ')) >= 5
+              {f"AND ({doc_where})" if doc_where else ""}
         ), hashed AS (
             SELECT doc_id, shingles,
                    list_transform(shingles,

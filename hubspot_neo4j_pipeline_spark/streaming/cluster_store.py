@@ -213,10 +213,14 @@ def cluster_store_update_batch(
         edges = edges.select(
             "src", "dst", F.lit(False).alias("sa"), F.lit(False).alias("sb")
         )
-    cond = edges.distinct()
-    # the ONE execution of the upstream pairs plan: a bounded collect
-    # (condensed edges, not raw pairs). limit(N+1) caps driver memory;
-    # an overflowing batch re-plans distributed.
+    # the ONE execution of the upstream pairs plan: an eager local
+    # checkpoint of the condensed edges (r12, ADVICE fix — checkpoint
+    # BEFORE the bounding collect, so the distributed fallback reuses
+    # the materialized blocks instead of re-running the expensive LSH
+    # plan a second time; the collect below then reads checkpointed
+    # blocks, never recomputes). limit(N+1) caps driver memory; an
+    # overflowing batch re-plans distributed over the same checkpoint.
+    cond = edges.distinct().localCheckpoint(eager=True)
     head = cond.limit(driver_cc_max_edges + 1).collect()
     relabel_changed = None  # (node, new_comp) for old labels that moved
     fresh_delta = None  # (doc_id, comp) rows needing no store join
@@ -252,8 +256,11 @@ def cluster_store_update_batch(
     else:
         from ..operators.graph import connected_components
 
-        cond = cond.select("src", "dst").localCheckpoint(eager=False)
-        labels = connected_components(cond, src="src", dst="dst").select(
+        # cond is already an eager checkpoint — the iterative kernel
+        # reads the materialized blocks, no upstream re-execution
+        labels = connected_components(
+            cond.select("src", "dst"), src="src", dst="dst"
+        ).select(
             F.col("id").alias("node"), F.col("comp").alias("new_comp")
         )
         relabel_changed = labels.where(F.col("node") != F.col("new_comp"))
@@ -322,6 +329,7 @@ def cluster_store_compact(
         else None
     )
     n_buckets = grown
+    wrote = True
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -354,18 +362,21 @@ def cluster_store_compact(
         merged = read_cluster_assignments(spark, store_path).withColumn(
             "_bucket", _bucket_expr(n_buckets)
         )
-        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, new_base))
+        # an all-empty history commits base=None (segments.write_base)
+        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
     segments.write_meta(
         store_path,
         {
             **meta,  # preserve pinned properties (id_type, ...)
-            "base": new_base,
+            "base": new_base if wrote else None,
             "consumed_through": max(deltas),
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
-            "base_rows": segments.base_row_count(spark, store_path, new_base),
+            "base_rows": (
+                segments.base_row_count(spark, store_path, new_base)
+                if wrote
+                else 0
+            ),
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))

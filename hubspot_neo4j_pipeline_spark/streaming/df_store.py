@@ -195,6 +195,7 @@ def df_store_compact(
         else None
     )
     n_buckets = grown
+    wrote = True
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -230,18 +231,21 @@ def df_store_compact(
             .agg(F.sum("df").cast("long").alias("df"))
             .withColumn("_bucket", _bucket_expr(n_buckets))
         )
-        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, new_base))
+        # an all-empty history commits base=None (segments.write_base)
+        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
     segments.write_meta(
         store_path,
         {
             **meta,  # preserve pinned properties
-            "base": new_base,
+            "base": new_base if wrote else None,
             "consumed_through": max(deltas),
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
-            "base_rows": segments.base_row_count(spark, store_path, new_base),
+            "base_rows": (
+                segments.base_row_count(spark, store_path, new_base)
+                if wrote
+                else 0
+            ),
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
@@ -266,10 +270,18 @@ def tfidf_batch_against_store(
     from pyspark.sql import Window
 
     spark = batch.sparkSession
-    toks = batch.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
-    ).where(F.length("term") >= MIN_TERM_LEN)
+    toks = (
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.length("term") >= MIN_TERM_LEN)
+        # same reserved-key filter _terms applies on ingest (r12,
+        # ADVICE fix): a document containing the literal DOC_COUNT_KEY
+        # token must tokenize identically on the scoring side, or it
+        # would be scored with batch-only df for that term
+        .where(F.col("term") != DOC_COUNT_KEY)
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     batch_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     batch_n = batch.agg(F.count("*").alias("n_docs"))

@@ -236,6 +236,7 @@ def gram_store_compact(
         else None
     )
     n_buckets = grown
+    wrote = True
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -271,18 +272,21 @@ def gram_store_compact(
         merged = read_gram_store(spark, store_path).withColumn(
             "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
         )
-        merged.repartition("bucket").write.partitionBy("bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, new_base))
+        # an all-empty history commits base=None (segments.write_base)
+        wrote = _segments.write_base(merged, store_path, new_base, "bucket")
     if _crash_before_commit:
         return
     new_meta = {
         **meta,  # preserve pinned properties
-        "base": new_base,
+        "base": new_base if wrote else None,
         "consumed_through": max(deltas),
         "n_buckets": n_buckets,
         "base_n_buckets": n_buckets,
-        "base_rows": _segments.base_row_count(spark, store_path, new_base),
+        "base_rows": (
+            _segments.base_row_count(spark, store_path, new_base)
+            if wrote
+            else 0
+        ),
     }
     _write_meta(store_path, new_meta)
     _sweep(store_path, new_meta)
@@ -336,6 +340,38 @@ def stream_gram_store(
         ),
         checkpoint_dir,
         timeout_sec,
+    )
+
+
+def gram_store_bootstrap(
+    corpus: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+) -> None:
+    """Day-0 bulk load (r12): the whole existing corpus' (h, n) gram
+    counts written directly as the first compacted base. Unlike the
+    document-keyed stores, the store's row count (distinct grams) is
+    a large MULTIPLE of the document count, so sizing by documents
+    would under-provision — the aggregated partial is checkpointed
+    once and its exact row count drives sized_n_buckets. The gram
+    size pins exactly as update_batch would pin it (a mismatched-k
+    later ingest still fails loudly). Streaming ingest continues on
+    top (batch ids start at 0). Equivalent state to
+    update-then-compact, pinned by test."""
+    from ..operators.dedup import DEFAULT_SHINGLE
+
+    partial = _partial_counts(corpus, id_col, text_col, k).localCheckpoint(
+        eager=True
+    )
+    n_buckets = _segments.sized_n_buckets(partial.count())
+    rows = partial.withColumn(
+        "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
+    )
+    _segments.bootstrap_base(
+        rows, store_path, "bucket", n_buckets,
+        extra_meta={"gram_k": k or DEFAULT_SHINGLE},
     )
 
 

@@ -162,6 +162,7 @@ def hash_store_compact(
         else None
     )
     n_buckets = grown
+    wrote = True
     bucket_expr = F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int")
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
@@ -196,18 +197,21 @@ def hash_store_compact(
         merged = read_hash_store(spark, store_path).withColumn(
             "_bucket", bucket_expr
         )
-        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, new_base))
+        # an all-empty history commits base=None (segments.write_base)
+        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
     segments.write_meta(
         store_path,
         {
             **meta,  # preserve pinned properties (id_type, ...)
-            "base": new_base,
+            "base": new_base if wrote else None,
             "consumed_through": max(deltas),
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
-            "base_rows": segments.base_row_count(spark, store_path, new_base),
+            "base_rows": (
+                segments.base_row_count(spark, store_path, new_base)
+                if wrote
+                else 0
+            ),
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
@@ -269,6 +273,32 @@ def dedup_batch_against_store(
         "content_hash",
         canonical.alias("canonical_id"),
         (F.col(id_col) != canonical).alias("is_duplicate"),
+    )
+
+
+def hash_store_bootstrap(
+    corpus: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Day-0 bulk load (r12, completing the r11 lsh/cluster/df trio):
+    the whole existing corpus' (content_hash, min owner id) rows
+    written directly as the first compacted base — one partitioned
+    write, no per-batch delta bytes. Bucket count sized by the corpus'
+    document count (distinct hashes <= documents, so this
+    over-provisions — the safe direction). The id dtype pins exactly
+    as update_batch would pin it. Streaming ingest continues on top
+    (batch ids start at 0 — segments.bootstrap_base records
+    consumed_through=-1). Equivalent state to update-then-compact,
+    pinned by test."""
+    n_buckets = segments.sized_n_buckets(corpus.count())
+    rows = _partial_hashes(corpus, id_col, text_col).withColumn(
+        "_bucket", F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int")
+    )
+    segments.bootstrap_base(
+        rows, store_path, "_bucket", n_buckets,
+        extra_meta={"id_type": dict(corpus.dtypes)[id_col]},
     )
 
 

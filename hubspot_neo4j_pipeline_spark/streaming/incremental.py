@@ -303,6 +303,7 @@ def scd2_store_compact(
         else None
     )
     n_buckets = grown
+    wrote = True
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -342,15 +343,13 @@ def scd2_store_compact(
         )
     else:
         cur = read_current(spark, store_path)
-        (
+        merged = (
             cur.withColumn("_kind", F.lit("current"))
             .withColumn("_ubid", F.lit(hi).cast("long"))
             .withColumn("_bucket", _scd2_bucket(meta["key"], n_buckets))
-            .repartition("_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(store_path, new_base))
         )
+        # an all-empty history commits base=None (segments.write_base)
+        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
     hist_dir = os.path.join(store_path, "history")
     os.makedirs(hist_dir, exist_ok=True)
     # history FOLD (r10): segments otherwise accumulate one per
@@ -387,16 +386,56 @@ def scd2_store_compact(
         store_path,
         {
             **meta,  # preserve pinned properties
-            "base": new_base,
+            "base": new_base if wrote else None,
             "consumed_through": hi,
             "key": meta["key"],
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
-            "base_rows": segments.base_row_count(spark, store_path, new_base),
+            "base_rows": (
+                segments.base_row_count(spark, store_path, new_base)
+                if wrote
+                else 0
+            ),
             "history_floor": new_floor,
         },
     )
     _scd2_sweep(store_path, _scd2_meta(store_path))
+
+
+def scd2_store_bootstrap(
+    snapshot: DataFrame,
+    store_path: str,
+    key: str,
+    now: str,
+    n_buckets: int | None = None,
+) -> None:
+    """Day-0 temporal BACKFILL (r12): stamp an existing full snapshot
+    with fresh version-1 temporal fields (valid_from=now, open
+    valid_to, is_current, snapshot_hash) and write it directly as the
+    store's first compacted current base — one partitioned write, no
+    per-batch delta bytes, no history (nothing has ever changed). This
+    is the reference's one-time temporal initialization
+    (scripts/initialize_temporal_data.py:71-165 — batched SET of
+    valid_from/valid_to/is_current/is_deleted plus a per-node
+    snapshot_hash over existing nodes) done as ONE bucketed write
+    instead of 100-row Cypher loops. Streaming upserts continue on top
+    (batch ids start at 0 — segments.bootstrap_base records
+    consumed_through=-1); bootstrap rows carry _ubid=-1 so a key
+    re-upserted by batch 0 wins the latest-writer window. Equivalent
+    state to upsert-then-compact, pinned by test."""
+    incoming = snapshot.dropDuplicates([key])
+    if n_buckets is None:
+        n_buckets = segments.sized_n_buckets(incoming.count())
+    rows = (
+        with_temporal_fields(incoming, now)
+        .withColumn("_kind", F.lit("current"))
+        .withColumn("_ubid", F.lit(-1).cast("long"))
+        .withColumn("_bucket", _scd2_bucket(key, n_buckets))
+    )
+    segments.bootstrap_base(
+        rows, store_path, "_bucket", n_buckets,
+        extra_meta={"key": key, "history_floor": -1},
+    )
 
 
 def run_foreach_batch(

@@ -7,12 +7,16 @@ lateness is caught against everything ever ingested. This module is
 the near-dup half: each micro-batch ingests its documents' MinHash
 SIGNATURES and shingle sets in O(batch), and an incoming batch can be
 LSH-candidated and Jaccard-VERIFIED against the whole corpus without
-rescanning any text. The pair path over (history ∪ batch) signatures
-is literally ``operators/dedup.lsh_pairs_from_signatures`` — the same
-code the one-shot ``minhash_lsh_pairs`` runs — so the verdicts equal
-the one-shot operator over (history ∪ batch) restricted to pairs
-touching the batch, by construction (pinned by test AND by the
-registered oracle ``incremental_neardup_pairs``).
+rescanning any text. The banding, the band-bucket sample, and the
+Jaccard verify are the one-shot kernel's own functions
+(``operators/dedup.minhash_bands`` / ``band_slice_pred`` /
+``verified_jaccard_pairs``); candidates are batch-restricted BY
+CONSTRUCTION (r12 — batch self-pairs plus one batch-bands × history-
+bands equi-join, never a union self-join that generates
+history×history rows only to discard them), so the verdicts equal the
+one-shot operator over (history ∪ batch) restricted to pairs touching
+the batch (pinned by test AND by the registered oracle
+``incremental_neardup_pairs``).
 
 Layout / crash / replay contract: streaming/segments.py — one atomic
 delta dir per batch id, meta.json commit pointer, exact per-batch-id
@@ -60,18 +64,25 @@ def _doc_rows(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
     latest-writer window (and neardup_pairs_against_store's batch-wins
     window) would pick a winner nondeterministically when the same id
     arrives twice with different text (r10 ADVICE). Winner = the max
-    content hash per id — content-keyed, so replays and shuffles can't
-    flip it (the SCD2 store's dropDuplicates([key]) guard, made
-    deterministic)."""
+    (xxhash64(text), text) per id — content-keyed, so replays and
+    shuffles can't flip it, and fully deterministic because hash ties
+    break on the text itself. r12: a hash AGGREGATE (map-side partial
+    combine, no sort) over the cheap 64-bit hash replaced the r11
+    sha256-ordered window — same winner class, ~0.5 s less per batch
+    (the r11 bench's only above-noise regression, PERF.md r12)."""
     from ..operators.dedup import minhash_signature
 
-    w = Window.partitionBy(id_col).orderBy(
-        F.sha2(F.col(text_col).cast("string"), 256).desc()
-    )
+    text = F.col(text_col).cast("string")
     batch = (
-        batch.withColumn("_dup_rn", F.row_number().over(w))
-        .where(F.col("_dup_rn") == 1)
-        .drop("_dup_rn")
+        batch.groupBy(F.col(id_col))
+        .agg(
+            F.max(
+                F.struct(
+                    F.xxhash64(text).alias("h"), text.alias("t")
+                )
+            ).alias("_w")
+        )
+        .select(F.col(id_col), F.col("_w.t").alias(text_col))
     )
     return minhash_signature(batch, id_col, text_col).select(
         F.col(id_col).alias("doc_id"), "shingles", "sig"
@@ -176,6 +187,7 @@ def lsh_store_compact(
         else None
     )
     n_buckets = grown
+    wrote = True
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -214,18 +226,21 @@ def lsh_store_compact(
             .withColumn("_ubid", F.lit(hi).cast("long"))
             .withColumn("_bucket", _bucket_expr(n_buckets))
         )
-        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, new_base))
+        # an all-empty history commits base=None (segments.write_base)
+        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
     segments.write_meta(
         store_path,
         {
             **meta,  # preserve pinned properties
-            "base": new_base,
+            "base": new_base if wrote else None,
             "consumed_through": hi,
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
-            "base_rows": segments.base_row_count(spark, store_path, new_base),
+            "base_rows": (
+                segments.base_row_count(spark, store_path, new_base)
+                if wrote
+                else 0
+            ),
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
@@ -242,61 +257,93 @@ def neardup_pairs_against_store(
     doc_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs of an incoming (not-yet-ingested) batch
-    against everything ever ingested PLUS the batch itself: exactly
+    against everything ever ingested PLUS the batch itself: equals
     ``minhash_lsh_pairs`` over (history ∪ batch) restricted to pairs
-    with at least one side in the batch — the banding / candidate /
-    Jaccard-verify path IS the one-shot operator's
-    (``lsh_pairs_from_signatures``), fed the union of the store's and
-    the batch's signature rows, so history-history pairs are the only
-    rows dropped. Output: (id_a, id_b, jaccard), id_a < id_b.
+    with at least one side in the batch. Output: (id_a, id_b,
+    jaccard), id_a < id_b.
 
-    ``band_slice`` passes through to the kernel (the deterministic
-    1/K bucket sample both engines compute identically — the 100x
-    oracle-verification aid). ``doc_rows`` (shared with
-    ``lsh_store_update_batch``) lets a score-then-ingest pipeline
-    build the batch's signature frame ONCE — pass the same
-    ``_doc_rows(batch)`` (ideally checkpointed) to both calls."""
+    r12 candidate restructure (r11 VERDICT tasks 1/2 — this is the
+    flagship's dominant cost): the r11 path self-paired the WHOLE
+    union's band table and then semi-join-filtered to pairs touching
+    the batch — generating (and shuffling) history×history candidates
+    only to discard them, O(history collisions) per batch. Candidates
+    are now batch-restricted BY CONSTRUCTION: within-batch pairs from
+    ``bucket_self_pairs`` over the batch's bands only, plus
+    batch×history pairs from one (band_id, band_hash) equi-join of
+    the batch's bands against the history's — the "equi-join against
+    the store's derived band table" the module docstring always
+    promised. Banding (``minhash_bands``), the band_slice bucket
+    sample (``band_slice_pred``, a bucket is kept or dropped as a
+    whole, so filtering the two sides separately ≡ filtering the
+    union), and the Jaccard verify (``verified_jaccard_pairs``) are
+    the one-shot kernel's own functions, so pair-set equality with
+    kernel-then-filter holds by construction — pinned by
+    test_neardup_candidate_restructure_equals_kernel AND by the
+    registered oracles at three scales. Batch-wins on a doc_id
+    collision is one broadcast anti-join (a micro-batch's id set is
+    small) instead of the r11 full-union row_number window.
+
+    ``doc_rows`` (shared with ``lsh_store_update_batch``) lets a
+    score-then-ingest pipeline build the batch's signature frame ONCE
+    — pass the same ``_doc_rows(batch)`` (ideally checkpointed) to
+    both calls."""
     from ..operators.caching import tracked_cache
-    from ..operators.dedup import lsh_pairs_from_signatures
+    from ..operators.dedup import (
+        band_slice_pred,
+        lsh_pairs_from_signatures,
+        minhash_bands,
+        verified_jaccard_pairs,
+    )
+    from ..operators.skew import bucket_self_pairs
 
     spark = batch.sparkSession
-    batch_rows = doc_rows if doc_rows is not None else _doc_rows(
-        batch, id_col, text_col
+    batch_rows = doc_rows if doc_rows is not None else tracked_cache(
+        _doc_rows(batch, id_col, text_col), no_cache
     )
     try:
         hist = read_lsh_store(spark, store_path)
     except FileNotFoundError:
         hist = None
     if hist is None:
-        union = batch_rows
-    else:
-        # batch wins on doc_id collision (a re-submitted doc is scored
-        # with ITS text, and a duplicated id must not double its rows
-        # through the verify joins)
-        w = Window.partitionBy("doc_id").orderBy(F.col("_src").desc())
-        union = (
-            hist.withColumn("_src", F.lit(0))
-            .unionByName(batch_rows.withColumn("_src", F.lit(1)))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("doc_id", "shingles", "sig")
+        # empty store: every pair touches the batch — the one-shot
+        # kernel over the batch alone IS the answer
+        sigs = tracked_cache(batch_rows, no_cache)
+        return lsh_pairs_from_signatures(
+            sigs, "doc_id", threshold=threshold, band_slice=band_slice,
+            no_cache=no_cache,
         )
-    # cached like the one-shot operator's signature frame: bands plus
-    # both verify joins consume it (same lifecycle contract — see
-    # minhash_lsh_pairs' docstring)
-    sigs = tracked_cache(union, no_cache)
-    pairs = lsh_pairs_from_signatures(
-        sigs, "doc_id", threshold=threshold, band_slice=band_slice,
-        no_cache=no_cache,
+    # batch wins on doc_id collision (a re-submitted doc is scored
+    # with ITS text, and a duplicated id must not double its rows
+    # through the verify joins)
+    batch_ids = batch_rows.select("doc_id")
+    hist_only = hist.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+    # ONE cached frame carries the union (verify-side shingles) plus
+    # the side marker both band frames filter on — one store scan,
+    # same lifecycle contract as the one-shot operator's cache
+    sigs = tracked_cache(
+        hist_only.withColumn("_src", F.lit(0)).unionByName(
+            batch_rows.withColumn("_src", F.lit(1))
+        ),
+        no_cache,
     )
-    batch_ids = batch_rows.select(F.col("doc_id"))
-    touching_a = pairs.join(
-        batch_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    bb = minhash_bands(sigs.where(F.col("_src") == 1), "doc_id")
+    hb = minhash_bands(sigs.where(F.col("_src") == 0), "doc_id")
+    if band_slice is not None:
+        bb = bb.where(band_slice_pred(band_slice))
+        hb = hb.where(band_slice_pred(band_slice))
+    within = bucket_self_pairs(
+        bb, ["band_id", "band_hash"], "doc_id", no_cache=no_cache
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    cross = (
+        bb.alias("q")
+        .join(hb.alias("h"), ["band_id", "band_hash"])
+        .select(
+            F.least(F.col("q.doc_id"), F.col("h.doc_id")).alias("id_a"),
+            F.greatest(F.col("q.doc_id"), F.col("h.doc_id")).alias("id_b"),
+        )
     )
-    touching_b = pairs.join(
-        batch_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
-    )
-    return touching_a.unionByName(touching_b).dropDuplicates(["id_a", "id_b"])
+    candidates = within.unionByName(cross).dropDuplicates(["id_a", "id_b"])
+    return verified_jaccard_pairs(candidates, sigs, "doc_id", threshold)
 
 
 def stream_lsh_store(
@@ -332,12 +379,16 @@ def lsh_store_bootstrap(
     write — no per-batch delta bytes), bucket count sized up front by
     the compaction growth rule so production-scale loads start with a
     sane layout instead of growing into one. Streaming ingest then
-    continues on top (batch ids start after the bootstrap's).
-    Equivalent state to update-then-compact, pinned by test."""
+    continues on top — batch ids start at 0 (a fresh Structured
+    Streaming checkpoint's first id; segments.bootstrap_base records
+    consumed_through=-1 so it is NOT treated as replayed), and the
+    bootstrap rows carry _ubid=-1 so a doc re-ingested by batch 0
+    still wins the latest-writer window. Equivalent state to
+    update-then-compact, pinned by test."""
     n_buckets = segments.sized_n_buckets(corpus.count())
     rows = (
         _doc_rows(corpus, id_col, text_col)
-        .withColumn("_ubid", F.lit(0).cast("long"))
+        .withColumn("_ubid", F.lit(-1).cast("long"))
         .withColumn("_bucket", _bucket_expr(n_buckets))
     )
     segments.bootstrap_base(rows, store_path, "_bucket", n_buckets)

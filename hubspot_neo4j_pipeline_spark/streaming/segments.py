@@ -107,6 +107,51 @@ def next_batch_id(store_path: str) -> int:
 
 MANIFEST = "_delta_manifest.json"
 
+# commit_delta's manifest needs the delta's distinct bucket ids + row
+# count. Below this many parquet BYTES the driver reads the single
+# bucket column itself (pyarrow — microseconds, zero Spark jobs);
+# above it, a Spark aggregation job does it distributed. Micro-batch
+# deltas are small by construction, so the driver path is the normal
+# case; the threshold only guards a bulk misuse (someone committing a
+# corpus-sized frame as one delta).
+MANIFEST_DRIVER_MAX_BYTES = 128 * 1024 * 1024
+
+
+def _delta_parquet_files(tmp: str) -> list[str]:
+    return [
+        os.path.join(tmp, name)
+        for name in os.listdir(tmp)
+        if name.endswith(".parquet")
+    ]
+
+
+def _manifest_counts(df, tmp: str, bucket_col: str) -> tuple[list[int], int]:
+    """(sorted distinct bucket ids, row count) of the just-written tmp
+    parquet. Driver-side single-column pyarrow read when the delta is
+    small (no Spark job — r12: the per-delta manifest job was ~0.4 s of
+    fixed overhead on every micro-batch ingest); Spark aggregation
+    past MANIFEST_DRIVER_MAX_BYTES. Either way a slim re-read of the
+    written bytes, never a recompute of the batch plan."""
+    files = _delta_parquet_files(tmp)
+    if sum(os.path.getsize(f) for f in files) <= MANIFEST_DRIVER_MAX_BYTES:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        touched: set[int] = set()
+        rows = 0
+        for f in files:
+            t = pq.read_table(f, columns=[bucket_col])
+            rows += t.num_rows
+            touched.update(
+                int(v) for v in pc.unique(t.column(bucket_col)).to_pylist()
+                if v is not None
+            )
+        return sorted(touched), rows
+    per_bucket = (
+        df.sparkSession.read.parquet(tmp).groupBy(bucket_col).count().collect()
+    )
+    return sorted(r[0] for r in per_bucket), int(sum(r[1] for r in per_bucket))
+
 
 def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = None) -> None:
     """Write ``df`` as delta segment b<batch_id>: parquet into a _tmp
@@ -128,18 +173,11 @@ def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = No
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
     if bucket_col is not None:
-        # one slim aggregation over the just-written parquet gives BOTH
-        # the touched-bucket list (partial compaction) and the delta's
-        # row count (r11: scale-adaptive bucket sizing) — footer-cheap,
-        # never a recompute of the batch plan
-        per_bucket = (
-            df.sparkSession.read.parquet(tmp)
-            .groupBy(bucket_col)
-            .count()
-            .collect()
-        )
-        touched = sorted(r[0] for r in per_bucket)
-        rows = int(sum(r[1] for r in per_bucket))
+        # one slim pass over the just-written parquet gives BOTH the
+        # touched-bucket list (partial compaction) and the delta's row
+        # count (r11: scale-adaptive bucket sizing) — see
+        # _manifest_counts for the small-delta driver shortcut
+        touched, rows = _manifest_counts(df, tmp, bucket_col)
         with open(os.path.join(tmp, MANIFEST), "w") as fh:
             json.dump(
                 {"bucket_col": bucket_col, "touched": touched, "rows": rows},
@@ -301,11 +339,45 @@ def grown_n_buckets(
 
 
 def base_row_count(spark, store_path: str, base_name: str) -> int:
-    """Row count of a committed base — parquet-footer metadata only
-    (Spark's count over parquet aggregates row-group counts, no data
-    scan), recorded in meta as ``base_rows`` for the next compaction's
-    sizing decision."""
-    return spark.read.parquet(os.path.join(store_path, base_name)).count()
+    """Row count of a committed base — parquet-footer metadata only,
+    read driver-side with pyarrow (r12: the previous Spark count was
+    footer-cheap too but scheduled a whole job per compaction; the
+    store lives on a local filesystem by the segments contract —
+    os.rename IS the commit — so the driver can read the footers
+    directly). Recorded in meta as ``base_rows`` for the next
+    compaction's sizing decision. ``spark`` is unused, kept for call
+    symmetry with the store modules."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(os.path.join(store_path, base_name)):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
+
+
+def write_base(df, store_path: str, base_name: str, bucket_col: str) -> bool:
+    """Write a compacted base generation, hive-partitioned by
+    ``bucket_col``. Returns False — with the destination REMOVED —
+    when ``df`` had no rows: partitionBy on a 0-row frame writes no
+    part files at all, leaving a directory Spark cannot re-read
+    (UNABLE_TO_INFER_SCHEMA; surfaced r12 when a slice-twin corpus
+    restriction made a whole compaction window empty). Callers then
+    commit ``base: None``: a store whose merged visible state has
+    zero rows IS the empty store, and every reader already handles
+    that. Rows are never deleted by any store's merge rule, so this
+    only happens when the base was already None and every live delta
+    was empty."""
+    dest = os.path.join(store_path, base_name)
+    df.repartition(bucket_col).write.partitionBy(bucket_col).mode(
+        "overwrite"
+    ).parquet(dest)
+    for _root, _dirs, files in os.walk(dest):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    shutil.rmtree(dest, ignore_errors=True)
+    return False
 
 
 def next_base_name(meta: dict) -> str:
@@ -369,16 +441,22 @@ def bootstrap_base(
     store_path: str,
     bucket_col: str,
     n_buckets: int,
-    batch_id: int = 0,
     extra_meta: dict | None = None,
 ) -> None:
     """Day-0 BULK LOAD: write ``df`` (already in the store's row
     shape, carrying ``bucket_col``) directly as the first compacted
-    base — one partitioned write plus one atomic meta commit.
-    Equivalent to ingesting it as delta b<batch_id> and compacting,
-    without materializing the delta bytes twice: the right path for
-    loading an existing corpus into a store before streaming starts.
-    Refuses on a non-empty store (bootstrap is not an upsert)."""
+    base — one partitioned write plus one atomic meta commit: the
+    right path for loading an existing corpus into a store before
+    streaming starts. Refuses on a non-empty store (bootstrap is not
+    an upsert).
+
+    The commit records ``consumed_through: -1`` (r12, ADVICE fix):
+    the base carries the bootstrapped data and no deltas exist to
+    resurrect, so -1 is safe — and anything else silently DROPS the
+    first streamed micro-batch, because Structured Streaming batch
+    ids start at 0 on a fresh checkpoint and the replay guard treats
+    id <= consumed_through as already applied. Pinned by
+    test_bootstrap_then_stream_batch_zero."""
     meta = read_meta(store_path)
     if meta["base"] or committed_deltas(store_path):
         raise ValueError(
@@ -386,16 +464,18 @@ def bootstrap_base(
         )
     os.makedirs(store_path, exist_ok=True)
     base = "base-0"
-    df.repartition(bucket_col).write.partitionBy(bucket_col).mode(
-        "overwrite"
-    ).parquet(os.path.join(store_path, base))
+    if not write_base(df, store_path, base, bucket_col):
+        raise ValueError(
+            "bootstrap_base got a 0-row frame — nothing to bulk-load; "
+            "start streaming into the empty store instead"
+        )
     write_meta(
         store_path,
         {
             **meta,
             **(extra_meta or {}),
             "base": base,
-            "consumed_through": batch_id,
+            "consumed_through": -1,
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
             "base_rows": base_row_count(df.sparkSession, store_path, base),

@@ -200,6 +200,7 @@ def vector_store_compact(
         else None
     )
     n_buckets = grown
+    wrote = True
     layout_bucket = F.pmod(
         F.xxhash64(F.col("vec_id").cast("string")), F.lit(n_buckets)
     ).cast("int")
@@ -241,18 +242,21 @@ def vector_store_compact(
             .withColumn("_ubid", F.lit(hi).cast("long"))
             .withColumn("_bucket", layout_bucket)
         )
-        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, new_base))
+        # an all-empty history commits base=None (segments.write_base)
+        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
     segments.write_meta(
         store_path,
         {
             **meta,  # preserve pinned planes / planes_per_table
-            "base": new_base,
+            "base": new_base if wrote else None,
             "consumed_through": hi,
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
-            "base_rows": segments.base_row_count(spark, store_path, new_base),
+            "base_rows": (
+                segments.base_row_count(spark, store_path, new_base)
+                if wrote
+                else 0
+            ),
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
@@ -318,6 +322,47 @@ def ann_topk_against_store(
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def vector_store_bootstrap(
+    corpus: DataFrame,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+) -> None:
+    """Day-0 bulk load (r12): the whole existing vector corpus indexed
+    directly into the first compacted base — plane derivation is
+    IDENTICAL to a first update_batch over the same frame (ppt from
+    the corpus size, planes = first n_tables x ppt vectors by id,
+    both pinned in meta), so bootstrap-then-stream and
+    ingest-everything-batchwise produce the same candidate space.
+    Bootstrap rows carry _ubid=-1 so a vector re-ingested by streamed
+    batch 0 (a fresh checkpoint's first id) wins the latest-writer
+    window. Equivalent state to update-then-compact, pinned by
+    test."""
+    from ..operators.similarity import as_double, auto_planes_per_table
+
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("e")
+    ).localCheckpoint(eager=True)
+    n_rows = v.count()
+    ppt = auto_planes_per_table(n_rows)
+    plane_rows = v.orderBy("vec_id").limit(n_tables * ppt).collect()
+    planes = [list(r["e"]) for r in plane_rows]  # bounded: n_planes x dim
+    n_buckets = segments.sized_n_buckets(n_rows)
+    rows = _with_buckets(v, planes, ppt, n_tables).withColumn(
+        "_ubid", F.lit(-1).cast("long")
+    ).withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(n_buckets)).cast(
+            "int"
+        ),
+    )
+    segments.bootstrap_base(
+        rows, store_path, "_bucket", n_buckets,
+        extra_meta={"planes_per_table": ppt, "planes": planes},
     )
 
 

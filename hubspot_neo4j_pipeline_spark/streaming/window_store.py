@@ -169,6 +169,7 @@ def window_store_compact(
         else None
     )
     n_buckets = grown
+    wrote = True
     if touched == []:  # only empty deltas live: carry the base verbatim
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         os.makedirs(merged_tmp, exist_ok=True)
@@ -209,18 +210,21 @@ def window_store_compact(
         merged = read_window_store(spark, store_path).withColumn(
             "_bucket", _bucket_expr(n_buckets)
         )
-        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
-            "overwrite"
-        ).parquet(os.path.join(store_path, new_base))
+        # an all-empty history commits base=None (segments.write_base)
+        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
     segments.write_meta(
         store_path,
         {
             **meta,  # preserve pinned properties
-            "base": new_base,
+            "base": new_base if wrote else None,
             "consumed_through": max(deltas),
             "n_buckets": n_buckets,
             "base_n_buckets": n_buckets,
-            "base_rows": segments.base_row_count(spark, store_path, new_base),
+            "base_rows": (
+                segments.base_row_count(spark, store_path, new_base)
+                if wrote
+                else 0
+            ),
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
@@ -262,6 +266,30 @@ def recency_report_from_store(
             F.max(recent).alias("active_recent"),
         )
     )
+
+
+def window_store_bootstrap(
+    events: DataFrame,
+    store_path: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> None:
+    """Day-0 bulk load (r12): the whole existing event history's
+    per-(day, user) partials written directly as the first compacted
+    base — the one-time backfill a production deployment runs before
+    pointing the event stream at the store. The aggregated partial is
+    checkpointed once so its exact row count (active user-days, far
+    fewer than events) drives sized_n_buckets instead of the raw
+    event count over-provisioning. Streaming ingest continues on top
+    (batch ids start at 0). Equivalent state to update-then-compact,
+    pinned by test."""
+    partial = _partial_counts(events, ts_col, user_col, value_col).localCheckpoint(
+        eager=True
+    )
+    n_buckets = segments.sized_n_buckets(partial.count())
+    rows = partial.withColumn("_bucket", _bucket_expr(n_buckets))
+    segments.bootstrap_base(rows, store_path, "_bucket", n_buckets)
 
 
 def stream_window_store(

@@ -136,3 +136,41 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         ranks = new
     for i in range(n):
         assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
+
+
+def test_pagerank_quantized_tracks_double_variant(spark):
+    """r12: the fixed-point variant (the DuckDB-oracle-exact path,
+    registered as pagerank_topk) must track the double variant within
+    quantization error — same recurrence, int64 arithmetic. Also pins
+    the exact integer recurrence against a pure-Python replay, so the
+    Spark plan and the SQL oracle share an independent ground truth."""
+    from hubspot_neo4j_pipeline_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+        pagerank_quantized,
+    )
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    dbl = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, n_iter=5).collect()
+    }
+    q = {
+        r["id"]: r["rank_q"]
+        for r in pagerank_quantized(edges, n_iter=5).collect()
+    }
+    for i in dbl:
+        assert abs(q[i] / PR_SCALE - dbl[i]) < 1e-3, (i, q[i], dbl[i])
+
+    # exact integer replay (the oracle's recurrence, driver-side)
+    nodes = sorted({v for e in edge_list for v in e})
+    out_deg = {s: sum(1 for a, _ in edge_list if a == s) for s in nodes}
+    rq = {v: PR_SCALE for v in nodes}
+    teleport = (PR_SCALE * 15) // 100
+    for _ in range(5):
+        mass = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            mass[d] += rq[s] // out_deg[s]
+        rq = {v: teleport + (85 * mass[v]) // 100 for v in nodes}
+    assert q == rq

@@ -1426,14 +1426,92 @@ def test_hash_store_pins_id_type(spark, tmp_path_factory):
     assert set(owners.values()) == {3, 10}  # numeric min: 3 < 9
 
 
+def test_neardup_candidate_restructure_equals_kernel(spark, tmp_path_factory):
+    """r12 (r11 VERDICT tasks 1/2): neardup_pairs_against_store now
+    builds candidates batch-restricted BY CONSTRUCTION (batch
+    self-pairs + batch-bands × history-bands equi-join) instead of
+    self-pairing the whole union and filtering. The result must equal
+    the r11 construction — the one-shot kernel over the batch-wins
+    union, restricted to pairs touching the batch — including under a
+    doc_id collision (a re-submitted doc scored with ITS text) and
+    under a band_slice."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.operators.dedup import (
+        lsh_pairs_from_signatures,
+    )
+    from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
+        _doc_rows,
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+        read_lsh_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path_factory.mktemp("restructure")) + "/lsh"
+    history = docs.where("doc_id % 3 != 0")
+    lsh_store_update_batch(
+        history.where("doc_id % 2 = 0"), store, batch_id=0, compact_every=2
+    )
+    lsh_store_update_batch(
+        history.where("doc_id % 2 = 1"), store, batch_id=1, compact_every=2
+    )
+    # incoming batch: held-out docs PLUS a re-submission of a stored id
+    # with different text (the batch-wins collision case)
+    resub = history.where("doc_id % 2 = 0").limit(1).withColumn(
+        "text", F.lit("alpha beta gamma delta epsilon zeta eta theta iota")
+    )
+    incoming = docs.where("doc_id % 3 = 0").unionByName(resub)
+
+    def kernel_then_filter(band_slice):
+        # the r11 construction, inlined as the independent reference
+        batch_rows = _doc_rows(incoming, "doc_id", "text")
+        hist = read_lsh_store(spark, store)
+        w = Window.partitionBy("doc_id").orderBy(F.col("_s").desc())
+        union = (
+            hist.withColumn("_s", F.lit(0))
+            .unionByName(batch_rows.withColumn("_s", F.lit(1)))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "shingles", "sig")
+        )
+        pairs = lsh_pairs_from_signatures(
+            union, "doc_id", band_slice=band_slice, no_cache=True
+        )
+        ids = batch_rows.select("doc_id")
+        ta = pairs.join(
+            ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+        )
+        tb = pairs.join(
+            ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
+        )
+        return ta.unionByName(tb).dropDuplicates(["id_a", "id_b"])
+
+    for bs in (None, (2, 0)):
+        got = sorted(
+            tuple(r)
+            for r in neardup_pairs_against_store(
+                incoming, store, band_slice=bs, no_cache=True
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in kernel_then_filter(bs).collect())
+        assert got == want, (bs, len(got), len(want))
+        if bs is None:
+            assert got  # the unsliced case must be non-trivial
+
+
 def test_lsh_store_duplicate_id_in_batch_is_deterministic(
     spark, tmp_path_factory
 ):
     """r10 ADVICE: duplicate doc_ids within one micro-batch share one
     _ubid, so the read-side latest-writer window would pick a winner
     nondeterministically. _doc_rows must keep exactly one row per id,
-    chosen by a content-keyed rule (max sha2(text)), so every replay
-    picks the same winner."""
+    chosen by a content-keyed rule (max (xxhash64(text), text) — r12
+    swapped the sha256 window for a hash aggregate, same winner
+    class), so every replay picks the same winner."""
     from pyspark.sql import functions as F
 
     from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
@@ -1451,9 +1529,12 @@ def test_lsh_store_duplicate_id_in_batch_is_deterministic(
     assert sorted(r["doc_id"] for r in rows) == [7, 8]
     winner_text = max(
         [t1, t2],
-        key=lambda t: spark.createDataFrame([(t,)], "t string")
-        .select(F.sha2("t", 256))
-        .collect()[0][0],
+        key=lambda t: (
+            spark.createDataFrame([(t,)], "t string")
+            .select(F.xxhash64("t"))
+            .collect()[0][0],
+            t,
+        ),
     )
     expected_sig = (
         _doc_rows(
@@ -2075,7 +2156,11 @@ def test_store_bootstrap_equals_batch_ingest(spark, tmp_path_factory):
         tuple(r) for r in neardup_pairs_against_store(incoming, inc).collect()
     )
     assert got == want and got
-    assert segments.next_batch_id(boot) == 1
+    # r12 ADVICE fix: a fresh Structured Streaming checkpoint's first
+    # micro-batch id is 0 — a bootstrapped store must accept it, not
+    # treat it as replayed (consumed_through=-1)
+    assert segments.next_batch_id(boot) == 0
+    assert not segments.already_ingested(boot, 0)
     st = segments.store_stats(boot)
     assert st["base"] == "base-0" and st["live_delta_ids"] == []
 
@@ -2116,3 +2201,282 @@ def test_store_bootstrap_equals_batch_ingest(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError):
         df_store_bootstrap(corpus, dboot)
+
+
+def test_all_empty_compaction_window_commits_empty_store(
+    spark, tmp_path_factory
+):
+    """r12 regression (surfaced by the slice twin's corpus
+    restriction): partitionBy on a 0-row frame writes NO part files,
+    so a compaction whose every live delta is empty used to commit a
+    base directory Spark cannot re-read (UNABLE_TO_INFER_SCHEMA).
+    segments.write_base now detects the empty merge and the store
+    commits base=None — the empty store — with consumed_through still
+    advanced; ingest and reads continue normally on top."""
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_update_batch,
+        dedup_verdicts_from_store,
+        read_cluster_assignments,
+    )
+
+    store = str(tmp_path_factory.mktemp("empty_cc")) + "/cc"
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    # two empty pair batches -> compaction fires on an all-empty window
+    cluster_store_update_batch(empty, store, batch_id=0, compact_every=2)
+    cluster_store_update_batch(empty, store, batch_id=1, compact_every=2)
+    meta = segments.read_meta(store)
+    assert meta["base"] is None and meta["consumed_through"] == 1
+    assert meta["base_rows"] == 0
+    # readers see the empty store, not a crash
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_cluster_assignments(spark, store)
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    verd = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_verdicts_from_store(docs, store).collect()
+    }
+    assert verd == {1: (1, True), 2: (2, True)}
+    # real pairs ingest and cluster on top of the empty-committed store
+    cluster_store_update_batch(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+        store,
+        batch_id=2,
+        compact_every=2,
+    )
+    assert {
+        r["doc_id"]: r["comp"]
+        for r in read_cluster_assignments(spark, store).collect()
+    } == {1: 1, 2: 1}
+    # replay accounting survived the empty window
+    assert segments.already_ingested(store, 1)
+    assert segments.next_batch_id(store) == 3
+    # bootstrap of a 0-row frame refuses loudly instead of writing an
+    # unreadable base
+    with _pytest.raises(ValueError):
+        segments.bootstrap_base(
+            empty.withColumn("_bucket", F.lit(0)), store + "_boot", "_bucket", 32
+        )
+
+
+def test_store_bootstrap_equals_batch_ingest_round2(spark, tmp_path_factory):
+    """r12 (r11 VERDICT task 3): day-0 bulk loads for the REMAINING
+    five stores — hash, gram, window, SCD2, vector. Each bootstrap
+    must land the identical visible state as ingesting the same data
+    through update_batch, scoring must continue on top, and a
+    non-empty store must refuse."""
+    import pytest as _pytest
+
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.where("doc_id % 3 != 0")
+    incoming = docs.where("doc_id % 3 = 0")
+    root = str(tmp_path_factory.mktemp("bootstrap2"))
+
+    # --- hash store
+    from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
+        dedup_batch_against_store,
+        hash_store_bootstrap,
+        hash_store_update_batch,
+        read_hash_store,
+    )
+
+    hboot, href = root + "/h_boot", root + "/h_ref"
+    hash_store_bootstrap(corpus, hboot)
+    hash_store_update_batch(corpus, href, batch_id=0)
+    hread = lambda p: sorted(
+        tuple(r) for r in read_hash_store(spark, p).collect()
+    )
+    assert hread(hboot) == hread(href)
+    assert segments.read_meta(hboot)["id_type"] == "bigint"
+    assert not segments.already_ingested(hboot, 0)
+    verd = lambda p: sorted(
+        (r["doc_id"], r["canonical_id"], r["is_duplicate"])
+        for r in dedup_batch_against_store(incoming, p).collect()
+    )
+    assert verd(hboot) == verd(href)
+    with _pytest.raises(ValueError):
+        hash_store_bootstrap(corpus, hboot)
+
+    # --- gram store (store rows >> docs: sizing uses the partial's
+    # own row count, and the gram-k pin must land)
+    from hubspot_neo4j_pipeline_spark.streaming.gram_store import (
+        gram_store_bootstrap,
+        gram_store_update_batch,
+        read_gram_store,
+        score_batch_against_store,
+    )
+
+    gboot, gref = root + "/g_boot", root + "/g_ref"
+    gram_store_bootstrap(corpus, gboot)
+    gram_store_update_batch(corpus, gref, batch_id=0)
+    gread = lambda p: sorted(
+        tuple(r) for r in read_gram_store(spark, p).collect()
+    )
+    assert gread(gboot) == gread(gref)
+    assert segments.read_meta(gboot)["gram_k"] == segments.read_meta(gref)["gram_k"]
+    gscore = lambda p: sorted(
+        tuple(r) for r in score_batch_against_store(incoming, p).collect()
+    )
+    assert gscore(gboot) == gscore(gref)
+    with _pytest.raises(ValueError):
+        gram_store_bootstrap(corpus, gboot)
+
+    # --- window store
+    from hubspot_neo4j_pipeline_spark.streaming.window_store import (
+        read_window_store,
+        recency_report_from_store,
+        window_store_bootstrap,
+        window_store_update_batch,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    wboot, wref = root + "/w_boot", root + "/w_ref"
+    window_store_bootstrap(events, wboot)
+    window_store_update_batch(events, wref, batch_id=0)
+    wread = lambda p: sorted(
+        tuple(r) for r in read_window_store(spark, p).collect()
+    )
+    assert wread(wboot) == wread(wref)
+    wrep = lambda p: sorted(
+        tuple(r) for r in recency_report_from_store(spark, p).collect()
+    )
+    assert wrep(wboot) == wrep(wref)
+
+    # --- SCD2 store (the reference's one-time temporal backfill)
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        read_current,
+        read_history,
+        scd2_store_bootstrap,
+        upsert_batch,
+    )
+
+    snap = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.col("c_custkey").alias("cid"), "c_name", "c_acctbal"
+    )
+    sboot, sref = root + "/s_boot", root + "/s_ref"
+    scd2_store_bootstrap(snap, sboot, key="cid", now="2024-01-01 00:00:00")
+    upsert_batch(snap, sref, key="cid", now="2024-01-01 00:00:00", batch_id=0)
+    sread = lambda p: sorted(
+        tuple(r) for r in read_current(spark, p).collect()
+    )
+    assert sread(sboot) == sread(sref)
+    assert read_history(spark, sboot) is None
+    # streaming continues on top: batch 0 upserts a changed snapshot
+    # and both stores converge to the same current + history state
+    changed = snap.withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1).cast(snap.schema["c_acctbal"].dataType)
+    ).where("cid % 7 = 0")
+    for p in (sboot, sref):
+        upsert_batch(
+            changed, p, key="cid", now="2024-02-01 00:00:00",
+            batch_id=segments.next_batch_id(p),
+        )
+    assert sread(sboot) == sread(sref)
+    shist = lambda p: sorted(
+        tuple(r) for r in read_history(spark, p).collect()
+    )
+    assert shist(sboot) == shist(sref) and shist(sboot)
+    with _pytest.raises(ValueError):
+        scd2_store_bootstrap(snap, sboot, key="cid", now="2024-01-01 00:00:00")
+
+    # --- vector store (plane provenance: bootstrap pins the SAME
+    # planes a first update_batch over the same frame would pin)
+    from hubspot_neo4j_pipeline_spark.streaming.vector_store import (
+        ann_topk_against_store,
+        read_vector_store,
+        vector_store_bootstrap,
+        vector_store_update_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    vboot, vref = root + "/v_boot", root + "/v_ref"
+    vector_store_bootstrap(emb, vboot)
+    vector_store_update_batch(emb, vref, batch_id=0)
+    assert (
+        segments.read_meta(vboot)["planes"] == segments.read_meta(vref)["planes"]
+    )
+    vread = lambda p: sorted(
+        (r["vec_id"], tuple(r["buckets"]), r["_n"])
+        for r in read_vector_store(spark, p).collect()
+    )
+    assert vread(vboot) == vread(vref)
+    vq = emb.where("vec_id < 20")
+    vtop = lambda p: sorted(
+        tuple(r) for r in ann_topk_against_store(vq, p, k=5).collect()
+    )
+    assert vtop(vboot) == vtop(vref)
+
+
+def test_bootstrap_then_stream_batch_zero(spark, tmp_path_factory):
+    """r12 ADVICE fix: a REAL Structured Streaming run on top of a
+    bootstrapped store must apply micro-batch 0 — a fresh checkpoint's
+    first batch id. Before the fix, bootstrap_base recorded
+    consumed_through=0 and the replay guard silently DROPPED it,
+    leaving the store durably missing the first batch's documents.
+    Final state must equal ingesting the whole corpus batch-wise."""
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.df_store import (
+        corpus_doc_count,
+        df_store_bootstrap,
+        df_store_update_batch,
+        read_df_store,
+        stream_df_store,
+    )
+    from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
+        lsh_store_bootstrap,
+        lsh_store_update_batch,
+        read_lsh_store,
+        stream_lsh_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    day0 = docs.where("doc_id % 3 = 0")
+    streamed = docs.where("doc_id % 3 != 0")
+    root = str(tmp_path_factory.mktemp("boot_stream"))
+    src = root + "/src"
+    streamed.repartition(2).write.mode("overwrite").parquet(src)
+
+    # --- LSH store: bootstrap day-0, then stream 2 micro-batches
+    boot = root + "/lsh_boot"
+    lsh_store_bootstrap(day0, boot)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    stream_lsh_store(stream, boot, root + "/lsh_ckpt")
+    # batch ids 0 and 1 both landed (0 would have been dropped pre-fix)
+    meta = segments.read_meta(boot)
+    applied = set(segments.committed_deltas(boot))
+    assert {0, 1} <= applied or meta["consumed_through"] >= 1
+    ref = root + "/lsh_ref"
+    lsh_store_update_batch(docs, ref, batch_id=0)
+    key = lambda p: sorted(
+        (r["doc_id"], tuple(r["sig"])) for r in read_lsh_store(spark, p).collect()
+    )
+    assert key(boot) == key(ref)
+
+    # --- df store: same drill over the corpus-statistics state
+    dboot = root + "/df_boot"
+    df_store_bootstrap(day0, dboot)
+    stream2 = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    stream_df_store(stream2, dboot, root + "/df_ckpt")
+    dref = root + "/df_ref"
+    df_store_update_batch(docs, dref, batch_id=0)
+    assert sorted(tuple(r) for r in read_df_store(spark, dboot).collect()) == sorted(
+        tuple(r) for r in read_df_store(spark, dref).collect()
+    )
+    assert (
+        corpus_doc_count(spark, dboot).collect()
+        == corpus_doc_count(spark, dref).collect()
+    )
