@@ -45,6 +45,12 @@ def main() -> None:
     # any query whose first pass clears HEAVY_SECONDS gets min-of-3.
     HEAVY_SECONDS = 2.0
     timings: dict[str, float] = {}
+    # r13 (ADVICE): the HEAVY_SECONDS auto-upgrade keys off the first
+    # rep's wall time, so a query near the boundary can run under a
+    # different rep protocol on different boxes — record the per-query
+    # rep count IN the artifact so bench_compare can flag rows whose
+    # protocol differs between the two artifacts being compared.
+    rep_counts: dict[str, int] = {}
     for name, fn in sorted(get_queries().items()):
         if only and name not in only:
             continue
@@ -68,6 +74,15 @@ def main() -> None:
                 spark.catalog.clearCache()
             r += 1
         timings[name] = round(best, 3) if best is not None else -1.0
+        rep_counts[name] = r
+
+    # r13 (r12 VERDICT task 1): a fixed data-independent calibration
+    # aggregate, min-of-3, stamps the box's speed INTO the artifact so
+    # cross-round comparisons can normalize out box drift
+    # (tools/calibrate.py; bench_compare prints raw AND normalized).
+    from tools.calibrate import calibration_sec
+
+    cal = calibration_sec(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if v >= 0]
@@ -81,6 +96,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),
+                "calibration_sec": cal,
+                "rep_counts": rep_counts,
             }
         )
     )

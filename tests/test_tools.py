@@ -64,6 +64,63 @@ def test_bench_compare_formats_and_gate(tmp_path):
     assert bench_main([str(old2), str(new2)]) == 0
 
 
+def test_bench_compare_gates_missing_and_failed_queries(tmp_path):
+    """r12 ADVICE: a regression-to-FAILURE (-1.0 sentinel) or a query
+    vanished from a full-format new artifact must trip the gate — it
+    used to silently shrink the common set and read green."""
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({"queries": {"q_a": 0.5, "q_b": 0.5}}))
+    # q_b now fails (-1.0) -> exit 1 even though q_a is unchanged
+    failed = tmp_path / "failed.json"
+    failed.write_text(json.dumps({"queries": {"q_a": 0.5, "q_b": -1.0}}))
+    assert bench_main([str(old), str(failed)]) == 1
+    # q_b absent from a FULL-format artifact -> exit 1
+    gone = tmp_path / "gone.json"
+    gone.write_text(json.dumps({"queries": {"q_a": 0.5}}))
+    assert bench_main([str(old), str(gone)]) == 1
+    # absent from a tail-truncated driver artifact -> warn only (its
+    # head loss is truncation, not regression)
+    tail = tmp_path / "tail.json"
+    tail.write_text(json.dumps({"tail": '"q_a": 0.5}'}))
+    assert bench_main([str(old), str(tail)]) == 0
+
+
+def test_bench_compare_reports_calibration_and_rep_protocol(tmp_path, capsys):
+    """r13: both sides carrying calibration_sec yields a box-normalized
+    line; differing per-query rep counts are named as protocol, and an
+    --annotate run persists all of it into the artifact."""
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(
+        json.dumps(
+            {
+                "queries": {"q_a": 1.0, "q_b": 2.0},
+                "calibration_sec": 1.0,
+                "rep_counts": {"q_a": 3, "q_b": 3},
+            }
+        )
+    )
+    new.write_text(
+        json.dumps(
+            {
+                "queries": {"q_a": 1.2, "q_b": 2.4},
+                "calibration_sec": 1.2,
+                "rep_counts": {"q_a": 3, "q_b": 1},
+            }
+        )
+    )
+    assert bench_main([str(old), str(new), "--annotate"]) == 0
+    out = capsys.readouterr().out
+    assert "calibration: 1.000 s -> 1.200 s" in out
+    assert "box +20.0%" in out
+    assert "q_b (3->1 reps)" in out
+    annotated = json.loads(new.read_text())["compare"]
+    assert annotated["calibration_box_ratio"] == 1.2
+    assert annotated["rep_protocol_mismatch"] == ["q_b"]
+    assert annotated["missing_from_new"] == []
+    assert annotated["failed_in_new"] == []
+
+
 def test_coverage_citations_resolve():
     """Every `file.py:symbol` citation in COVERAGE.md must point at a
     real package file containing the symbol (r4 VERDICT found stale

@@ -258,12 +258,19 @@ def main() -> int:
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
     if out_json:
+        # r13 (r12 VERDICT task 1): stamp the box's speed into the
+        # artifact (same fixed calibration task as bench.py) so probe
+        # ratios/absolutes from different rounds can be compared
+        # box-normalized instead of by folklore box adjustments.
+        from tools.calibrate import calibration_sec
+
         with open(out_json, "w") as fh:
             json.dump(
                 {
                     "base_dir": base_dir,
                     "big_dir": big_dir,
                     "bounds": bounds_tag,
+                    "calibration_sec": calibration_sec(spark),
                     "rows": rows,
                 },
                 fh,
