@@ -62,6 +62,28 @@ def _pinned_planes(meta: dict):
     return meta.get("planes"), meta.get("planes_per_table")
 
 
+def _vec_rows(v: DataFrame) -> DataFrame:
+    """One row per vec_id, DETERMINISTICALLY (r13, r12 ADVICE): the
+    lsh store's _doc_rows rule applied to vectors. Duplicate ids
+    within one batch (or within a bulk-load corpus) share one _ubid,
+    so the latest-writer window downstream would otherwise pick a
+    nondeterministic winner; in the bootstrap path duplicates also
+    skew plane derivation and n_buckets sizing. Winner = max
+    (xxhash64(vector), vector) per id — content-keyed (replays and
+    shuffles can't flip it), hash ties broken on the vector itself,
+    and a hash AGGREGATE (map-side partial combine), not a window."""
+    es = F.col("e").cast("string")
+    return (
+        v.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.xxhash64(es).alias("h"), F.col("e").alias("e"))
+            ).alias("_w")
+        )
+        .select("vec_id", F.col("_w.e").alias("e"))
+    )
+
+
 def _bucket_sql(ppt: int, n_full: int) -> str:
     """Bucket-array expression over columns `e` (vector) and `ps`
     (flat plane array-of-arrays) — the same sign-bit fold as
@@ -128,8 +150,8 @@ def vector_store_update_batch(
         return  # replayed micro-batch
     meta = segments.read_meta(store_path)
     n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
-    v = batch.select(
-        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("e")
+    v = _vec_rows(
+        batch.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("e"))
     )
     planes, ppt = _pinned_planes(meta)
     if planes is None:
@@ -340,12 +362,15 @@ def vector_store_bootstrap(
     ingest-everything-batchwise produce the same candidate space.
     Bootstrap rows carry _ubid=-1 so a vector re-ingested by streamed
     batch 0 (a fresh checkpoint's first id) wins the latest-writer
-    window. Equivalent state to update-then-compact, pinned by
-    test."""
+    window. Duplicate vec_ids in the corpus are resolved
+    deterministically BEFORE sizing/plane derivation (_vec_rows — r12
+    ADVICE: they used to tie at _ubid=-1 with a nondeterministic
+    winner and skew n_buckets). Equivalent state to
+    update-then-compact, pinned by test."""
     from ..operators.similarity import as_double, auto_planes_per_table
 
-    v = corpus.select(
-        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("e")
+    v = _vec_rows(
+        corpus.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("e"))
     ).localCheckpoint(eager=True)
     n_rows = v.count()
     ppt = auto_planes_per_table(n_rows)

@@ -2415,6 +2415,60 @@ def test_store_bootstrap_equals_batch_ingest_round2(spark, tmp_path_factory):
     assert vtop(vboot) == vtop(vref)
 
 
+def test_vector_store_duplicate_id_is_deterministic(spark, tmp_path_factory):
+    """r12 ADVICE: duplicate vec_ids in a bulk-load corpus (or within
+    one micro-batch) used to tie in the latest-writer window with a
+    nondeterministic winner and skew plane derivation / n_buckets
+    sizing. _vec_rows resolves them content-keyed — max
+    (xxhash64(vector), vector) per id, the lsh store's _doc_rows rule
+    — and bootstrap ≡ first-update-batch still holds on a dup-id
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.vector_store import (
+        _vec_rows,
+        read_vector_store,
+        vector_store_bootstrap,
+        vector_store_update_batch,
+    )
+
+    v1, v2 = [1.0, 0.0, 2.0], [0.0, 3.0, 1.0]
+    corpus = spark.createDataFrame(
+        [(7, v1), (7, v2)]
+        + [(i, [float(i), 1.0, 0.5]) for i in range(8, 28)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = _vec_rows(corpus.selectExpr("vec_id", "embedding as e")).collect()
+    assert sorted(r["vec_id"] for r in rows) == list(range(7, 28))
+    winner = max(
+        [v1, v2],
+        key=lambda v: (
+            spark.createDataFrame([(v,)], "e array<double>")
+            .select(F.xxhash64(F.col("e").cast("string")))
+            .collect()[0][0],
+            v,
+        ),
+    )
+    assert next(list(r["e"]) for r in rows if r["vec_id"] == 7) == winner
+
+    root = str(tmp_path_factory.mktemp("vec_dup"))
+    vboot, vref = root + "/boot", root + "/ref"
+    vector_store_bootstrap(corpus, vboot)
+    vector_store_update_batch(corpus, vref, batch_id=0)
+    assert (
+        segments.read_meta(vboot)["planes"] == segments.read_meta(vref)["planes"]
+    )
+    vread = lambda p: sorted(  # noqa: E731
+        (r["vec_id"], tuple(r["e"]), tuple(r["buckets"]))
+        for r in read_vector_store(spark, p).collect()
+    )
+    assert vread(vboot) == vread(vref)
+    assert next(
+        e for vid, e, _b in vread(vboot) if vid == 7
+    ) == tuple(winner)
+
+
 def test_bootstrap_then_stream_batch_zero(spark, tmp_path_factory):
     """r12 ADVICE fix: a REAL Structured Streaming run on top of a
     bootstrapped store must apply micro-batch 0 — a fresh checkpoint's
