@@ -123,6 +123,21 @@ _DEMOTED = {
     # T9 via current_state, W1 via doc_shard_packing /
     # user_value_trend / asof_order_before_event / event_sessionization.
     "scd2_version_chain",
+    # Round 13 (r12 VERDICT task 3): two §2-redundant rows yield their
+    # slots to the only graph-iterative operator row (pagerank_topk)
+    # and the T8 backfill round-trip (scd2_bootstrap_roundtrip), both
+    # local-green sf0.001→sf10 since r12 but previously outside the
+    # driver window. recent_activity's ids stay in-window: F10/J11 via
+    # incremental_window_counts / asof_order_before_event /
+    # event_sessionization, A4 via campaign_stats / semantic_dedup.
+    "recent_activity",
+    # doc_exact_dedup yields to its streaming-store successor already
+    # in-window (the r11 windowed_event_counts pattern):
+    # incremental_hash_dedup_verdicts carries the identical D1/D2/D3
+    # set over the SAME exact-dedup kernel plus the store round-trip;
+    # D3 additionally via upsert_idempotency_roundtrip /
+    # incremental_dup_clusters.
+    "doc_exact_dedup",
 }
 
 _PRIORITY = [
@@ -141,7 +156,8 @@ _PRIORITY = [
     # flagship LLM-pipeline operators, one per family
     "doc_shard_packing",
     "user_value_trend",
-    "doc_exact_dedup",
+    # doc_exact_dedup rotated out r13 (see _DEMOTED — its streaming
+    # successor incremental_hash_dedup_verdicts carries D1/D2/D3)
     "doc_minhash_lsh_pairs",
     "ann_bruteforce_topk",
     "embedding_near_dup_pairs",
@@ -183,6 +199,13 @@ _PRIORITY = [
     # pair scoring folded into maintained CC assignments per batch —
     # see _DEMOTED note for the row it displaces)
     "incremental_dup_clusters",
+    # round 13: the fixed-point PageRank row — the registry's only
+    # graph-ITERATIVE operator (unrolled-CTE oracle, cell-exact
+    # sf0.001→sf10 since r12) — and the T8 backfill round-trip
+    # (scd2_store_bootstrap + batch-0 upsert). See _DEMOTED for the
+    # two rows they displace.
+    "pagerank_topk",
+    "scd2_bootstrap_roundtrip",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
