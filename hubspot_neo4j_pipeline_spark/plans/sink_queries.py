@@ -539,6 +539,84 @@ def incremental_hash_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "incremental_hash_dedup_with_deletes",
+    oracle="""
+        WITH del AS (
+            SELECT DISTINCT text FROM documents WHERE doc_id % 5 = 0
+        ), live AS (
+            SELECT sha256(text) AS h, min(doc_id) AS hist_owner
+            FROM documents
+            WHERE text NOT IN (SELECT text FROM del)
+            GROUP BY sha256(text)
+        ), inc AS (
+            SELECT doc_id + 10000000 AS doc_id, sha256(text) AS h
+            FROM documents WHERE doc_id % 4 = 0
+        ), bm AS (
+            SELECT h, min(doc_id) AS batch_owner FROM inc GROUP BY h
+        )
+        SELECT i.doc_id,
+               least(coalesce(l.hist_owner, b.batch_owner), b.batch_owner)
+                   AS canonical_id,
+               i.doc_id <> least(coalesce(l.hist_owner, b.batch_owner),
+                                 b.batch_owner) AS is_duplicate
+        FROM inc i
+        JOIN bm b USING (h)
+        LEFT JOIN live l ON l.h = i.h
+    """,
+    covers=("D1", "D2", "T4"),
+    doc=(
+        "EXECUTED deletion round-trip on the streaming exact-dedup "
+        "store (r13, r12 VERDICT task 6 — the tombstone path's oracle "
+        "row): the full corpus ingests as two micro-batches (a real "
+        "compaction between), then a DELETE batch tombstones the "
+        "content of every doc_id % 5 = 0 document "
+        "(streaming/hash_store.hash_store_delete_batch — "
+        "right-to-erasure without a rebuild), and a re-submission "
+        "batch (every doc_id % 4 = 0 document under a +10M id) is "
+        "scored against the store. Erased content must score "
+        "NON-duplicate (the store provably forgot it — its canonical "
+        "becomes the re-submitted id) while every other re-submission "
+        "stays duplicate of its original; a tombstone that leaked, "
+        "applied to the wrong sequence point, or outlived a "
+        "re-ingest hash-mismatches. The streaming analog of the "
+        "reference's T4 soft delete (loaders/temporal_loader.py:227-266), "
+        "applied to the content-hash memory."
+    ),
+)
+def incremental_hash_dedup_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..streaming.hash_store import (
+        dedup_batch_against_store,
+        hash_store_delete_batch,
+        hash_store_update_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(
+        _scratch(spark, "incremental_hash_dedup_with_deletes", sf_dir), "hashes"
+    )
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    hash_store_update_batch(
+        docs.where("doc_id % 2 = 0"), store, batch_id=0, compact_every=2
+    )
+    hash_store_update_batch(  # triggers the compaction
+        docs.where("doc_id % 2 = 1"), store, batch_id=1, compact_every=2
+    )
+    hash_store_delete_batch(
+        docs.where("doc_id % 5 = 0"), store, batch_id=2, compact_every=99
+    )
+    resubmitted = docs.where("doc_id % 4 = 0").select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    return dedup_batch_against_store(resubmitted, store).select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
+
+
+@register(
     "incremental_gram_spans",
     oracle="""
         WITH toks AS (

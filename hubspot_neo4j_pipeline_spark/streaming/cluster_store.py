@@ -38,7 +38,12 @@ doc_id`` — the hash store's rule — and replays, out-of-order deltas,
 or a guard bypass cannot corrupt an assignment. (Edge RETRACTION — a
 doc re-ingested with dissimilar text — is out of scope: near-dup
 edges in a training-data pipeline are append-only facts about
-observed content; a corpus rebuild is the retraction path.)
+observed content; a corpus rebuild is the retraction path. DOC
+deletion is different and supported since r13:
+``cluster_store_delete_batch`` tombstones a doc's assignment row —
+it stops appearing in reads/verdicts and compaction reclaims it —
+while other members' labels stay, as opaque cluster ids; see
+streaming/tombstones.py.)
 
 Connectivity solve: micro-batches condense to a few thousand edges at
 most in any realistic trigger interval, so the default solve is a
@@ -88,30 +93,72 @@ def _bucket_expr(n_buckets: int):
     )
 
 
+def _assign_frames(
+    spark: SparkSession,
+    store_path: str,
+    meta: dict,
+    deltas: dict[int, str],
+    buckets: list[int] | None = None,
+) -> list[tuple[int, DataFrame]]:
+    """Raw (sequence, frame) pairs — base at its compaction's
+    ``consumed_through``, each live delta at its dir id — the
+    provenance sequence tombstone resolution orders by (the hash
+    store's `_hash_frames` rule; streaming/tombstones.py)."""
+    frames: list[tuple[int, DataFrame]] = []
+    if meta["base"]:
+        f = spark.read.parquet(os.path.join(store_path, meta["base"]))
+        if buckets is not None:
+            f = f.where(F.col("_bucket").isin(buckets))
+        frames.append((meta["consumed_through"], f))
+    for bid, path in sorted(deltas.items()):
+        frames.append((bid, spark.read.parquet(path)))
+    return frames
+
+
+def _merged_assignments(frames: list[tuple[int, DataFrame]]) -> DataFrame | None:
+    """(doc_id, comp) visible state: plain min-merge when no live
+    delta carries tombstones (exact pre-r13 plan), the sequence-aware
+    merge otherwise. None when only tombstone deltas exist."""
+    from . import tombstones
+
+    raw = [f for _seq, f in frames]
+    if not any("comp" in f.columns for f in raw):
+        return None
+    if not tombstones.has_tombstones(raw):
+        cols = [f.select("doc_id", "comp") for f in raw]
+        if len(cols) == 1:
+            return cols[0]
+        out = cols[0]
+        for f in cols[1:]:
+            out = out.unionByName(f)
+        return out.groupBy("doc_id").agg(F.min("comp").alias("comp"))
+    seqd = []
+    for seq, f in frames:
+        keep = [c for c in ("doc_id", "comp", tombstones.TOMB_COL)
+                if c in f.columns]
+        seqd.append(tombstones.with_seq(f.select(*keep), seq))
+    out = seqd[0]
+    for f in seqd[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return tombstones.min_merge_with_tombstones(out, ["doc_id"], "comp")
+
+
 def read_cluster_assignments(spark: SparkSession, store_path: str) -> DataFrame:
     """(doc_id, comp = min doc id reachable over every pair ever
     ingested). Merge-on-read is min(comp) per doc_id — idempotent and
-    order-free because labels only decrease (see module docstring).
-    Only PAIRED docs have rows; singletons are their own cluster by
-    definition and never need storage."""
+    order-free because labels only decrease (see module docstring) —
+    switching to the sequence-aware rule while tombstone deltas are
+    pending (``cluster_store_delete_batch``). Only PAIRED docs have
+    rows; singletons are their own cluster by definition and never
+    need storage."""
     meta = segments.read_meta(store_path)
-    frames = []
-    if meta["base"]:
-        frames.append(
-            spark.read.parquet(os.path.join(store_path, meta["base"])).select(
-                "doc_id", "comp"
-            )
-        )
-    for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
-        frames.append(spark.read.parquet(path).select("doc_id", "comp"))
-    if not frames:
+    frames = _assign_frames(
+        spark, store_path, meta, segments.live_deltas(store_path, meta)
+    )
+    merged = _merged_assignments(frames) if frames else None
+    if merged is None:
         raise FileNotFoundError(f"empty cluster store at {store_path}")
-    if len(frames) == 1:
-        return frames[0]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.groupBy("doc_id").agg(F.min("comp").alias("comp"))
+    return merged
 
 
 def _driver_union_find(edge_rows: list) -> dict:
@@ -337,20 +384,14 @@ def cluster_store_compact(
             store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
         )
     elif touched is not None and len(touched) < n_buckets:
-        merged = (
-            spark.read.parquet(os.path.join(store_path, meta["base"]))
-            .where(F.col("_bucket").isin(touched))  # partition-pruned
-            .select("doc_id", "comp")
+        # tombstone-aware merge (r13): applies pending deletes and
+        # drops the tombstones, so the new partitions physically
+        # reclaim erased docs (a tombstone lives in its key's bucket,
+        # so the touched set covers it)
+        merged = _merged_assignments(
+            _assign_frames(spark, store_path, meta, deltas, buckets=touched)
         )
-        for _b, p in sorted(deltas.items()):
-            merged = merged.unionByName(
-                spark.read.parquet(p).select("doc_id", "comp")
-            )
-        merged = (
-            merged.groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
-            .withColumn("_bucket", _bucket_expr(n_buckets))
-        )
+        merged = merged.withColumn("_bucket", _bucket_expr(n_buckets))
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         merged.repartition("_bucket").write.partitionBy("_bucket").mode(
             "overwrite"
@@ -359,11 +400,17 @@ def cluster_store_compact(
             store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
         )
     else:
-        merged = read_cluster_assignments(spark, store_path).withColumn(
-            "_bucket", _bucket_expr(n_buckets)
+        merged = _merged_assignments(
+            _assign_frames(spark, store_path, meta, deltas)
         )
-        # an all-empty history commits base=None (segments.write_base)
-        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
+        # an all-empty history commits base=None (segments.write_base);
+        # a tombstones-only history (merged is None) is the same case
+        wrote = merged is not None and segments.write_base(
+            merged.withColumn("_bucket", _bucket_expr(n_buckets)),
+            store_path,
+            new_base,
+            "_bucket",
+        )
     segments.write_meta(
         store_path,
         {
@@ -380,6 +427,44 @@ def cluster_store_compact(
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def cluster_store_delete_batch(
+    ids: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """Retract documents from the assignment table (r13, r12 VERDICT
+    task 6): one atomic tombstone delta keyed by doc_id. Deleted docs
+    disappear from ``read_cluster_assignments`` and score as
+    singletons in ``dedup_verdicts_from_store``; a doc RE-paired by a
+    later batch gets a fresh assignment that outranks the tombstone.
+    Other members' labels are untouched — a component label is an
+    opaque cluster id, not a liveness claim (see the module
+    docstring's retraction note); erasing a canonical member does not
+    re-elect a keeper. The next compaction physically drops dead rows
+    + tombstones. Same batch-id sequence / replay guard / crash
+    contract as ingest."""
+    from . import tombstones
+
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed delete batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, CLUSTER_STORE_BUCKETS)
+    rows = (
+        ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .withColumn(tombstones.TOMB_COL, F.lit(True))
+        .withColumn("_bucket", _bucket_expr(n_buckets))
+    )
+    segments.commit_delta(rows, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        cluster_store_compact(ids.sparkSession, store_path, n_buckets)
 
 
 def dedup_verdicts_from_store(

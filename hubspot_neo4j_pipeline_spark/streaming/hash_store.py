@@ -56,27 +56,75 @@ def _partial_hashes(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def read_hash_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """(content_hash, owner_id = min doc id ever seen with it). Plain
-    base scan when no deltas are live."""
-    meta = segments.read_meta(store_path)
-    frames = []
+def _hash_frames(
+    spark: SparkSession,
+    store_path: str,
+    meta: dict,
+    deltas: dict[int, str],
+    buckets: list[int] | None = None,
+) -> list[tuple[int, DataFrame]]:
+    """Raw (sequence, frame) pairs for the visible state: the base at
+    its compaction's ``consumed_through`` plus each live delta at its
+    dir id — the provenance sequence tombstone resolution orders by
+    (streaming/tombstones.py). ``buckets`` partition-prunes the base
+    for partial compaction."""
+    frames: list[tuple[int, DataFrame]] = []
     if meta["base"]:
-        frames.append(
-            spark.read.parquet(os.path.join(store_path, meta["base"])).select(
-                "content_hash", "owner_id"
-            )
-        )
-    for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
-        frames.append(spark.read.parquet(path).select("content_hash", "owner_id"))
-    if not frames:
+        f = spark.read.parquet(os.path.join(store_path, meta["base"]))
+        if buckets is not None:
+            f = f.where(F.col("_bucket").isin(buckets))
+        frames.append((meta["consumed_through"], f))
+    for bid, path in sorted(deltas.items()):
+        frames.append((bid, spark.read.parquet(path)))
+    return frames
+
+
+def _merged_hashes(frames: list[tuple[int, DataFrame]]) -> DataFrame | None:
+    """(content_hash, owner_id) visible state from raw frames: the
+    plain min-merge when no live delta carries tombstones (the exact
+    pre-r13 plan — zero deletion overhead on stores nobody deletes
+    from), the sequence-aware merge otherwise. None when no frame
+    carries data (tombstones-only store = empty visible state)."""
+    from . import tombstones
+
+    raw = [f for _seq, f in frames]
+    if not any("owner_id" in f.columns for f in raw):
+        # only tombstone deltas exist: nothing was ever ingested, so
+        # the visible state is the empty store
+        return None
+    if not tombstones.has_tombstones(raw):
+        cols = [f.select("content_hash", "owner_id") for f in raw]
+        if len(cols) == 1:
+            return cols[0]
+        out = cols[0]
+        for f in cols[1:]:
+            out = out.unionByName(f)
+        return out.groupBy("content_hash").agg(F.min("owner_id").alias("owner_id"))
+    seqd = []
+    for seq, f in frames:
+        keep = [c for c in ("content_hash", "owner_id", tombstones.TOMB_COL)
+                if c in f.columns]
+        seqd.append(tombstones.with_seq(f.select(*keep), seq))
+    out = seqd[0]
+    for f in seqd[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return tombstones.min_merge_with_tombstones(
+        out, ["content_hash"], "owner_id"
+    )
+
+
+def read_hash_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """(content_hash, owner_id = min doc id ever seen with it and not
+    deleted since). Plain base scan when no deltas are live; pending
+    tombstone deltas switch the merge to the sequence-aware rule."""
+    meta = segments.read_meta(store_path)
+    frames = _hash_frames(
+        spark, store_path, meta, segments.live_deltas(store_path, meta)
+    )
+    merged = _merged_hashes(frames) if frames else None
+    if merged is None:
         raise FileNotFoundError(f"empty hash store at {store_path}")
-    if len(frames) == 1:
-        return frames[0]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out.groupBy("content_hash").agg(F.min("owner_id").alias("owner_id"))
+    return merged
 
 
 def hash_store_update_batch(
@@ -171,21 +219,14 @@ def hash_store_compact(
             store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
         )
     elif touched is not None and len(touched) < n_buckets:
-        base_touched = (
-            spark.read.parquet(os.path.join(store_path, meta["base"]))
-            .where(F.col("_bucket").isin(touched))  # partition-pruned
-            .select("content_hash", "owner_id")
+        # tombstone-aware merge over base-touched + delta rows: the
+        # sequence rule applies tombstones and DROPS them, so the new
+        # partitions physically reclaim deleted hashes (tombstones
+        # live in their key's bucket, so the touched set covers them)
+        merged = _merged_hashes(
+            _hash_frames(spark, store_path, meta, deltas, buckets=touched)
         )
-        merged = base_touched
-        for _b, p in sorted(deltas.items()):
-            merged = merged.unionByName(
-                spark.read.parquet(p).select("content_hash", "owner_id")
-            )
-        merged = (
-            merged.groupBy("content_hash")
-            .agg(F.min("owner_id").alias("owner_id"))
-            .withColumn("_bucket", bucket_expr)
-        )
+        merged = merged.withColumn("_bucket", bucket_expr)
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
         merged.repartition("_bucket").write.partitionBy("_bucket").mode(
             "overwrite"
@@ -194,11 +235,17 @@ def hash_store_compact(
             store_path, meta["base"], merged_tmp, new_base, "_bucket", touched
         )
     else:
-        merged = read_hash_store(spark, store_path).withColumn(
-            "_bucket", bucket_expr
+        merged = _merged_hashes(
+            _hash_frames(spark, store_path, meta, deltas)
         )
-        # an all-empty history commits base=None (segments.write_base)
-        wrote = segments.write_base(merged, store_path, new_base, "_bucket")
+        # an all-empty history commits base=None (segments.write_base);
+        # a tombstones-only history (merged is None) is the same case
+        wrote = merged is not None and segments.write_base(
+            merged.withColumn("_bucket", bucket_expr),
+            store_path,
+            new_base,
+            "_bucket",
+        )
     segments.write_meta(
         store_path,
         {
@@ -215,6 +262,48 @@ def hash_store_compact(
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def hash_store_delete_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    text_col: str = "text",
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """Retract CONTENT from the dedup memory (r13, r12 VERDICT task 6
+    — right-to-erasure / eval-refresh without a rebuild): commit one
+    atomic tombstone delta keyed by the batch's content hashes. From
+    this batch on, reads and scoring forget those hashes — content
+    known only through deleted documents stops marking future arrivals
+    as duplicates — until/unless the same content is RE-ingested by a
+    later batch (the sequence rule in streaming/tombstones.py). The
+    next compaction physically drops both the dead rows and the
+    tombstones. Same batch-id sequence, replay guard, and crash
+    contract as ingest; the erasure request carries the documents
+    (their text), so the tombstone keys are computed, never looked up.
+    """
+    from . import tombstones
+
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed delete batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, HASH_STORE_BUCKETS)
+    rows = (
+        batch.select(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .distinct()
+        .withColumn(tombstones.TOMB_COL, F.lit(True))
+        .withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    segments.commit_delta(rows, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        hash_store_compact(batch.sparkSession, store_path, n_buckets)
 
 
 def dedup_batch_against_store(

@@ -98,7 +98,12 @@ def _bucket_expr(n_buckets: int):
 def read_lsh_store(spark: SparkSession, store_path: str) -> DataFrame:
     """(doc_id, shingles, sig): meta's base plus live deltas, latest
     writer per doc_id wins (same merge-on-read rule as the SCD2
-    store's current view)."""
+    store's current view). A doc whose newest row is a tombstone
+    (``lsh_store_delete_batch``) is hidden — and resurrected by any
+    later re-ingest, since that row outranks the tombstone in the same
+    window (streaming/tombstones.py)."""
+    from . import tombstones
+
     meta = segments.read_meta(store_path)
     frames = []
     if meta["base"]:
@@ -112,16 +117,20 @@ def read_lsh_store(spark: SparkSession, store_path: str) -> DataFrame:
         # both are latest-writer-unique per doc_id by construction
         # (_doc_rows dedups within a batch; compaction windows), so
         # the window below would be a semantic no-op costing a full
-        # store shuffle (the hash store's single-frame shortcut)
-        return frames[0].select("doc_id", "shingles", "sig")
+        # store shuffle (the hash store's single-frame shortcut). A
+        # lone tombstone delta still filters (every key deleted).
+        return tombstones.drop_tombstoned_latest(frames[0]).select(
+            "doc_id", "shingles", "sig"
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     w = Window.partitionBy("doc_id").orderBy(F.col("_ubid").desc())
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", "shingles", "sig")
+    merged = out.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return tombstones.drop_tombstoned_latest(merged).select(
+        "doc_id", "shingles", "sig"
     )
 
 
@@ -205,11 +214,20 @@ def lsh_store_compact(
         allrows = frames[0]
         for f in frames[1:]:
             allrows = allrows.unionByName(f, allowMissingColumns=True)
+        from . import tombstones
+
         w = Window.partitionBy("doc_id").orderBy(F.col("_ubid").desc())
         merged = (
             allrows.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
+        )
+        # physical reclaim: a key whose newest row is a tombstone is
+        # dropped from the new partitions, and the tombstone column
+        # itself never reaches the base (r13, streaming/tombstones.py)
+        merged = (
+            tombstones.drop_tombstoned_latest(merged)
+            .drop(tombstones.TOMB_COL)
             .withColumn("_ubid", F.lit(hi).cast("long"))
             .withColumn("_bucket", _bucket_expr(n_buckets))
         )
@@ -244,6 +262,45 @@ def lsh_store_compact(
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def lsh_store_delete_batch(
+    ids: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """Retract documents from the near-dup index (r13, r12 VERDICT
+    task 6): one atomic tombstone delta keyed by doc_id. The read-side
+    latest-writer window hides deleted docs from every scoring path
+    (``neardup_pairs_against_store`` candidates them against the store
+    view, so erased docs stop pairing), a later re-ingest resurrects,
+    and the next compaction physically drops both the dead signature
+    rows and the tombstones. Same batch-id sequence / replay guard /
+    crash contract as ingest. Payload columns ride as typed nulls so
+    every reader sees one schema."""
+    from . import tombstones
+
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed delete batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, LSH_STORE_BUCKETS)
+    rows = (
+        ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .withColumn("shingles", F.lit(None).cast("array<string>"))
+        .withColumn("sig", F.lit(None).cast("array<bigint>"))
+        .withColumn(tombstones.TOMB_COL, F.lit(True))
+        .withColumn("_ubid", F.lit(batch_id).cast("long"))
+        .withColumn("_bucket", _bucket_expr(n_buckets))
+    )
+    segments.commit_delta(rows, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        lsh_store_compact(ids.sparkSession, store_path, n_buckets)
 
 
 def neardup_pairs_against_store(

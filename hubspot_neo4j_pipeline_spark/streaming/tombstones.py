@@ -1,0 +1,112 @@
+"""Deletion (tombstone) support for the content stores (r13, r12
+VERDICT task 6): hash, LSH, cluster, and vector stores can retract
+documents without a rebuild — right-to-erasure and eval-set refresh
+are routine operations on a production corpus, and until r13
+latest-writer-wins could only overwrite, never remove (the reference's
+own T4 soft-delete semantics, ``loaders/temporal_loader.py:227-266``,
+stopped at the SCD2 store).
+
+Mechanism — one extra delta kind on the unchanged segment layer:
+
+* ``<store>_delete_batch(ids)`` commits a normal atomic delta dir
+  whose rows are TOMBSTONES: the store key plus ``_del = true`` (and
+  typed-null payload columns where the reader's schema needs them).
+  Same batch-id sequence, same replay guard, same crash contract as
+  ingest deltas — a delete is just another mutation batch.
+* Read/scoring paths honor tombstones by SEQUENCE, never by luck:
+  - latest-writer stores (lsh, vector) already order rows by the
+    ingest batch id ``_ubid``; a tombstone is simply the newest row
+    for its key, so the existing merge window hides the doc, and a
+    LATER re-ingest of the same key resurrects it naturally.
+  - min-merge stores (hash, cluster) are order-free by design, so
+    rows carry no batch id on disk; the reader instead derives each
+    frame's sequence position from its PROVENANCE — a delta's dir id,
+    a base's ``consumed_through`` at the compaction that wrote it —
+    and drops data rows older than their key's newest tombstone
+    before the min() merge (``min_merge_with_tombstones``). Replayed
+    or out-of-order deltas keep deterministic semantics because the
+    sequence comes from committed dir ids, not arrival order.
+* Compaction RECLAIMS: the fold applies tombstones, writes only
+  surviving rows, and drops the tombstone rows themselves — safe
+  because ``consumed_through`` advances past the delete batch, so
+  every future delta outranks it and the replay guard keeps
+  already-consumed ids out. Deleted bytes physically leave the store
+  at the same moment they would have been rewritten anyway.
+
+Cost: zero on stores with no pending deletes — readers check the live
+delta schemas (``has_tombstones``, a footer-metadata check on frames
+they already opened) and keep the exact pre-r13 plan when none carry
+``_del``. With pending deletes, the extra work is one aggregate over
+the (usually tiny) tombstone rows plus one equi-join on the store key
+— the same shuffle key the merge already uses.
+
+Semantic notes (documented, not hidden): deleting a doc removes ITS
+rows. In the hash store the tombstone is keyed by content hash (the
+erasure request is "forget this content"), so content known only
+through deleted docs stops matching future batches. In the cluster
+store the doc's assignment row disappears from every read, but other
+members' labels are untouched — a component label is an opaque
+cluster id, not a liveness claim, and keeper re-election after
+erasing a canonical member is a rebuild-time decision (edges are
+append-only facts; see cluster_store.py's retraction note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOMB_COL = "_del"
+SEQ_COL = "_sbid"
+
+
+def has_tombstones(frames: list[DataFrame]) -> bool:
+    """True iff any frame carries the tombstone column. Frames are
+    already-opened parquet reads, so this is a schema lookup, not I/O."""
+    return any(TOMB_COL in f.columns for f in frames)
+
+
+def with_seq(frame: DataFrame, seq: int) -> DataFrame:
+    """Attach the frame's provenance-derived sequence position and a
+    normalized ``_del`` (false when the frame predates tombstones).
+    ``seq`` is the delta's dir id, or ``consumed_through`` for a base
+    — the newest batch whose rows the frame can contain."""
+    out = frame.withColumn(SEQ_COL, F.lit(seq).cast("long"))
+    if TOMB_COL not in frame.columns:
+        out = out.withColumn(TOMB_COL, F.lit(False))
+    else:
+        out = out.withColumn(TOMB_COL, F.coalesce(F.col(TOMB_COL), F.lit(False)))
+    return out
+
+
+def min_merge_with_tombstones(
+    rows: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """The min-merge stores' read rule under deletion: per key, data
+    rows at or below the key's newest tombstone sequence are dead;
+    min(value) merges the survivors. ``rows`` must carry ``_sbid`` and
+    ``_del`` (``with_seq``). Data and tombstone batch ids are distinct
+    (each delta is one batch), so strict > is an exact cut. Both
+    aggregates and the join share the store-key shuffle, and the
+    tombstone side holds only keys someone actually deleted."""
+    tombs = (
+        rows.where(F.col(TOMB_COL))
+        .groupBy(*key_cols)
+        .agg(F.max(SEQ_COL).alias("_tomb"))
+    )
+    live = (
+        rows.where(~F.col(TOMB_COL))
+        .join(tombs, key_cols, "left")
+        .where(F.col("_tomb").isNull() | (F.col(SEQ_COL) > F.col("_tomb")))
+    )
+    return live.groupBy(*key_cols).agg(F.min(value_col).alias(value_col))
+
+
+def drop_tombstoned_latest(merged: DataFrame) -> DataFrame:
+    """The latest-writer stores' filter: after the per-key newest-row
+    window, a surviving tombstone means the key's latest state is
+    'deleted' — hide it. Frames that never saw a delete lack the
+    column; callers union with allowMissingColumns so it reads null."""
+    if TOMB_COL not in merged.columns:
+        return merged
+    return merged.where(~F.coalesce(F.col(TOMB_COL), F.lit(False)))

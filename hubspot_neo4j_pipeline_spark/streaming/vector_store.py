@@ -175,7 +175,11 @@ def vector_store_update_batch(
 
 def read_vector_store(spark: SparkSession, store_path: str) -> DataFrame:
     """(vec_id, e, _n, buckets): base + live deltas, latest writer per
-    vec_id wins."""
+    vec_id wins. A vec whose newest row is a tombstone
+    (``vector_store_delete_batch``) is hidden from every read/ANN path;
+    a later re-ingest resurrects it (streaming/tombstones.py)."""
+    from . import tombstones
+
     meta = segments.read_meta(store_path)
     frames = []
     if meta["base"]:
@@ -188,10 +192,11 @@ def read_vector_store(spark: SparkSession, store_path: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     w = Window.partitionBy("vec_id").orderBy(F.col("_ubid").desc())
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "e", "_n", "buckets")
+    merged = out.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return tombstones.drop_tombstoned_latest(merged).select(
+        "vec_id", "e", "_n", "buckets"
     )
 
 
@@ -243,11 +248,18 @@ def vector_store_compact(
         allrows = frames[0]
         for f in frames[1:]:
             allrows = allrows.unionByName(f, allowMissingColumns=True)
+        from . import tombstones
+
         w = Window.partitionBy("vec_id").orderBy(F.col("_ubid").desc())
         merged = (
             allrows.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
+        )
+        # physical reclaim of tombstoned vectors (r13; see lsh store)
+        merged = (
+            tombstones.drop_tombstoned_latest(merged)
+            .drop(tombstones.TOMB_COL)
             .withColumn("_ubid", F.lit(hi).cast("long"))
             .withColumn("_bucket", layout_bucket)
         )
@@ -282,6 +294,48 @@ def vector_store_compact(
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def vector_store_delete_batch(
+    ids: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_col: str = "vec_id",
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """Retract vectors from the ANN index (r13, r12 VERDICT task 6):
+    one atomic tombstone delta keyed by vec_id. Deleted vectors stop
+    appearing as neighbors in ``ann_topk_against_store`` (it reads the
+    tombstone-filtered store view), a later re-ingest resurrects, and
+    the next compaction physically drops dead rows + tombstones. Same
+    batch-id sequence / replay guard / crash contract as ingest."""
+    from . import tombstones
+
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed delete batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, VECTOR_STORE_BUCKETS)
+    rows = (
+        ids.select(F.col(id_col).alias("vec_id"))
+        .distinct()
+        .withColumn("e", F.lit(None).cast("array<double>"))
+        .withColumn("_n", F.lit(None).cast("double"))
+        .withColumn("buckets", F.lit(None).cast("array<bigint>"))
+        .withColumn(tombstones.TOMB_COL, F.lit(True))
+        .withColumn("_ubid", F.lit(batch_id).cast("long"))
+        .withColumn(
+            "_bucket",
+            F.pmod(
+                F.xxhash64(F.col("vec_id").cast("string")), F.lit(n_buckets)
+            ).cast("int"),
+        )
+    )
+    segments.commit_delta(rows, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        vector_store_compact(ids.sparkSession, store_path, n_buckets)
 
 
 def ann_topk_against_store(

@@ -1,0 +1,236 @@
+"""Deletion (tombstone) round-trips for the four content stores (r13,
+r12 VERDICT task 6): ingest → delete → scoring shows no matches →
+compaction physically drops the rows → a later re-ingest resurrects.
+Production corpora need doc removal (right-to-erasure, eval-set
+refresh) without a rebuild; until r13 latest-writer-wins could only
+overwrite. Semantics and the sequence rule: streaming/tombstones.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from hubspot_neo4j_pipeline_spark.streaming import segments
+
+
+def _base_scan(store: str):
+    """(column-name set, rows as list of dicts) of the committed base
+    — read with pyarrow, so the assertion is about BYTES ON DISK, not
+    about what a reader chooses to show."""
+    meta = segments.read_meta(store)
+    assert meta["base"], "expected a committed base"
+    cols: set = set()
+    rows: list = []
+    for f in glob.glob(
+        os.path.join(store, meta["base"], "**", "*.parquet"), recursive=True
+    ):
+        t = pq.read_table(f)
+        cols |= set(t.column_names)
+        rows.extend(t.to_pylist())
+    return cols, rows
+
+
+def test_hash_store_delete_roundtrip(spark, tmp_path_factory):
+    from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
+        dedup_batch_against_store,
+        hash_store_compact,
+        hash_store_delete_batch,
+        hash_store_update_batch,
+        read_hash_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("tomb")) + "/hash"
+    docs = spark.createDataFrame(
+        [(1, "erase me"), (2, "keep me"), (3, "erase me"), (4, "other")],
+        "doc_id long, text string",
+    )
+    hash_store_update_batch(docs, store, batch_id=0, compact_every=99)
+    inc = spark.createDataFrame(
+        [(10, "erase me"), (11, "keep me")], "doc_id long, text string"
+    )
+    before = {r.doc_id: r.is_duplicate
+              for r in dedup_batch_against_store(inc, store).collect()}
+    assert before == {10: True, 11: True}
+
+    # delete the CONTENT "erase me" (the erasure request carries the
+    # documents; the tombstone is keyed by content hash)
+    hash_store_delete_batch(
+        spark.createDataFrame([("erase me",)], "text string"),
+        store, batch_id=1, compact_every=99,
+    )
+    after = {r.doc_id: r.is_duplicate
+             for r in dedup_batch_against_store(inc, store).collect()}
+    assert after == {10: False, 11: True}  # forgotten content; other intact
+    assert sorted(
+        r.owner_id for r in read_hash_store(spark, store).collect()
+    ) == [2, 4]
+
+    # replayed delete batch is a no-op
+    hash_store_delete_batch(
+        spark.createDataFrame([("keep me",)], "text string"),
+        store, batch_id=1, compact_every=99,
+    )
+    assert after == {
+        r.doc_id: r.is_duplicate
+        for r in dedup_batch_against_store(inc, store).collect()
+    }
+
+    # compaction physically reclaims: no tombstone column, no dead row
+    hash_store_compact(spark, store)
+    cols, rows = _base_scan(store)
+    assert "_del" not in cols
+    assert sorted(r["owner_id"] for r in rows) == [2, 4]
+
+    # re-ingest of the erased content RESURRECTS with the new owner
+    hash_store_update_batch(
+        spark.createDataFrame([(20, "erase me")], "doc_id long, text string"),
+        store, compact_every=99,
+    )
+    res = {r.doc_id: (r.canonical_id, r.is_duplicate)
+           for r in dedup_batch_against_store(inc, store).collect()}
+    assert res[10] == (10, False)  # 10 < 20: the batch row IS canonical
+    assert sorted(
+        r.owner_id for r in read_hash_store(spark, store).collect()
+    ) == [2, 4, 20]
+
+
+def test_lsh_store_delete_roundtrip(spark, tmp_path_factory):
+    from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
+        lsh_store_compact,
+        lsh_store_delete_batch,
+        lsh_store_update_batch,
+        neardup_pairs_against_store,
+        read_lsh_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("tomb")) + "/lsh"
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = spark.createDataFrame(
+        [(1, t), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    lsh_store_update_batch(hist, store, batch_id=0, compact_every=99)
+    probe = spark.createDataFrame([(9, t)], "doc_id long, text string")
+    assert [(r.id_a, r.id_b) for r in
+            neardup_pairs_against_store(probe, store).collect()] == [(1, 9)]
+
+    lsh_store_delete_batch(
+        spark.createDataFrame([(1,)], "doc_id long"),
+        store, batch_id=1, compact_every=99,
+    )
+    assert neardup_pairs_against_store(probe, store).count() == 0
+    assert sorted(r.doc_id for r in read_lsh_store(spark, store).collect()) == [2]
+
+    # compaction physically reclaims the signature row + tombstone
+    lsh_store_compact(spark, store)
+    cols, rows = _base_scan(store)
+    assert "_del" not in cols
+    assert sorted(r["doc_id"] for r in rows) == [2]
+
+    # re-ingest resurrects (newer _ubid outranks any old tombstone)
+    lsh_store_update_batch(
+        spark.createDataFrame([(1, t)], "doc_id long, text string"),
+        store, compact_every=99,
+    )
+    assert [(r.id_a, r.id_b) for r in
+            neardup_pairs_against_store(probe, store).collect()] == [(1, 9)]
+
+
+def test_vector_store_delete_roundtrip(spark, tmp_path_factory):
+    from hubspot_neo4j_pipeline_spark.streaming.vector_store import (
+        ann_topk_against_store,
+        read_vector_store,
+        vector_store_compact,
+        vector_store_delete_batch,
+        vector_store_update_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("tomb")) + "/vec"
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(1, 30)],
+        "vec_id long, embedding array<double>",
+    )
+    vector_store_update_batch(vecs, store, batch_id=0, compact_every=99)
+    q = spark.createDataFrame(
+        [(100, [1.0, 3.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    before = {r.neighbor_id for r in
+              ann_topk_against_store(q, store, k=50).collect()}
+    assert before  # bucketed candidates exist
+    victim = sorted(before)[0]
+
+    vector_store_delete_batch(
+        spark.createDataFrame([(victim,)], "vec_id long"),
+        store, batch_id=1, compact_every=99,
+    )
+    after = {r.neighbor_id for r in
+             ann_topk_against_store(q, store, k=50).collect()}
+    assert victim not in after
+    assert after == before - {victim}
+    assert victim not in {
+        r.vec_id for r in read_vector_store(spark, store).collect()
+    }
+
+    vector_store_compact(spark, store)
+    cols, rows = _base_scan(store)
+    assert "_del" not in cols
+    assert victim not in {r["vec_id"] for r in rows}
+
+    # re-ingest resurrects
+    vector_store_update_batch(
+        vecs.where(f"vec_id = {victim}"), store, compact_every=99
+    )
+    assert victim in {
+        r.neighbor_id for r in ann_topk_against_store(q, store, k=50).collect()
+    }
+
+
+def test_cluster_store_delete_roundtrip(spark, tmp_path_factory):
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_compact,
+        cluster_store_delete_batch,
+        cluster_store_update_batch,
+        dedup_verdicts_from_store,
+        read_cluster_assignments,
+    )
+
+    store = str(tmp_path_factory.mktemp("tomb")) + "/cc"
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    cluster_store_update_batch(pairs, store, batch_id=0, compact_every=99)
+    assert {(r.doc_id, r.comp) for r in
+            read_cluster_assignments(spark, store).collect()} == {
+        (1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+    cluster_store_delete_batch(
+        spark.createDataFrame([(2,)], "doc_id long"),
+        store, batch_id=1, compact_every=99,
+    )
+    assert {(r.doc_id, r.comp) for r in
+            read_cluster_assignments(spark, store).collect()} == {
+        (1, 1), (3, 1), (7, 7), (8, 7)}
+    docs = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    verdicts = {r.doc_id: (r.cluster_id, r.keep) for r in
+                dedup_verdicts_from_store(docs, store).collect()}
+    # the erased doc scores as a singleton; siblings keep their label
+    # (an opaque cluster id — erasure re-elects no keeper)
+    assert verdicts == {2: (2, True), 3: (1, False)}
+
+    cluster_store_compact(spark, store)
+    cols, rows = _base_scan(store)
+    assert "_del" not in cols
+    assert {(r["doc_id"], r["comp"]) for r in rows} == {
+        (1, 1), (3, 1), (7, 7), (8, 7)}
+
+    # a later pair re-admits the doc with a fresh assignment
+    cluster_store_update_batch(
+        spark.createDataFrame([(2, 9)], "id_a long, id_b long"),
+        store, compact_every=99,
+    )
+    assert {(r.doc_id, r.comp) for r in
+            read_cluster_assignments(spark, store).collect()} == {
+        (1, 1), (3, 1), (7, 7), (8, 7), (2, 2), (9, 2)}
