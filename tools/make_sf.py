@@ -30,6 +30,24 @@ Replication rules (copy c = 0..N-1; copy 0 is the original bytes):
 Output timestamps are written by DuckDB as naive microsecond parquet
 TIMESTAMPs — the same read path (inferTimestampNTZ=false) both engines
 already use for the driver's files.
+
+``--zipf`` (r13, r12 VERDICT task 5): the replicated corpora above are
+uniform-ish — hot keys existed only in unit-scale pytest fixtures
+(tests/test_skew_stress.py), so the 10x/100x probes never exercised
+the skew paths at scale. The flag deterministically skews the TEXT and
+VECTOR columns on top of the normal replication:
+
+- documents: 15% of docs (arithmetic hash of the final doc_id — no
+  engine hash functions, reproducible forever) get one of 8 shared
+  8-word boilerplate templates PREPENDED, with geometric (zipf-head)
+  mass: template 0 owns ~half the hot docs, template 1 a quarter, ...
+  Hot template shingles then have document frequency up to ~7% of the
+  corpus — the stop-phrase/boilerplate skew max_shingle_df /
+  max_band_df exist for, at data scale.
+- embeddings: 3% of vectors are REPLACED by one of 8 shared template
+  vectors under the same geometric rank rule — exact-duplicate hot
+  directions, the bucket heat max_bucket_df and the IVF/SemDeDup cell
+  caps exist for.
 """
 
 from __future__ import annotations
@@ -68,7 +86,27 @@ def _copies(con: duckdb.DuckDBPyConnection, mult: int) -> None:
     con.execute(f"CREATE OR REPLACE TEMP TABLE copies AS SELECT unnest(range({mult})) AS c")
 
 
-def generate(src: str, dest: str, mult: int) -> None:
+# --zipf skew expressions (deterministic integer arithmetic on the
+# FINAL ids — no engine hash() whose value could drift across DuckDB
+# versions). _ZIPF_RANK maps a key to 0..7 with geometric mass
+# (~1/2, 1/4, ..., zipf-head shape): the bit length of an 8-bit
+# arithmetic hash, so rank 0 is the hottest.
+_Z = 2_654_435_761  # Knuth multiplicative constant
+
+
+def _zipf_hot(key: str, pct: int) -> str:
+    return f"(({key} * {_Z}) % 100 + 100) % 100 < {pct}"
+
+
+def _zipf_rank(key: str) -> str:
+    # floor(log2(1+x)) for x in 0..255 -> 0..8, clamped to 0..7
+    return (
+        f"least(CAST(floor(log2(1 + (({key} * {_Z}) % 256 + 256) % 256)) "
+        f"AS BIGINT), 7)"
+    )
+
+
+def generate(src: str, dest: str, mult: int, zipf: bool = False) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     for t in (
@@ -138,24 +176,57 @@ def generate(src: str, dest: str, mult: int) -> None:
                user_id + c * {C} AS user_id,
                event_type, value, props
         FROM events, copies ORDER BY event_id""")
+    zipf_text = ""
+    if zipf:
+        # 8-word template per rank (distinct words per rank, so each
+        # template's 4 interior 5-gram shingles are hot keys of THAT
+        # rank's document mass)
+        tpl = (
+            "array_to_string(list_transform(range(8), "
+            f"i -> 'zipftpl' || {_zipf_rank('doc_id')} || 'w' || i), ' ')"
+        )
+        zipf_text = f"""
+        , skewed AS (
+            SELECT doc_id,
+                   CASE WHEN {_zipf_hot('doc_id', 15)}
+                        THEN {tpl} || ' ' || text ELSE text END AS text,
+                   lang, source
+            FROM mutated
+        )"""
     copy_out("documents", f"""
         WITH mutated AS (
             SELECT doc_id + c * {D} AS doc_id,
                    {MUTATE_TEXT} AS text,
                    lang, source
             FROM documents, copies
-        )
+        ){zipf_text}
         SELECT doc_id, text, lang, source,
                CAST(strlen(text) AS BIGINT) AS n_chars
-        FROM mutated ORDER BY doc_id""")
+        FROM {"skewed" if zipf else "mutated"} ORDER BY doc_id""")
+    zipf_vec = ""
+    if zipf:
+        # one exact shared vector per rank: integer-derived floats, so
+        # regeneration is bit-identical
+        zipf_vec = (
+            f"CASE WHEN {_zipf_hot('vec_id', 3)} THEN "
+            f"CAST(list_transform(range(64), i -> "
+            f"CAST(((i * 31 + {_zipf_rank('vec_id')} * 17) % 13) - 6 AS "
+            f"FLOAT) / 6) AS FLOAT[]) ELSE embedding END"
+        )
     copy_out("embeddings", f"""
-        SELECT vec_id + c * {D} AS vec_id,
-               CASE WHEN c = 0 THEN embedding
-                    ELSE CAST(list_concat(embedding[(c % 64) + 1:],
-                                          embedding[1:(c % 64)]) AS FLOAT[])
-               END AS embedding,
+        WITH rep AS (
+            SELECT vec_id + c * {D} AS vec_id,
+                   CASE WHEN c = 0 THEN embedding
+                        ELSE CAST(list_concat(embedding[(c % 64) + 1:],
+                                              embedding[1:(c % 64)]) AS FLOAT[])
+                   END AS embedding,
+                   label
+            FROM embeddings, copies
+        )
+        SELECT vec_id,
+               {zipf_vec if zipf else "embedding"} AS embedding,
                label
-        FROM embeddings, copies ORDER BY vec_id""")
+        FROM rep ORDER BY vec_id""")
 
 
 if __name__ == "__main__":
@@ -163,6 +234,14 @@ if __name__ == "__main__":
     ap.add_argument("dest", nargs="?", default=DEFAULT_DEST)
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default=DEFAULT_SRC)
+    ap.add_argument(
+        "--zipf", action="store_true",
+        help="skew text/vector columns with deterministic zipf-head "
+        "hot keys (r13 skew probe data)",
+    )
     args = ap.parse_args()
-    generate(args.src, args.dest, args.mult)
-    print(f"wrote {args.dest} ({args.mult}x {args.src})")
+    generate(args.src, args.dest, args.mult, zipf=args.zipf)
+    print(
+        f"wrote {args.dest} ({args.mult}x {args.src}"
+        f"{', zipf-skewed' if args.zipf else ''})"
+    )

@@ -13,7 +13,7 @@ and a tighter documented bound instead of letting them hide.
 
 Usage:
     python tools/scale_probe.py [base_dir] [big_dir] [query ...]
-        [--json OUT.json] [--bounds 10x|100x]
+        [--json OUT.json] [--bounds 10x|100x|zipf]
 
 Exit code 1 if any query exceeds its bound (default 5.0, per-query
 overrides in ALLOWED_RATIOS), so it can gate the end-of-round
@@ -153,6 +153,26 @@ ALLOWED_RATIOS_100X: dict[str, float] = {
     "doc_simhash_pairs": 12.0,
 }
 
+# Zipf-skew bounds (r13, r12 VERDICT task 5): base sf0.1 (uniform) ->
+# big localdata/sf1.0_zipf (10x volume, tools/make_sf.py --zipf:
+# geometric hot text templates peaking at 7.5%-of-corpus shingle df,
+# exact-duplicate hot vector groups peaking at 1.5%). Ratios carry the
+# 10x volume AND whatever extra work the skew induces (hot-bucket
+# candidate mass, exact-duplicate hot-vector TRUE pairs), so a row
+# whose skew handling regressed reads directly as a ratio blowup
+# against the uniform base.
+# r13 measurement: every probed row landed 1.0-2.1x for 10x ZIPF data
+# (worst: doc_shingle_candidates_capped 2.09x, incremental_neardup_pairs
+# 1.97x, incremental_dup_clusters 1.62x, semantic_dedup 1.66x,
+# doc_minhash_lsh_pairs 1.43x, embedding_near_dup_pairs 1.32x,
+# doc_simhash_pairs 1.21x) — the skew machinery (hot-chunk refinement,
+# banded candidates, per-key caps, MAX_CELL) absorbs the heat, so the
+# zipf bound is the uniform-10x default with >2x headroom over every
+# measurement and NO per-query exceptions: a zipf row needing one would
+# itself be the regression the probe exists to catch.
+DEFAULT_BOUND_ZIPF = 5.0
+ALLOWED_RATIOS_ZIPF: dict[str, float] = {}
+
 # Floor below which ratios are noise, not signal: a 0.2s query going
 # to 0.9s is scheduler jitter on a 32-thread local JVM, not a scale
 # defect. Only queries whose BIG time clears this are gated.
@@ -171,14 +191,17 @@ def main() -> int:
         i = args.index("--bounds")
         bounds_tag = args[i + 1]
         del args[i : i + 2]
-    if bounds_tag not in ("10x", "100x"):
-        print(f"unknown --bounds {bounds_tag!r} (want 10x or 100x)", file=sys.stderr)
+    if bounds_tag not in ("10x", "100x", "zipf"):
+        print(
+            f"unknown --bounds {bounds_tag!r} (want 10x, 100x or zipf)",
+            file=sys.stderr,
+        )
         return 2
-    bounds, default_bound = (
-        (ALLOWED_RATIOS_100X, DEFAULT_BOUND_100X)
-        if bounds_tag == "100x"
-        else (ALLOWED_RATIOS, DEFAULT_BOUND)
-    )
+    bounds, default_bound = {
+        "10x": (ALLOWED_RATIOS, DEFAULT_BOUND),
+        "100x": (ALLOWED_RATIOS_100X, DEFAULT_BOUND_100X),
+        "zipf": (ALLOWED_RATIOS_ZIPF, DEFAULT_BOUND_ZIPF),
+    }[bounds_tag]
     base_dir = args[0] if args else "/root/testdata/sf0.1"
     big_dir = args[1] if len(args) > 1 else "/root/repo/localdata/sf1.0"
     only = set(args[2:])
