@@ -34,16 +34,21 @@ from .registry import register
 _SCRATCH = "/tmp/spark_graft_sinks"
 
 
-def _prune_stale(root: str, max_age_s: int = 86400, keep: str | None = None) -> None:
+def _prune_stale(root: str, max_age_s: int = 3600, keep: str | None = None) -> None:
     """Best-effort removal of OTHER applications' scratch dirs older
-    than a day — the per-appId namespacing that prevents concurrent
-    runs from racing would otherwise leak one parquet copy of the
-    written tables per Spark application, filling /tmp linearly with
-    run count. Age-gating keeps any plausibly-live concurrent run's
+    than an hour (r13: a day of bench/verify iterations accumulated
+    15 GB under /tmp and its dirty-page writeback visibly destabilized
+    same-box timing runs; an hour is still far past any live run's
+    write cadence, because staleness keys on LEAF mtimes, which a live
+    app refreshes continuously) — the per-appId namespacing that
+    prevents concurrent runs from racing would otherwise leak one
+    parquet copy of the written tables per Spark application, filling
+    /tmp linearly with run count. Age-gating keeps any plausibly-live
+    concurrent run's
     dirs intact; failures are ignored (another process may prune
     concurrently). ``keep`` names the CURRENT application's dir, which
-    is never removed regardless of age: a session alive for more than
-    a day would otherwise see its own earlier queries' parquet deleted
+    is never removed regardless of age: a session alive past the gate
+    would otherwise see its own earlier queries' parquet deleted
     out from under a later read-back. Staleness keys on the MAX mtime
     across the dir tree, not the top-level dir's own: a top-level
     appId dir's mtime only moves when a direct child is added, so

@@ -112,23 +112,13 @@ def read_lsh_store(spark: SparkSession, store_path: str) -> DataFrame:
         frames.append(spark.read.parquet(path))
     if not frames:
         raise FileNotFoundError(f"empty lsh store at {store_path}")
-    if len(frames) == 1:
-        # single-frame read (compacted base, or exactly one delta):
-        # both are latest-writer-unique per doc_id by construction
-        # (_doc_rows dedups within a batch; compaction windows), so
-        # the window below would be a semantic no-op costing a full
-        # store shuffle (the hash store's single-frame shortcut). A
-        # lone tombstone delta still filters (every key deleted).
-        return tombstones.drop_tombstoned_latest(frames[0]).select(
-            "doc_id", "shingles", "sig"
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f, allowMissingColumns=True)
-    w = Window.partitionBy("doc_id").orderBy(F.col("_ubid").desc())
-    merged = out.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") == 1
-    )
+    # latest-writer WITHOUT a store shuffle (r13): frames are unique
+    # per doc_id by construction and frame order IS batch order, so
+    # the merge is broadcast anti-joins against the (micro-batch-
+    # sized) newer key sets instead of a window over the whole store
+    # — see tombstones.latest_writer_union. A lone tombstone delta
+    # still filters (every key deleted).
+    merged = tombstones.latest_writer_union(frames, "doc_id")
     return tombstones.drop_tombstoned_latest(merged).select(
         "doc_id", "shingles", "sig"
     )

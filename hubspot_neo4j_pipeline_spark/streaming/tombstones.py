@@ -102,6 +102,45 @@ def min_merge_with_tombstones(
     return live.groupBy(*key_cols).agg(F.min(value_col).alias(value_col))
 
 
+def latest_writer_union(
+    frames_old_to_new: list[DataFrame], key_col: str
+) -> DataFrame:
+    """The latest-writer merge computed WITHOUT shuffling the store
+    (r13): every frame of a latest-writer store is unique per key BY
+    CONSTRUCTION (_doc_rows/_vec_rows dedup within a batch, compaction
+    windows the base, delete deltas are distinct), and all rows of a
+    frame share one batch id, so the per-ROW window the read used to
+    run is exactly a per-FRAME rule: a newer frame's row shades any
+    older frame's row with the same key. That is one broadcast
+    anti-join per older frame against the union of newer frames' key
+    sets — delta key sets are micro-batch-sized by the store contract,
+    and the base (oldest, arbitrarily large) only ever sits on the
+    probe side. Merge-on-read becomes a plain pruned scan plus
+    broadcast anti-joins: no exchange, no sort, no window barrier —
+    at 100 TB the difference between reading the store and reshuffling
+    it. Equality with the window merge is pinned by
+    test_latest_writer_union_equals_window (incl. re-ingested keys
+    and tombstones; tombstone rows shade like any other row and are
+    dropped afterwards by ``drop_tombstoned_latest``)."""
+    if len(frames_old_to_new) == 1:
+        return frames_old_to_new[0]
+    contribs: list[DataFrame] = []
+    mask: DataFrame | None = None
+    for f in reversed(frames_old_to_new):  # newest first
+        contrib = (
+            f
+            if mask is None
+            else f.join(F.broadcast(mask), key_col, "left_anti")
+        )
+        contribs.append(contrib)
+        ids = f.select(key_col)
+        mask = ids if mask is None else mask.unionByName(ids)
+    out = contribs[0]
+    for f in contribs[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def drop_tombstoned_latest(merged: DataFrame) -> DataFrame:
     """The latest-writer stores' filter: after the per-key newest-row
     window, a surviving tombstone means the key's latest state is

@@ -188,13 +188,10 @@ def read_vector_store(spark: SparkSession, store_path: str) -> DataFrame:
         frames.append(spark.read.parquet(path))
     if not frames:
         raise FileNotFoundError(f"empty vector store at {store_path}")
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f, allowMissingColumns=True)
-    w = Window.partitionBy("vec_id").orderBy(F.col("_ubid").desc())
-    merged = out.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") == 1
-    )
+    # latest-writer WITHOUT a store shuffle (r13): broadcast anti-joins
+    # against the newer frames' (micro-batch-sized) key sets replace
+    # the per-row window — see tombstones.latest_writer_union
+    merged = tombstones.latest_writer_union(frames, "vec_id")
     return tombstones.drop_tombstoned_latest(merged).select(
         "vec_id", "e", "_n", "buckets"
     )

@@ -131,3 +131,50 @@ def test_rank_limit_samples_get_window_group_limit(plans):
         assert "WindowGroupLimit" in plans[name], (
             f"{name}: rank-limit window lost its WindowGroupLimit rewrite"
         )
+
+
+def test_latest_writer_store_reads_do_not_shuffle(spark, tmp_path_factory):
+    """r13: the latest-writer stores' merge-on-read is broadcast
+    anti-joins against the (micro-batch-sized) newer key sets — at
+    100 TB the difference between READING the store and RESHUFFLING
+    it. Pin the physical shape: a multi-frame read (compacted base +
+    live deltas) must contain no shuffle Exchange, no Sort, and no
+    Window — only BroadcastExchange of the delta key sets."""
+    from hubspot_neo4j_pipeline_spark.plans.core_queries import load_table
+    from hubspot_neo4j_pipeline_spark.streaming.lsh_store import (
+        lsh_store_update_batch,
+        read_lsh_store,
+    )
+    from hubspot_neo4j_pipeline_spark.streaming.vector_store import (
+        read_vector_store,
+        vector_store_update_batch,
+    )
+
+    root = str(tmp_path_factory.mktemp("noshuffle"))
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    for k in range(3):  # compaction at 2, so: base + one live delta
+        lsh_store_update_batch(
+            docs.where(f"doc_id % 3 = {k}"), root + "/lsh", batch_id=k,
+            compact_every=2,
+        )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for k in range(3):
+        vector_store_update_batch(
+            emb.where(f"vec_id % 3 = {k}"), root + "/vec", batch_id=k,
+            compact_every=2,
+        )
+    for reader, store in (
+        (read_lsh_store, root + "/lsh"),
+        (read_vector_store, root + "/vec"),
+    ):
+        plan = (
+            reader(spark, store)._jdf.queryExecution().executedPlan().toString()
+        )
+        bad = [
+            ln.strip()[:100]
+            for ln in plan.splitlines()
+            if ("Exchange" in ln and "BroadcastExchange" not in ln)
+            or "Window" in ln
+            or ln.strip().startswith("Sort")
+        ]
+        assert bad == [], f"store read at {store} shuffles: {bad}"

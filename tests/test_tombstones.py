@@ -33,6 +33,54 @@ def _base_scan(store: str):
     return cols, rows
 
 
+def test_latest_writer_union_equals_window(spark, tmp_path_factory):
+    """r13 read-path rewrite: the latest-writer merge is computed as
+    broadcast anti-joins against newer frames' key sets instead of a
+    per-row window over the whole store. Equality must hold on the
+    adversarial shape — keys re-ingested across batches, a key only in
+    the base, a tombstone shading a base key, and a re-ingest AFTER a
+    tombstone — because frames are unique-per-key by construction and
+    frame order is batch order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.streaming.tombstones import (
+        drop_tombstoned_latest,
+        latest_writer_union,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "b1", 0), (2, "b2", 0), (3, "b3", 0), (4, "b4", 0)],
+        "doc_id long, payload string, _ubid long",
+    )
+    d1 = spark.createDataFrame(  # re-ingests 2, tombstones 3
+        [(2, "d1-2", 1, False), (3, None, 1, True), (5, "d1-5", 1, False)],
+        "doc_id long, payload string, _ubid long, _del boolean",
+    )
+    d2 = spark.createDataFrame(  # re-ingests 3 AFTER its tombstone
+        [(3, "d2-3", 2), (6, "d2-6", 2)],
+        "doc_id long, payload string, _ubid long",
+    )
+    frames = [base, d1, d2]
+    fast = drop_tombstoned_latest(latest_writer_union(frames, "doc_id"))
+    allrows = base.withColumn("_del", F.lit(False))
+    for f in (d1, d2):
+        allrows = allrows.unionByName(f, allowMissingColumns=True)
+    w = Window.partitionBy("doc_id").orderBy(F.col("_ubid").desc())
+    slow = drop_tombstoned_latest(
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["payload"]) for r in df.collect()
+    )
+    assert key(fast) == key(slow) == [
+        (1, "b1"), (2, "d1-2"), (3, "d2-3"), (4, "b4"),
+        (5, "d1-5"), (6, "d2-6"),
+    ]
+
+
 def test_hash_store_delete_roundtrip(spark, tmp_path_factory):
     from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
         dedup_batch_against_store,
