@@ -1130,6 +1130,80 @@ def incremental_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_decontam_flags_with_deletes",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 7),
+                       i -> CAST(('0x' || substring(md5(array_to_string(
+                                string_split(text, ' ')[i:i+7], ' ')), 1, 15))
+                            AS BIGINT)
+                   ))) AS gram
+            FROM documents
+        ), eval_grams AS (
+            -- only the SURVIVING benchmark docs: a gram's net count
+            -- after the negative-partial delete is > 0 iff some
+            -- surviving bench doc contains it
+            SELECT DISTINCT gram FROM grams
+            WHERE doc_id % 29 = 0 AND doc_id % 2 = 1
+        )
+        SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+        FROM grams g JOIN eval_grams e ON g.gram = e.gram
+        WHERE g.doc_id % 29 <> 0
+        GROUP BY g.doc_id
+    """,
+    covers=("J12", "D1", "T4"),
+    doc=(
+        "EXECUTED erasure round-trip on the ADDITIVE gram store (r14, "
+        "r13 VERDICT task 1 — the negative-partial path's oracle row): "
+        "the benchmark split ingests its 8-gram counts in two "
+        "micro-batches (a real compaction between), then HALF the "
+        "benchmark (doc_id % 2 = 0) is ERASED via "
+        "gram_store_delete_batch — a negative-count delta left live on "
+        "the compacted base, so scoring exercises the subtracting "
+        "merge, not just a clean rebuilt base — and the training split "
+        "is screened via contamination_against_store. A training doc "
+        "contaminated only through erased benchmarks must now screen "
+        "CLEAN, while overlap with surviving benchmarks keeps its "
+        "exact shared-gram count: a delete that leaked, "
+        "under-subtracted, or took a shared gram down with it "
+        "hash-mismatches. This is the eval-set-refresh scenario the "
+        "r13 verdict named the highest-frequency erasure hit, and the "
+        "additive complement of the reference's T4 soft delete "
+        "(loaders/temporal_loader.py:227-266)."
+    ),
+)
+def incremental_decontam_flags_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..streaming.gram_store import (
+        contamination_against_store,
+        gram_store_delete_batch,
+        gram_store_update_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = os.path.join(
+        _scratch(spark, "incremental_decontam_deletes", sf_dir), "evalgrams"
+    )
+    shutil.rmtree(store, ignore_errors=True)  # deterministic rebuild per run
+    bench = docs.where("doc_id % 29 = 0")
+    train = docs.where("doc_id % 29 != 0")
+    gram_store_update_batch(
+        bench.where("doc_id % 2 = 0"), store, batch_id=0, k=8, compact_every=2
+    )
+    gram_store_update_batch(  # triggers the compaction
+        bench.where("doc_id % 2 = 1"), store, batch_id=1, k=8, compact_every=2
+    )
+    gram_store_delete_batch(  # eval-set refresh: erase half the bench
+        bench.where("doc_id % 2 = 0"), store, batch_id=2, k=8, compact_every=99
+    )
+    return contamination_against_store(train, store, k=8)
+
+
+@register(
     "incremental_ann_topk",
     oracle="""
         WITH seed AS (

@@ -118,19 +118,23 @@ def read_df_store(
     spark: SparkSession, store_path: str, terms_filter: DataFrame | None = None
 ) -> DataFrame:
     """The store's current (term, df) view, sum-merged; the reserved
-    doc-count row is excluded (use ``corpus_doc_count``). Single-frame
-    stores (compacted base, or exactly one delta — both already one
-    row per term) skip the merge shuffle."""
+    doc-count row is excluded (use ``corpus_doc_count``). A
+    compacted-base-only store (no live deltas) skips the merge shuffle
+    — it is already one row per term and never stores non-positive
+    counts. With live deltas the merge hides terms netted to 0 by
+    negative delete partials (``df_store_delete_batch``)."""
     meta = segments.read_meta(store_path)
-    n_frames = (1 if meta["base"] else 0) + len(
-        segments.live_deltas(store_path, meta)
-    )
+    n_deltas = len(segments.live_deltas(store_path, meta))
     rows = _merged_rows(spark, store_path, terms_filter).where(
         F.col("term") != DOC_COUNT_KEY
     )
-    if n_frames == 1:
+    if n_deltas == 0:
         return rows
-    return rows.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    return (
+        rows.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .where(F.col("df") > 0)
+    )
 
 
 def corpus_doc_count(spark: SparkSession, store_path: str) -> DataFrame:
@@ -138,7 +142,12 @@ def corpus_doc_count(spark: SparkSession, store_path: str) -> DataFrame:
     rows = _merged_rows(spark, store_path).where(
         F.col("term") == DOC_COUNT_KEY
     )
-    return rows.agg(F.sum("df").cast("long").alias("n_docs"))
+    # negative delete partials decrement; coalesce covers the fully
+    # emptied store (every doc retracted → the reserved row nets to 0
+    # and compaction drops it)
+    return rows.agg(
+        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("n_docs")
+    )
 
 
 def df_store_update_batch(
@@ -215,6 +224,10 @@ def df_store_compact(
         merged = (
             merged.groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"))
+            # terms netted to 0 by delete partials reclaim here (the
+            # reserved doc-count row only nets to 0 when every doc was
+            # retracted — the empty store)
+            .where(F.col("df") > 0)
             .withColumn("_bucket", _bucket_expr(n_buckets))
         )
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
@@ -229,6 +242,7 @@ def df_store_compact(
             _merged_rows(spark, store_path)
             .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"))
+            .where(F.col("df") > 0)  # reclaim netted-out terms
             .withColumn("_bucket", _bucket_expr(n_buckets))
         )
         # an all-empty history commits base=None (segments.write_base)
@@ -249,6 +263,46 @@ def df_store_compact(
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def df_store_delete_batch(
+    deleted_docs: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """Retract documents from the vocabulary statistics (r14 — the
+    additive half of right-to-erasure: until now an erased doc's terms
+    kept inflating df and ``corpus_doc_count``, skewing every TF-IDF
+    score computed after the erasure). Retraction is a NEGATIVE
+    partial: one atomic delta carrying the deleted docs' own (term,
+    df) partials AND the reserved doc-count row, all negated — both
+    decrement in the SAME rename, so df and n_docs can never be torn
+    by a crash (the exact invariant ingest has). A term contained only
+    in deleted docs nets to 0 and vanishes from every read
+    (``read_df_store``'s ``df > 0`` rule); shared terms just
+    decrement; the next compaction physically drops netted-out rows.
+    The erasure request carries the documents (their text) — partials
+    recompute from the supplied frame under the same token rule as
+    ingest. Contract: delete only previously-ingested docs, each at
+    most once."""
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed delete batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, DF_STORE_BUCKETS)
+    partial = (
+        _partial_df(deleted_docs, id_col, text_col)
+        .select("term", (-F.col("df")).cast("long").alias("df"))
+        .withColumn("_bucket", _bucket_expr(n_buckets))
+    )
+    segments.commit_delta(partial, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        df_store_compact(deleted_docs.sparkSession, store_path, n_buckets)
 
 
 def tfidf_batch_against_store(

@@ -62,6 +62,13 @@ counts into the store view first, because a gram duplicated only
 ADVICE: the bare store matches one-shot semantics only AFTER the
 batch is merged).
 
+Deletion (r14): the store is additive, so retraction is a NEGATIVE
+partial — ``gram_store_delete_batch`` commits the deleted docs' own
+(h, n) counts negated as a normal atomic delta; reads hide netted-out
+grams (n <= 0) and compaction physically drops them. See the function
+docstring for the contract (the additive counterpart of the tombstone
+path in streaming/tombstones.py).
+
 Reference parity: the reference has no streaming surface (its
 pipeline re-extracts full snapshots per run — main.py); this family is
 part of the beyond-reference training-data-pipeline layer, with the
@@ -122,23 +129,35 @@ def read_gram_store(spark: SparkSession, store_path: str) -> DataFrame:
     (id <= consumed_through) are excluded even if a crash stranded
     their directories — the meta pointer is the source of truth.
     After a compaction with no new deltas this is a plain scan of the
-    base, no aggregation."""
+    base, no aggregation.
+
+    Deletion (r14): delete deltas carry NEGATIVE partial counts
+    (``gram_store_delete_batch``), so the sum-merge subtracts them and
+    a gram whose occurrences were all erased nets to 0 — the ``n > 0``
+    filter below hides it. The filter only runs when live deltas
+    exist; the base never stores non-positive rows (compaction drops
+    them), so the no-delta read stays the exact plain base scan."""
     meta = _read_meta(store_path)
+    deltas = sorted(_live_deltas(store_path, meta).items())
     frames = []
     if meta["base"]:
         frames.append(
             spark.read.parquet(os.path.join(store_path, meta["base"])).select("h", "n")
         )
-    for _bid, path in sorted(_live_deltas(store_path, meta).items()):
+    for _bid, path in deltas:
         frames.append(spark.read.parquet(path).select("h", "n"))
     if not frames:
         raise FileNotFoundError(f"empty gram store at {store_path}")
-    if len(frames) == 1:
-        return frames[0]
+    if not deltas:
+        return frames[0]  # compacted base only: plain scan
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out.groupBy("h").agg(F.sum("n").cast("long").alias("n"))
+    return (
+        out.groupBy("h")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .where(F.col("n") > 0)
+    )
 
 
 def gram_store_update_batch(
@@ -259,6 +278,9 @@ def gram_store_compact(
         merged = (
             merged.groupBy("h")
             .agg(F.sum("n").cast("long").alias("n"))
+            # negative delete partials cancel erased grams to 0 — drop
+            # them here so the new base physically reclaims the rows
+            .where(F.col("n") > 0)
             .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int"))
         )
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
@@ -290,6 +312,56 @@ def gram_store_compact(
     }
     _write_meta(store_path, new_meta)
     _sweep(store_path, new_meta)
+
+
+def gram_store_delete_batch(
+    deleted_docs: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """Retract documents from the gram-count memory (r14, r13 VERDICT
+    task 1 — the additive half of right-to-erasure: until now an
+    erased doc's n-grams stayed in this store, so eval-set refresh
+    kept flagging content the corpus no longer contains). The store is
+    ADDITIVE, so retraction is a NEGATIVE partial: one atomic delta
+    whose rows are the deleted docs' own (h, n) counts negated. The
+    sum-merge subtracts them — a gram all of whose occurrences came
+    from deleted docs nets to 0 and vanishes from every read
+    (``read_gram_store``'s ``n > 0`` rule), while a gram shared with
+    surviving docs just decrements. No sequencing machinery is needed:
+    sums commute, so the delete lands correctly wherever the merge
+    order puts it, under the same per-batch-id replay guard as ingest.
+
+    The erasure request carries the documents (their text) — partials
+    are recomputed from the supplied frame, never looked up, exactly
+    like ingest. Contract: delete only documents previously ingested,
+    each at most once (the same partition-of-the-stream contract
+    ingest has); the gram size pin guarantees the negated counts are
+    computed under the store's own k. The next compaction physically
+    drops netted-out rows."""
+    os.makedirs(store_path, exist_ok=True)
+    meta = _read_meta(store_path)
+    committed = _committed_deltas(store_path)
+    if batch_id is None:
+        batch_id = max([meta["consumed_through"], *committed]) + 1
+    elif batch_id <= meta["consumed_through"] or batch_id in committed:
+        return  # replayed delete batch
+    n_buckets = _pin_n_buckets(store_path, meta, GRAM_STORE_BUCKETS)
+    from ..operators.dedup import DEFAULT_SHINGLE
+
+    _segments.pin_value(store_path, meta, "gram_k", k or DEFAULT_SHINGLE)
+    partial = (
+        _partial_counts(deleted_docs, id_col, text_col, k)
+        .select("h", (-F.col("n")).cast("long").alias("n"))
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int"))
+    )
+    _commit_delta(partial, store_path, batch_id, bucket_col="bucket")
+    if len(_live_deltas(store_path, meta)) >= compact_every:
+        gram_store_compact(deleted_docs.sparkSession, store_path, n_buckets)
 
 
 def score_batch_against_store(

@@ -88,6 +88,7 @@ def read_window_store(spark: SparkSession, store_path: str) -> DataFrame:
     base plus live deltas, sum-merged. Plain scan after a compaction
     with no new deltas."""
     meta = segments.read_meta(store_path)
+    deltas = sorted(segments.live_deltas(store_path, meta).items())
     frames = []
     if meta["base"]:
         frames.append(
@@ -95,20 +96,27 @@ def read_window_store(spark: SparkSession, store_path: str) -> DataFrame:
                 "day", "user_id", "n", "total_value"
             )
         )
-    for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
+    for _bid, path in deltas:
         frames.append(
             spark.read.parquet(path).select("day", "user_id", "n", "total_value")
         )
     if not frames:
         raise FileNotFoundError(f"empty window store at {store_path}")
-    if len(frames) == 1:
-        return frames[0]
+    if not deltas:
+        return frames[0]  # compacted base only: plain scan
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out.groupBy("day", "user_id").agg(
-        F.sum("n").cast("long").alias("n"),
-        F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+    # negative delete partials (window_store_delete_batch) net a fully
+    # retracted (day, user) cell to n = 0 — hide it; the base never
+    # stores such rows (compaction drops them)
+    return (
+        out.groupBy("day", "user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+        )
+        .where(F.col("n") > 0)
     )
 
 
@@ -197,6 +205,8 @@ def window_store_compact(
                 F.sum("n").cast("long").alias("n"),
                 F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
             )
+            # netted-out cells (all events retracted) reclaim here
+            .where(F.col("n") > 0)
             .withColumn("_bucket", _bucket_expr(n_buckets))
         )
         merged_tmp = os.path.join(store_path, f"_tmp-merge-{new_base}")
@@ -228,6 +238,52 @@ def window_store_compact(
         },
     )
     segments.sweep(store_path, segments.read_meta(store_path))
+
+
+def window_store_delete_batch(
+    events: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    compact_every: int = COMPACT_EVERY,
+) -> None:
+    """Retract EVENTS from the windowed-count memory (r14 — the
+    additive half of right-to-erasure: until now an erased user's
+    events stayed in every recency report). The store is additive, so
+    retraction is a NEGATIVE partial: one atomic delta carrying the
+    retracted events' own (day, user) partials with n and total_value
+    negated. Sums commute, so no sequencing machinery is needed — the
+    delete lands correctly wherever the merge order puts it, under the
+    same per-batch-id replay guard as ingest. A (day, user) cell whose
+    events were all retracted nets to n = 0 and vanishes from every
+    read (``read_window_store``'s ``n > 0`` rule); the next compaction
+    physically drops it. The erasure request carries the events (a
+    full-user wipe replays that user's event rows); contract: retract
+    only previously-ingested events, each at most once. total_value
+    negates through the same DECIMAL(18,2) casts the ingest partial
+    uses, so retraction is bit-exact against the one-shot oracle."""
+    os.makedirs(store_path, exist_ok=True)
+    if batch_id is None:
+        batch_id = segments.next_batch_id(store_path)
+    elif segments.already_ingested(store_path, batch_id):
+        return  # replayed delete batch
+    meta = segments.read_meta(store_path)
+    n_buckets = segments.pin_n_buckets(store_path, meta, WINDOW_STORE_BUCKETS)
+    partial = (
+        _partial_counts(events, ts_col, user_col, value_col)
+        .select(
+            "day",
+            "user_id",
+            (-F.col("n")).cast("long").alias("n"),
+            (-F.col("total_value")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .withColumn("_bucket", _bucket_expr(n_buckets))
+    )
+    segments.commit_delta(partial, store_path, batch_id, bucket_col="_bucket")
+    if len(segments.live_deltas(store_path)) >= compact_every:
+        window_store_compact(events.sparkSession, store_path, n_buckets)
 
 
 def recency_report_from_store(
