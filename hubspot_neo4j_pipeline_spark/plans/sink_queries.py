@@ -72,12 +72,31 @@ def _prune_stale(root: str, max_age_s: int = 3600, keep: str | None = None) -> N
                     pass
         return newest
 
+    def owner_alive(path: str) -> bool:
+        """r14 (r13 ADVICE): the 1h age gate assumes a live app writes
+        continuously, but a paused interactive session (or a run with
+        >1h between sink queries) goes quiet while its parquet is
+        still needed for lazy read-backs. Each app records its driver
+        pid in its dir (``_scratch``); a dir whose recorded pid is
+        still running is never pruned regardless of age. Pid reuse
+        can only FALSE-KEEP a dir (reclaimed once that pid exits) —
+        the safe direction."""
+        try:
+            with open(os.path.join(path, "_owner_pid")) as fh:
+                pid = int(fh.read().strip())
+            os.kill(pid, 0)  # signal 0: existence check only
+            return True
+        except (OSError, ValueError, ProcessLookupError):
+            return False
+
     try:
         for name in os.listdir(root):
             if keep is not None and name == keep:
                 continue
             path = os.path.join(root, name)
-            if time.time() - newest_mtime(path) > max_age_s:
+            if time.time() - newest_mtime(path) > max_age_s and not owner_alive(
+                path
+            ):
                 shutil.rmtree(path, ignore_errors=True)
     except OSError:
         pass
@@ -89,6 +108,13 @@ def _scratch(spark: SparkSession, query: str, sf_dir: str) -> str:
     # other's overwrite-then-read-back
     _prune_stale(_SCRATCH, keep=spark.sparkContext.applicationId)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    app_dir = os.path.join(_SCRATCH, spark.sparkContext.applicationId)
+    os.makedirs(app_dir, exist_ok=True)
+    # liveness marker for _prune_stale's owner_alive check: as long as
+    # this driver process runs, other apps leave our scratch alone
+    # even if we go quiet for over the age gate
+    with open(os.path.join(app_dir, "_owner_pid"), "w") as fh:
+        fh.write(str(os.getpid()))
     return f"{_SCRATCH}/{spark.sparkContext.applicationId}/{query}/{tag}"
 
 

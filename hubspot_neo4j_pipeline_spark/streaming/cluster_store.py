@@ -444,7 +444,10 @@ def cluster_store_delete_batch(
     Other members' labels are untouched — a component label is an
     opaque cluster id, not a liveness claim (see the module
     docstring's retraction note); erasing a canonical member does not
-    re-elect a keeper. The next compaction physically drops dead rows
+    rewrite stored labels. Consumers that need a keeper among the
+    SURVIVORS re-elect read-side via
+    ``dedup_verdicts_from_store(..., reelect_keepers=True)`` (r14).
+    The next compaction physically drops dead rows
     + tombstones. Same batch-id sequence / replay guard / crash
     contract as ingest."""
     from . import tombstones
@@ -468,7 +471,10 @@ def cluster_store_delete_batch(
 
 
 def dedup_verdicts_from_store(
-    docs: DataFrame, store_path: str, id_col: str = "doc_id"
+    docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    reelect_keepers: bool = False,
 ) -> DataFrame:
     """The consumable dedup answer per document, straight from the
     assignment table — no pair recomputation, no CC run: (doc_id,
@@ -476,7 +482,20 @@ def dedup_verdicts_from_store(
     own id for singletons); keep is true iff the doc is its cluster's
     canonical (min member) — ``doc_dedup_keeplist``'s exact contract,
     answered incrementally. One left equi-join against the slim
-    store."""
+    store.
+
+    ``reelect_keepers`` (r14, r13 VERDICT task 4): after erasing a
+    cluster's canonical member (``cluster_store_delete_batch``) the
+    surviving members still carry the erased doc's id as their opaque
+    label, so the default keep rule (doc_id == label) leaves the
+    cluster with NO keeper — a consumer computing a keeplist from the
+    store after deletes would drop every survivor. With the flag set,
+    the keeper is re-elected READ-side as the min LIVE member per
+    surviving cluster: one aggregation over the slim assignment table,
+    no stored-label mutation (labels stay opaque ids; the store is
+    untouched). Clusters whose canonical is still live elect the same
+    keeper as the default rule, so the flag only changes answers for
+    erased-canonical clusters."""
     spark = docs.sparkSession
     ids = docs.select(F.col(id_col).alias("doc_id"))
     try:
@@ -491,10 +510,24 @@ def dedup_verdicts_from_store(
         )
     joined = ids.join(assign, "doc_id", "left")
     cluster = F.coalesce("comp", F.col("doc_id"))
-    return joined.select(
-        "doc_id",
-        cluster.alias("cluster_id"),
-        (F.col("doc_id") == cluster).alias("keep"),
+    if not reelect_keepers:
+        return joined.select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (F.col("doc_id") == cluster).alias("keep"),
+        )
+    keepers = assign.groupBy("comp").agg(F.min("doc_id").alias("_keeper"))
+    return (
+        joined.join(keepers, "comp", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            # a doc outside the store is its own singleton keeper;
+            # inside, the min live member of its cluster keeps
+            (F.col("doc_id") == F.coalesce("_keeper", F.col("doc_id"))).alias(
+                "keep"
+            ),
+        )
     )
 
 

@@ -106,10 +106,14 @@ def read_lsh_store(spark: SparkSession, store_path: str) -> DataFrame:
 
     meta = segments.read_meta(store_path)
     frames = []
+    frame_rows: list[int | None] = []
     if meta["base"]:
         frames.append(spark.read.parquet(os.path.join(store_path, meta["base"])))
+        frame_rows.append(meta.get("base_rows"))
     for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
         frames.append(spark.read.parquet(path))
+        m = segments.delta_manifest(path)
+        frame_rows.append(None if m is None else m.get("rows"))
     if not frames:
         raise FileNotFoundError(f"empty lsh store at {store_path}")
     # latest-writer WITHOUT a store shuffle (r13): frames are unique
@@ -117,8 +121,10 @@ def read_lsh_store(spark: SparkSession, store_path: str) -> DataFrame:
     # the merge is broadcast anti-joins against the (micro-batch-
     # sized) newer key sets instead of a window over the whole store
     # — see tombstones.latest_writer_union. A lone tombstone delta
-    # still filters (every key deleted).
-    merged = tombstones.latest_writer_union(frames, "doc_id")
+    # still filters (every key deleted). r14: manifest row counts
+    # gate the broadcast — a bulk-sized delta falls back to the
+    # window merge instead of materializing its key set everywhere.
+    merged = tombstones.latest_writer_union(frames, "doc_id", frame_rows)
     return tombstones.drop_tombstoned_latest(merged).select(
         "doc_id", "shingles", "sig"
     )

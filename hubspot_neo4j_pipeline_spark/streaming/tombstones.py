@@ -102,8 +102,46 @@ def min_merge_with_tombstones(
     return live.groupBy(*key_cols).agg(F.min(value_col).alias(value_col))
 
 
-def latest_writer_union(
+# Broadcast gate for latest_writer_union (r14, r13 VERDICT task 6):
+# the anti-join masks are unions of NEWER frames' key sets, and the
+# largest one (shading the base) holds every live delta's keys. Under
+# the micro-batch store contract that is tiny, but nothing enforced
+# it — a bulk-sized delta (mass re-ingest, giant delete) would be
+# broadcast-materialized on every executor and the driver. Past this
+# many mask rows (longs/strings ~8-40 B each → low hundreds of MB,
+# the same order as Spark's 8 GB hard broadcast ceiling with margin)
+# the read falls back to the classic per-row window merge: one
+# shuffle of the store, which at that delta size is proportional to
+# work that must happen anyway.
+LATEST_WRITER_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _latest_writer_window(
     frames_old_to_new: list[DataFrame], key_col: str
+) -> DataFrame:
+    """Fallback merge for oversized deltas: newest frame wins per key
+    via a per-row window over the frame-sequence position (frame order
+    IS batch order — the same rule the broadcast path encodes)."""
+    from pyspark.sql import Window
+
+    out = frames_old_to_new[0].withColumn("_fseq", F.lit(0))
+    for i, f in enumerate(frames_old_to_new[1:], start=1):
+        out = out.unionByName(
+            f.withColumn("_fseq", F.lit(i)), allowMissingColumns=True
+        )
+    w = Window.partitionBy(key_col).orderBy(F.col("_fseq").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_fseq")
+    )
+
+
+def latest_writer_union(
+    frames_old_to_new: list[DataFrame],
+    key_col: str,
+    frame_rows: list[int | None] | None = None,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """The latest-writer merge computed WITHOUT shuffling the store
     (r13): every frame of a latest-writer store is unique per key BY
@@ -121,9 +159,37 @@ def latest_writer_union(
     it. Equality with the window merge is pinned by
     test_latest_writer_union_equals_window (incl. re-ingested keys
     and tombstones; tombstone rows shade like any other row and are
-    dropped afterwards by ``drop_tombstoned_latest``)."""
+    dropped afterwards by ``drop_tombstoned_latest``).
+
+    STORE-FORMAT ASSUMPTION (explicit since r14, r13 ADVICE): the
+    per-frame shading rule is only equivalent to the per-row window
+    when every frame is unique per key. All stores written since the
+    _doc_rows/_vec_rows dedup hold this; a vector store written
+    BEFORE intra-batch vec_id dedup existed could carry duplicate ids
+    inside one frame, and this merge would return both rows where the
+    old window picked one. Scratch stores rebuilt per run are
+    unaffected; a long-lived legacy store should be compacted once
+    (compaction rewrites the base through the windowed fold) before
+    switching reads over. test_latest_writer_store_frames_unique_per_key
+    pins the invariant on freshly-written stores.
+
+    ``frame_rows`` (r14, r13 VERDICT task 6): per-frame row counts in
+    the same order as ``frames_old_to_new`` (None for unknown),
+    sourced from delta manifests / base metadata — no data scan. When
+    the NEWER frames' total (the largest anti-join mask) exceeds
+    ``max_broadcast_rows``, or any newer frame's count is unknown,
+    the merge falls back to the per-row window: broadcasting a
+    bulk-sized key set would materialize it on every executor.
+    Callers that omit ``frame_rows`` (micro-frame tests) keep the
+    broadcast path unconditionally."""
     if len(frames_old_to_new) == 1:
         return frames_old_to_new[0]
+    if max_broadcast_rows is None:  # module constant read at call time
+        max_broadcast_rows = LATEST_WRITER_BROADCAST_MAX_ROWS
+    if frame_rows is not None:
+        newer = frame_rows[1:]
+        if any(r is None for r in newer) or sum(newer) > max_broadcast_rows:
+            return _latest_writer_window(frames_old_to_new, key_col)
     contribs: list[DataFrame] = []
     mask: DataFrame | None = None
     for f in reversed(frames_old_to_new):  # newest first

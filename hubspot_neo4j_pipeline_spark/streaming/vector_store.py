@@ -182,16 +182,22 @@ def read_vector_store(spark: SparkSession, store_path: str) -> DataFrame:
 
     meta = segments.read_meta(store_path)
     frames = []
+    frame_rows: list[int | None] = []
     if meta["base"]:
         frames.append(spark.read.parquet(os.path.join(store_path, meta["base"])))
+        frame_rows.append(meta.get("base_rows"))
     for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
         frames.append(spark.read.parquet(path))
+        m = segments.delta_manifest(path)
+        frame_rows.append(None if m is None else m.get("rows"))
     if not frames:
         raise FileNotFoundError(f"empty vector store at {store_path}")
     # latest-writer WITHOUT a store shuffle (r13): broadcast anti-joins
     # against the newer frames' (micro-batch-sized) key sets replace
-    # the per-row window — see tombstones.latest_writer_union
-    merged = tombstones.latest_writer_union(frames, "vec_id")
+    # the per-row window — see tombstones.latest_writer_union. r14:
+    # manifest row counts gate the broadcast (bulk delta → window
+    # merge fallback).
+    merged = tombstones.latest_writer_union(frames, "vec_id", frame_rows)
     return tombstones.drop_tombstoned_latest(merged).select(
         "vec_id", "e", "_n", "buckets"
     )

@@ -81,6 +81,84 @@ def test_latest_writer_union_equals_window(spark, tmp_path_factory):
     ]
 
 
+def test_latest_writer_union_broadcast_gate(spark, tmp_path_factory):
+    """r14 (r13 VERDICT task 6): past LATEST_WRITER_BROADCAST_MAX_ROWS
+    of newer-frame keys (or with unknown counts) the merge must fall
+    back to the per-row window instead of broadcasting a bulk-sized
+    key set — with identical results. The micro-batch case keeps the
+    no-shuffle broadcast plan (pinned separately in
+    test_latest_writer_store_reads_do_not_shuffle)."""
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.streaming.tombstones import (
+        drop_tombstoned_latest,
+        latest_writer_union,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "b1", 0), (2, "b2", 0), (3, "b3", 0), (4, "b4", 0)],
+        "doc_id long, payload string, _ubid long",
+    )
+    d1 = spark.createDataFrame(
+        [(2, "d1-2", 1, False), (3, None, 1, True), (5, "d1-5", 1, False)],
+        "doc_id long, payload string, _ubid long, _del boolean",
+    )
+    d2 = spark.createDataFrame(
+        [(3, "d2-3", 2), (6, "d2-6", 2)], "doc_id long, payload string, _ubid long"
+    )
+    frames = [base, d1, d2]
+    expected = [
+        (1, "b1"), (2, "d1-2"), (3, "d2-3"), (4, "b4"),
+        (5, "d1-5"), (6, "d2-6"),
+    ]
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["payload"]) for r in df.collect()
+    )
+
+    # oversized newer frames -> window fallback, same answer
+    over = latest_writer_union(
+        frames, "doc_id", frame_rows=[4, 3, 2], max_broadcast_rows=4
+    )
+    plan = over._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "broadcast" not in plan.lower()
+    assert key(drop_tombstoned_latest(over)) == expected
+
+    # unknown newer-frame count -> conservative fallback
+    unk = latest_writer_union(frames, "doc_id", frame_rows=[4, None, 2])
+    assert "Window" in unk._jdf.queryExecution().executedPlan().toString()
+    assert key(drop_tombstoned_latest(unk)) == expected
+
+    # within the gate -> broadcast path, no window barrier
+    under = latest_writer_union(frames, "doc_id", frame_rows=[4, 3, 2])
+    plan = under._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "BroadcastExchange" in plan
+    assert key(drop_tombstoned_latest(under)) == expected
+
+    # frames written by TODAY'S stores are unique per key — the
+    # store-format assumption the broadcast path rests on (r13 ADVICE:
+    # a pre-_vec_rows legacy store could violate it)
+    import glob as _glob
+    import os as _os
+
+    from hubspot_neo4j_pipeline_spark.streaming.vector_store import (
+        vector_store_update_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("uniq")) + "/vec"
+    dup_vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    vector_store_update_batch(dup_vecs, store, batch_id=0, compact_every=99)
+    delta_dirs = list(segments.live_deltas(store).values())
+    assert delta_dirs
+    for d in delta_dirs:
+        ids = []
+        for f in _glob.glob(_os.path.join(d, "**", "*.parquet"), recursive=True):
+            ids.extend(pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist())
+        assert len(ids) == len(set(ids)), f"frame {d} has duplicate keys"
+
+
 def test_hash_store_delete_roundtrip(spark, tmp_path_factory):
     from hubspot_neo4j_pipeline_spark.streaming.hash_store import (
         dedup_batch_against_store,
@@ -282,3 +360,55 @@ def test_cluster_store_delete_roundtrip(spark, tmp_path_factory):
     assert {(r.doc_id, r.comp) for r in
             read_cluster_assignments(spark, store).collect()} == {
         (1, 1), (3, 1), (7, 7), (8, 7), (2, 2), (9, 2)}
+
+
+def test_cluster_store_keeper_reelection(spark, tmp_path_factory):
+    """r14 (r13 VERDICT task 4): erasing a cluster's CANONICAL member
+    leaves survivors labeled by the dead doc's id, so the default keep
+    rule elects nobody; reelect_keepers=True re-elects the min LIVE
+    member read-side — no stored-label mutation, untouched clusters
+    keep the same answer as the default rule."""
+    from hubspot_neo4j_pipeline_spark.streaming.cluster_store import (
+        cluster_store_delete_batch,
+        cluster_store_update_batch,
+        dedup_verdicts_from_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("tomb")) + "/cc"
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    cluster_store_update_batch(pairs, store, batch_id=0, compact_every=99)
+    # erase the canonical member of cluster {1,2,3}
+    cluster_store_delete_batch(
+        spark.createDataFrame([(1,)], "doc_id long"),
+        store, batch_id=1, compact_every=99,
+    )
+    docs = spark.createDataFrame(
+        [(2,), (3,), (7,), (8,), (42,)], "doc_id long"
+    )
+    # default rule: the orphaned cluster has NO keeper (documented gap)
+    default = {r.doc_id: (r.cluster_id, r.keep) for r in
+               dedup_verdicts_from_store(docs, store).collect()}
+    assert default == {
+        2: (1, False), 3: (1, False), 7: (7, True), 8: (7, False),
+        42: (42, True),
+    }
+    # re-election: min surviving member (2) keeps; labels unchanged;
+    # the untouched cluster {7,8} and the out-of-store singleton 42
+    # answer exactly as the default rule
+    relected = {r.doc_id: (r.cluster_id, r.keep) for r in
+                dedup_verdicts_from_store(
+                    docs, store, reelect_keepers=True).collect()}
+    assert relected == {
+        2: (1, True), 3: (1, False), 7: (7, True), 8: (7, False),
+        42: (42, True),
+    }
+    # with the canonical still live, the flag changes nothing
+    fresh = str(tmp_path_factory.mktemp("tomb")) + "/cc2"
+    cluster_store_update_batch(pairs, fresh, batch_id=0, compact_every=99)
+    a = {(r.doc_id, r.cluster_id, r.keep) for r in
+         dedup_verdicts_from_store(docs, fresh).collect()}
+    b = {(r.doc_id, r.cluster_id, r.keep) for r in
+         dedup_verdicts_from_store(docs, fresh, reelect_keepers=True).collect()}
+    assert a == b

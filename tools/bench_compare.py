@@ -93,7 +93,10 @@ def calibration_of(path: str) -> float | None:
     tools/calibrate.py), or None for pre-r13 artifacts."""
     data = _load(path)
     v = data.get("calibration_sec") if isinstance(data, dict) else None
-    return float(v) if v else None
+    # explicit positivity test (r14, r13 ADVICE): a 0.0 would be an
+    # invalid yardstick, not an absent one — either way unusable as a
+    # divisor, but say so without leaning on truthiness
+    return float(v) if v is not None and float(v) > 0 else None
 
 
 def rep_counts_of(path: str) -> dict[str, int]:

@@ -40,7 +40,10 @@ VECTOR columns on top of the normal replication:
 - documents: 15% of docs (arithmetic hash of the final doc_id — no
   engine hash functions, reproducible forever) get one of 8 shared
   8-word boilerplate templates PREPENDED, with geometric (zipf-head)
-  mass: template 0 owns ~half the hot docs, template 1 a quarter, ...
+  mass: template 7 owns ~half the hot docs, template 6 a quarter, ...
+  down to template 0 at ~1/256 (r14 doc fix — the rank expression's
+  floor(log2) puts the mass on the HIGH ranks; earlier docs said the
+  opposite; the skew shape itself was always geometric)
   Hot template shingles then have document frequency up to ~7% of the
   corpus — the stop-phrase/boilerplate skew max_shingle_df /
   max_band_df exist for, at data scale.
@@ -89,8 +92,11 @@ def _copies(con: duckdb.DuckDBPyConnection, mult: int) -> None:
 # --zipf skew expressions (deterministic integer arithmetic on the
 # FINAL ids — no engine hash() whose value could drift across DuckDB
 # versions). _ZIPF_RANK maps a key to 0..7 with geometric mass
-# (~1/2, 1/4, ..., zipf-head shape): the bit length of an 8-bit
-# arithmetic hash, so rank 0 is the hottest.
+# (zipf-head shape): floor(log2(1+x)) of an 8-bit arithmetic hash, so
+# rank 7 carries ~half the mass, rank 6 a quarter, ... and rank 0 is
+# the RAREST (1/256) — the high rank is the hot template (r14 doc
+# fix; the code and the measured 7.5% hot-shingle df were always
+# consistent, the old comment had the ordering inverted).
 _Z = 2_654_435_761  # Knuth multiplicative constant
 
 
