@@ -736,11 +736,39 @@ def simhash_near_pairs(
     Applied before refinement, so hot-bucket handling is unchanged for
     kept buckets. Verification aid for 100x-scale oracle runs (see
     minhash_lsh_pairs.band_slice); production leaves it None."""
+    return hamming_near_pairs(
+        simhash(df, id_col, text_col),
+        id_col,
+        max_hamming=max_hamming,
+        hot_chunk_df=hot_chunk_df,
+        chunk_slice=chunk_slice,
+        no_cache=no_cache,
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    n_bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    hot_chunk_df: int | None = None,
+    chunk_slice: tuple[int, int] | None = None,
+    no_cache: bool = False,
+) -> DataFrame:
+    """Signature-level Hamming near-pair machinery (r14: factored out
+    of simhash_near_pairs unchanged, so ANY n_bits-wide signature —
+    text SimHash, image dHash (operators/multimodal.perceptual_dhash)
+    — shares the pigeonhole chunk buckets, hot-chunk refinement, and
+    in-expansion verify; recall/equality contracts and the caching
+    note are documented on simhash_near_pairs). ``sigs`` is one row
+    per id with the signature in ``sig_col`` (non-negative, fits
+    signed 64)."""
     n_chunks = max_hamming + 1
-    if n_chunks > SIMHASH_BITS:
-        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
-    bounds = _chunk_bounds(SIMHASH_BITS, n_chunks)
-    sh = simhash(df, id_col, text_col)
+    if n_chunks > n_bits:
+        raise ValueError(f"max_hamming must be < {n_bits}")
+    bounds = _chunk_bounds(n_bits, n_chunks)
+    sh = sigs if sig_col == "simhash" else sigs.withColumnRenamed(sig_col, "simhash")
     chunks = sh.select(
         id_col,
         "simhash",
@@ -784,7 +812,7 @@ def simhash_near_pairs(
         mask_cases = " ".join(
             f"when chunk_id = {i} and sub_id = {j} then cast(simhash as bigint) & {m}L"
             for i in range(n_chunks)
-            for j, m in enumerate(_refine_masks(SIMHASH_BITS, bounds, i, n_chunks))
+            for j, m in enumerate(_refine_masks(n_bits, bounds, i, n_chunks))
         )
         hot = (
             sized.where(F.col("_cdf") > hot_chunk_df)

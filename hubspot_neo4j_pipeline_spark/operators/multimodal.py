@@ -100,6 +100,7 @@ def decode_ppm(payload: bytes) -> dict:
         "maxval": maxval,
         "n_units": n_sub,
         "unit_sum": sum(raster),
+        "raster": raster,  # raw RGB bytes, row-major (r14: dHash input)
     }
 
 
@@ -228,6 +229,67 @@ def build_media(docs: DataFrame) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, F.expr(_PPM_SQL))
         .otherwise(F.expr(_WAV_SQL))
         .alias("payload"),
+    )
+
+
+# dHash geometry (r14): 6 sample rows x 11 sample cols -> 6x10 = 60
+# horizontal-gradient bits, matching SIMHASH_BITS so the perceptual
+# hash rides the exact text-simhash chunk machinery (bit 59 max keeps
+# the value non-negative in a signed BIGINT, the same reason simhash
+# stops at 60).
+DHASH_ROWS = 6
+DHASH_COLS = 10  # bits per row; sampled columns = DHASH_COLS + 1
+
+
+def dhash_from_raster(width: int, height: int, raster: bytes) -> int:
+    """Difference hash of an RGB raster: nearest-neighbor-sample a
+    (DHASH_ROWS x DHASH_COLS+1) grid of gray values (R+G+B — a
+    monotone scale, no division), emit one bit per horizontal
+    neighbor pair (right > left). Resolution-independent: the same
+    scene at different sizes samples the same relative positions —
+    the classic aHash/dHash trick, here in closed form so a SQL
+    oracle can predict every bit from the deterministic demo rasters.
+    """
+    bits = 0
+    for r in range(DHASH_ROWS):
+        y = (r * height) // DHASH_ROWS
+        row_gray = []
+        for c in range(DHASH_COLS + 1):
+            x = (c * width) // (DHASH_COLS + 1)
+            i = 3 * (y * width + x)
+            row_gray.append(raster[i] + raster[i + 1] + raster[i + 2])
+        for c in range(DHASH_COLS):
+            if row_gray[c + 1] > row_gray[c]:
+                bits |= 1 << (r * DHASH_COLS + c)
+    return bits
+
+
+def perceptual_dhash(media: DataFrame) -> DataFrame:
+    """(doc_id, phash BIGINT) over PPM payloads: Arrow-batched REAL
+    decode (the byte-for-byte P6 parser) followed by the closed-form
+    dHash — the image half of the near-dup story
+    (plans/analytics_queries.multimodal_near_dup pairs these via the
+    shared Hamming chunk machinery, operators/dedup.hamming_near_pairs).
+    Non-PPM rows are the caller's job to filter; a corrupt payload
+    raises (honest decode, no silent skip)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                d = decode_ppm(bytes(payload))
+                hashes.append(
+                    dhash_from_raster(d["width"], d["height"], d["raster"])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _hash, schema="doc_id long, phash long"
     )
 
 

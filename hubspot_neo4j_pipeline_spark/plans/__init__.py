@@ -138,6 +138,27 @@ _DEMOTED = {
     # D3 additionally via upsert_idempotency_roundtrip /
     # incremental_dup_clusters.
     "doc_exact_dedup",
+    # Round 14: four §2-redundant rows yield their slots — two of them
+    # to the NEW projection/immutable carriers that enter the prefix
+    # automatically through the module comprehensions
+    # (company_deal_projection: P2/P3 through the real
+    # transform_companies/transform_deals; edge_diff_immutable_bypass:
+    # T7's first driver row), and two to the r14 flagships appended to
+    # the named list below (multimodal_near_dup,
+    # incremental_decontam_flags_with_deletes). Coverage stays
+    # in-window: change_classification's J4 via scd2_golden_merge, T1
+    # via property_hash / scd2_bootstrap_roundtrip, T2 three more ways;
+    # change_summary's A10 via edge_diff_immutable_bypass (a STRONGER
+    # row — same per-type counting plus the immutable lane), T2 as
+    # above; doc_shard_packing's W1 via current_state / asof /
+    # sessionization / user_value_trend, A3 via company_deal_projection
+    # / deals_by_company / user_value_trend / shard_write_roundtrip;
+    # ann_bruteforce_topk's J1/W2 via ann_ivf_topk_trained (the
+    # stronger ANN row) + six/four others.
+    "change_classification",
+    "change_summary",
+    "doc_shard_packing",
+    "ann_bruteforce_topk",
 }
 
 _PRIORITY = [
@@ -154,12 +175,12 @@ _PRIORITY = [
         if q.spark.__module__.endswith("temporal_queries") and n not in _DEMOTED
     ],
     # flagship LLM-pipeline operators, one per family
-    "doc_shard_packing",
+    # (doc_shard_packing and ann_bruteforce_topk rotated out r14 — see
+    # _DEMOTED; the trained-IVF row stays as the ANN representative)
     "user_value_trend",
     # doc_exact_dedup rotated out r13 (see _DEMOTED — its streaming
     # successor incremental_hash_dedup_verdicts carries D1/D2/D3)
     "doc_minhash_lsh_pairs",
-    "ann_bruteforce_topk",
     "embedding_near_dup_pairs",
     "asof_order_before_event",
     "event_sessionization",
@@ -206,6 +227,14 @@ _PRIORITY = [
     # two rows they displace.
     "pagerank_topk",
     "scd2_bootstrap_roundtrip",
+    # round 14: the cross-modality near-dup row (REAL PPM decode ->
+    # dHash -> the SHARED Hamming chunk machinery) and the
+    # right-to-erasure row for the ADDITIVE stores (gram-store
+    # negative-partial deletes: erase half the benchmark split,
+    # previously-contaminated training docs must screen clean). See
+    # _DEMOTED for the four rows the r14 rotation displaces.
+    "multimodal_near_dup",
+    "incremental_decontam_flags_with_deletes",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1096,3 +1096,125 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+@register(
+    "company_deal_projection",
+    oracle="""
+        WITH co AS (
+            SELECT c_mktsegment AS industry,
+                   regexp_replace(lower(trim('  WWW.' || upper(c_mktsegment)
+                       || '.Example.COM ')), '^www\\.', '') AS domain,
+                   CASE WHEN c_custkey % 4 = 0 THEN 0
+                        ELSE CAST(c_custkey % 1000 AS INTEGER)
+                        END AS employee_count,
+                   c_acctbal AS annual_revenue
+            FROM customer
+        ), co_agg AS (
+            SELECT industry, domain, count(*) AS n_companies,
+                   CAST(sum(employee_count) AS BIGINT) AS sum_employees,
+                   CAST(sum(CAST(annual_revenue AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_revenue
+            FROM co GROUP BY industry, domain
+        ), d AS (
+            SELECT o.o_orderkey,
+                   c.c_mktsegment AS industry,
+                   CASE WHEN o.o_orderkey % 7 = 0 THEN 0.0
+                        ELSE o.o_totalprice END AS amount,
+                   (o.o_orderstatus = 'F') AS is_won
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), d_agg AS (
+            SELECT industry, count(*) AS n_deals,
+                   CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_amount,
+                   CAST(sum(CASE WHEN is_won THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_won
+            FROM d GROUP BY industry
+        )
+        SELECT c.industry, c.domain, c.n_companies, c.sum_employees,
+               c.total_revenue, d.n_deals, d.total_amount, d.n_won
+        FROM co_agg c JOIN d_agg d ON c.industry = d.industry
+    """,
+    covers=("P2", "P3", "F2", "F4", "A1", "A3", "J10"),
+    doc=(
+        "P2/P3 driver carrier (r14, r13 VERDICT task 8 — both "
+        "projections were pytest-only): customer/orders rows are "
+        "wrapped into the HubSpot feed shape (id + properties map + "
+        "nested associations) and pushed through the REAL "
+        "transform_companies / transform_deals operators "
+        "(operators/transforms.py:223,260 — ref "
+        "graph_transformer.py:182-286), including clean_domain "
+        "lower/trim/strip-www, safe_int/safe_float garbage→0, the "
+        "'True'-string bool, the pipeline default, and the "
+        "BELONGS_TO association fan-out. The oracle predicts the "
+        "per-industry aggregates of both projected node tables from "
+        "the raw rows, so a projection rule that drifts (a lost "
+        "trim, a cast that nulls instead of zeroing, a dropped "
+        "association) changes a group total and hash-mismatches."
+    ),
+)
+def company_deal_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import transform_companies, transform_deals
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    companies_feed = customer.select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.create_map(
+            F.lit("name"), F.col("c_name"),
+            F.lit("domain"),
+            F.concat(
+                F.lit("  WWW."), F.upper("c_mktsegment"), F.lit(".Example.COM ")
+            ),
+            F.lit("industry"), F.col("c_mktsegment"),
+            F.lit("numberofemployees"),
+            F.when(F.col("c_custkey") % 4 == 0, F.lit("n/a"))
+            .otherwise((F.col("c_custkey") % 1000).cast("string")),
+            F.lit("annualrevenue"), F.col("c_acctbal").cast("string"),
+        ).alias("properties"),
+    )
+    deals_feed = orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.create_map(
+            F.lit("dealname"), F.col("o_orderpriority"),
+            F.lit("amount"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("garbage"))
+            .otherwise(F.col("o_totalprice").cast("string")),
+            F.lit("dealstage"), F.col("o_orderstatus"),
+            F.lit("hs_is_closed_won"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("True")),
+        ).alias("properties"),
+        F.struct(
+            F.array(
+                F.struct(F.col("o_custkey").cast("string").alias("id"))
+            ).alias("companies"),
+            F.lit(None).cast("array<struct<id:string>>").alias("contacts"),
+        ).alias("associations"),
+    )
+    co_node, _co_edges = transform_companies(companies_feed)
+    d_node, d_edges = transform_deals(deals_feed)
+    co_agg = co_node.groupBy("industry", "domain").agg(
+        F.count("*").alias("n_companies"),
+        F.sum("employee_count").cast("long").alias("sum_employees"),
+        _dec_sum("annual_revenue", "total_revenue"),
+    )
+    belongs = d_edges.where(F.col("rel_type") == "BELONGS_TO").select(
+        F.col("from_id").alias("deal_id"), F.col("to_id").alias("company_id")
+    )
+    co_industry = co_node.select(
+        F.col("hubspot_id").alias("company_id"), F.col("industry").alias("_ind")
+    )
+    d_agg = (
+        d_node.join(belongs, d_node.hubspot_id == belongs.deal_id)
+        .join(co_industry, "company_id")
+        .groupBy(F.col("_ind").alias("industry"))
+        .agg(
+            F.count("*").alias("n_deals"),
+            _dec_sum("amount", "total_amount"),
+            F.sum(F.col("is_won").cast("int")).cast("long").alias("n_won"),
+        )
+    )
+    return co_agg.join(d_agg, "industry").select(
+        "industry", "domain", "n_companies", "sum_employees",
+        "total_revenue", "n_deals", "total_amount", "n_won",
+    )

@@ -752,6 +752,131 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_near_dup",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, doc_id % 2 AS par,
+                   CASE WHEN (doc_id // 4) % 8 = 0 AND doc_id % 4 < 3
+                        THEN 'img:' || CAST(doc_id // 4 AS VARCHAR)
+                        ELSE 'img:u:' || CAST(doc_id AS VARCHAR) END AS sk
+            FROM documents
+        ), dims AS (
+            SELECT doc_id, sk, par,
+                   CAST(('0x' || substring(md5(sk), 1, 15)) AS BIGINT) % 5
+                       + 11 AS w,
+                   CAST(('0x' || substring(md5(sk), 1, 15)) AS BIGINT) % 3
+                       + 6 AS h
+            FROM s
+        ), px AS (
+            SELECT doc_id, sk, par, r.r, c.c,
+                   3 * (((r.r * h) // 6) * w + ((c.c * w) // 11)) AS i0
+            FROM dims, generate_series(0, 5) r(r), generate_series(0, 10) c(c)
+        ), cells AS (
+            SELECT doc_id, r, c,
+                   sum(CAST(('0x' || substring(md5(sk || ':' ||
+                           CAST(i0 + ch.ch AS VARCHAR)), 1, 2)) AS INT) % 64
+                       + 32
+                       + CASE WHEN i0 = 0 THEN 31 * par ELSE 0 END) AS gray3
+            FROM px, generate_series(0, 2) ch(ch)
+            GROUP BY doc_id, r, c
+        ), sigs AS (
+            SELECT a.doc_id,
+                   sum(CASE WHEN b.gray3 > a.gray3
+                            THEN (CAST(1 AS BIGINT) << (a.r * 10 + a.c))
+                            ELSE 0 END) AS phash
+            FROM cells a JOIN cells b
+              ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+            WHERE a.c < 10
+            GROUP BY a.doc_id
+        ), chunks AS (
+            SELECT doc_id, phash, ch.chunk_id,
+                   (phash >> ch.s) & 32767 AS chunk
+            FROM sigs CROSS JOIN (VALUES (0, 0), (1, 15), (2, 30), (3, 45))
+                AS ch(chunk_id, s)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.phash AS h_a, b.phash AS h_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3
+    """,
+    covers=("P6", "D1", "J1"),
+    doc=(
+        "Multimodal (image) near-dup (r14, r13 VERDICT task 9 — "
+        "completes the dedup story across modalities): genuine P6 PPM "
+        "payloads are built JVM-side. Pixel bytes are md5-derived per "
+        "(image-key, byte-index) — NOT a linear-congruential ramp, "
+        "whose 60-bit dHash collapses to ~seed%64 distinct values and "
+        "makes every doc near-every-doc (the r14 first cut measured "
+        "6,796 degenerate pairs over 500 all-distinct docs) — so "
+        "unrelated images get ~uniform 60-bit hashes and near-pairs "
+        "at radius 3 occur only by construction. Duplicate structure "
+        "is bounded-by-id: in every 8th block of 4 consecutive "
+        "doc_ids, the first three share an image key (class size <=3, "
+        "pair count LINEAR in corpus size — never a structural "
+        "quadratic, and independent of zipf text skew), and a "
+        "doc-parity +31/channel perturbation of pixel (0,0) makes "
+        "opposite-parity members genuinely NEAR (hamming 0 or 1 via "
+        "one gradient comparator, both engines compute which). "
+        "Images are w in 11..15, h in 6..8 so the 6x11 "
+        "nearest-neighbor sample grid hits 66 DISTINCT pixels. "
+        "Payloads are then REALLY decoded byte-for-byte "
+        "(operators/multimodal.perceptual_dhash -> decode_ppm inside "
+        "Arrow-batched mapInPandas), dHashed (60 horizontal-gradient "
+        "bits, closed-form so the oracle predicts every bit), and "
+        "paired via the SHARED Hamming chunk machinery "
+        "(operators/dedup.hamming_near_pairs — 4x15-bit pigeonhole "
+        "buckets, hot-chunk refinement at df>512, in-expansion "
+        "verify; bucket-structured, no all-pairs). Radius recall is "
+        "exact by the pigeonhole, so the oracle stays the simple "
+        "unrefined chunk SQL."
+    ),
+)
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import perceptual_dhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.selectExpr(
+        "doc_id",
+        "case when (doc_id div 4) % 8 = 0 and doc_id % 4 < 3 "
+        "then concat('img:', cast(doc_id div 4 as string)) "
+        "else concat('img:u:', cast(doc_id as string)) end as sk",
+    ).selectExpr(
+        "doc_id",
+        "sk",
+        "cast(conv(substring(md5(sk), 1, 15), 16, 10) as bigint) % 5 + 11"
+        " as w",
+        "cast(conv(substring(md5(sk), 1, 15), 16, 10) as bigint) % 3 + 6"
+        " as h",
+    )
+    payload_sql = (
+        "encode(concat('P6', char(10), cast(w as string), ' ', "
+        "cast(h as string), char(10), '255', char(10), "
+        "concat_ws('', transform(sequence(0, cast(3 * w * h - 1 as int)), "
+        "i -> char(cast(conv(substring(md5(concat(sk, ':', "
+        "cast(i as string))), 1, 2), 16, 10) as int) % 64 + 32 "
+        "+ if(i < 3, 31 * cast(doc_id % 2 as int), 0))))), "
+        "'UTF-8')"
+    )
+    media = seeded.selectExpr("doc_id", payload_sql + " as payload")
+    pairs = hamming_near_pairs(
+        perceptual_dhash(media),
+        "doc_id",
+        sig_col="phash",
+        max_hamming=3,
+        hot_chunk_df=512,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
     "embedding_centroids",
     oracle="""
         WITH ex AS (

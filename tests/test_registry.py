@@ -62,7 +62,11 @@ def test_priority_prefix_spans_all_families():
     prefix = list(QUERIES)[:50]
     assert "deals_by_company" in prefix  # reference flagship
     for name in (
-        "change_classification",
+        # change_classification / change_summary rotated out in r14
+        # for the new projection/immutable carriers (J4 stays
+        # in-window via scd2_golden_merge, T1 via property_hash /
+        # scd2_bootstrap_roundtrip, A10 via the STRONGER
+        # edge_diff_immutable_bypass, T2 four ways)
         "relationship_diff",
         # soft_delete_candidates rotated out in r10 (T4/T5 stay
         # in-window via scd2_golden_merge); scd2_golden_changelog
@@ -74,17 +78,23 @@ def test_priority_prefix_spans_all_families():
         # doc_shard_packing / user_value_trend / asof / sessionize)
         "scd2_golden_merge",
         "incremental_scd2_roundtrip",
+        # r14: T7's first driver row and the P2/P3 projection carrier
+        "edge_diff_immutable_bypass",
+        "company_deal_projection",
     ):
         assert name in prefix, f"temporal family member {name} fell out of the prefix"
     for name in (
-        "doc_shard_packing",
+        # doc_shard_packing / ann_bruteforce_topk rotated out in r14
+        # for multimodal_near_dup /
+        # incremental_decontam_flags_with_deletes (W1/A3 and J1/W2
+        # each keep 4+ in-window carriers; the trained-IVF row stays
+        # as the ANN representative)
         "user_value_trend",
         # doc_exact_dedup rotated out in r13 for pagerank_topk /
         # scd2_bootstrap_roundtrip: its D1/D2/D3 stay in-window via
         # incremental_hash_dedup_verdicts (same kernel + the store
         # round-trip)
         "doc_minhash_lsh_pairs",
-        "ann_bruteforce_topk",
         "embedding_near_dup_pairs",
         "asof_order_before_event",
         "event_sessionization",
@@ -120,12 +130,17 @@ def test_priority_prefix_spans_all_families():
         # round-trip (r12 VERDICT task 3)
         "pagerank_topk",
         "scd2_bootstrap_roundtrip",
+        # round 14: cross-modality near-dup (real PPM decode -> dHash
+        # -> shared Hamming chunk machinery) and additive-store
+        # right-to-erasure (gram-store negative-partial deletes)
+        "multimodal_near_dup",
+        "incremental_decontam_flags_with_deletes",
     ):
         assert name in prefix, f"LLM-pipeline flagship {name} fell out of the prefix"
 
 
 def test_demoted_queries_still_registered_with_oracles():
-    """Nineteen §2-redundant queries are rotated past the driver's
+    """Twenty-three §2-redundant queries are rotated past the driver's
     50-query window (five in r4 for the sequence/sketch/funnel/
     semantic-dedup flagships, three in r5 for the sink round-trips and
     the real media decode, two in r6 for the rewritten
@@ -134,7 +149,8 @@ def test_demoted_queries_still_registered_with_oracles():
     dry-run sink, two in r10 for the LSM streaming-store flagships,
     three in r11 for the SCD2-store, windowed-count-store, and
     dedup-cluster-store round-trips, two in r13 for pagerank_topk and
-    scd2_bootstrap_roundtrip);
+    scd2_bootstrap_roundtrip, four in r14 for the projection/immutable
+    carriers and the multimodal-near-dup / additive-erasure flagships);
     they
     must stay registered (and oracle-checked by tools/verify_queries.py)
     and every §2 id they carry must keep an in-window representative."""
@@ -186,6 +202,22 @@ def test_demoted_queries_still_registered_with_oracles():
         # exact-dedup kernel plus the store round-trip)
         "recent_activity",
         "doc_exact_dedup",
+        # r14: demoted for company_deal_projection /
+        # edge_diff_immutable_bypass (which enter through the module
+        # comprehensions) and the appended multimodal_near_dup /
+        # incremental_decontam_flags_with_deletes flagships. J4 via
+        # scd2_golden_merge; T1 via property_hash /
+        # scd2_bootstrap_roundtrip; A10 via edge_diff_immutable_bypass;
+        # T2 via scd2_golden_merge / scd2_bootstrap_roundtrip /
+        # incremental_scd2_roundtrip; W1 via current_state / asof /
+        # sessionization / user_value_trend; A3 via
+        # company_deal_projection / deals_by_company / user_value_trend
+        # / shard_write_roundtrip; J1/W2 via ann_ivf_topk_trained and
+        # six/four others.
+        "change_classification",
+        "change_summary",
+        "doc_shard_packing",
+        "ann_bruteforce_topk",
     )
     for name in demoted:
         assert name in names, f"{name} fell out of the registry entirely"
@@ -222,4 +254,7 @@ def test_every_registry_op_id_has_in_window_carrier():
     )
     # the audited figure: keep it pinned so silent shrinkage of the
     # id universe itself (a covers tag dropped in a refactor) shows up
-    assert len(all_ids) == 69, f"registry op-id universe changed: {len(all_ids)}"
+    # (69 -> 72 in r14: P2/P3 gained registry carriers via
+    # company_deal_projection and T7 via edge_diff_immutable_bypass —
+    # previously pytest-only surface)
+    assert len(all_ids) == 72, f"registry op-id universe changed: {len(all_ids)}"
