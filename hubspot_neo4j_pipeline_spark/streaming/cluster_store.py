@@ -291,14 +291,38 @@ def cluster_store_update_batch(
             (n, m) for n, m in mapping.items() if n not in was_assigned
         ]
         schema = f"node {id_type}, new_comp {id_type}"
+        # pandas/Arrow + coalesce(1): createDataFrame over a plain
+        # Python list parallelizes it into defaultParallelism
+        # PYTHON-RDD slices, so the downstream delta write pays one
+        # task + one Python-worker round-trip + one parquet commit PER
+        # SLICE (~0.5-2 s of pure overhead for a 52-row delta at 32
+        # cores — r14 flagship profile; coalescing THOSE slices is
+        # worse still, one task walking 32 Python partitions
+        # sequentially). The pandas path ships the rows as Arrow
+        # batches the JVM owns outright — no Python worker at task
+        # time — and coalesce(1) then makes the write a single fast
+        # task (~0.2 s measured). These frames are driver-bounded by
+        # construction (<= driver_cc_max_edges mapping entries, a few
+        # MB at the bound), so one slice is safe at any corpus scale.
+        import pandas as pd
+
+        cols = ["node", "new_comp"]
         if changed_rows:
             relabel_changed = F.broadcast(
-                spark.createDataFrame(changed_rows, schema)
+                spark.createDataFrame(
+                    pd.DataFrame(changed_rows, columns=cols), schema
+                ).coalesce(1)
             )
         if fresh_rows:
-            fresh_delta = spark.createDataFrame(fresh_rows, schema).select(
-                F.col("node").alias("doc_id"),
-                F.col("new_comp").alias("comp"),
+            fresh_delta = (
+                spark.createDataFrame(
+                    pd.DataFrame(fresh_rows, columns=cols), schema
+                )
+                .coalesce(1)
+                .select(
+                    F.col("node").alias("doc_id"),
+                    F.col("new_comp").alias("comp"),
+                )
             )
     else:
         from ..operators.graph import connected_components
@@ -342,7 +366,7 @@ def cluster_store_update_batch(
     else:
         delta = spark.createDataFrame(
             [], f"doc_id {id_type}, comp {id_type}, _bucket int"
-        )
+        ).coalesce(1)
     segments.commit_delta(delta, store_path, batch_id, bucket_col="_bucket")
     if len(segments.live_deltas(store_path)) >= compact_every:
         cluster_store_compact(spark, store_path, n_buckets)
