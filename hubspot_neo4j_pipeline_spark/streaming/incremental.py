@@ -64,27 +64,55 @@ def read_current(spark, store_path: str) -> DataFrame | None:
     'current' rows, latest writer per key wins (a key upserted in
     deltas 5 and 9 resolves to 9's row — 5's version was closed into
     history by batch 9). None if the store is empty. After a
-    compaction with no new deltas this is a plain scan of the base."""
+    compaction with no new deltas this is a plain scan of the base.
+
+    r14 (guide §2.4): the merge is ``tombstones.latest_writer_union``
+    — the same shuffle-free merge-on-read the lsh/vector stores
+    adopted in r13 — instead of a per-row window. The window's
+    Exchange + two Sorts over the WHOLE store ran on every
+    ``upsert_batch`` (which reads current to classify changes) and on
+    every consumer read; the per-frame rule replaces it with broadcast
+    anti-joins against the (micro-batch-sized) newer frames' key
+    sets. Soundness is the store's own contract: the base is unique
+    per key (compaction folds through the window / bootstrap
+    dropDuplicates), each delta's current rows are unique per key
+    (``incoming.dropDuplicates([key])``), and frame order IS ``_ubid``
+    order (live delta ids > consumed_through >= any base row's _ubid;
+    bootstrap rows carry _ubid=-1) — so per-frame shading equals the
+    per-row window, pinned by test_read_current_equals_window_merge.
+    Manifest/meta row counts gate the broadcast exactly as in the
+    lsh/vector stores: an oversized or unknown newer frame falls back
+    to the window merge inside latest_writer_union."""
     meta = _scd2_meta(store_path)
     frames = []
+    frame_rows: list[int | None] = []
     if meta["base"]:
         frames.append(
             spark.read.parquet(os.path.join(store_path, meta["base"]))
         )
+        frame_rows.append(meta.get("base_rows"))
     for _bid, path in sorted(segments.live_deltas(store_path, meta).items()):
         frames.append(
             spark.read.parquet(path).where(F.col("_kind") == "current")
         )
+        m = segments.delta_manifest(path)
+        frame_rows.append(None if m is None else m.get("rows"))
     if not frames:
         return None
-    allrows = frames[0]
-    for f in frames[1:]:
-        allrows = allrows.unionByName(f, allowMissingColumns=True)
-    w = Window.partitionBy(meta["key"]).orderBy(F.col("_ubid").desc())
-    return (
-        allrows.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", *_META_COLS)
+    from . import tombstones
+
+    merged = tombstones.latest_writer_union(frames, meta["key"], frame_rows)
+    # column order of the window merge was the old->new union's
+    # (first frame's columns, later-only columns appended); the
+    # newest-first union inside latest_writer_union would otherwise
+    # lead with the newest delta's order
+    ordered: list[str] = []
+    for f in frames:
+        for c in f.columns:
+            if c not in ordered:
+                ordered.append(c)
+    return merged.select(
+        [c for c in ordered if c not in _META_COLS and c != "_rn"]
     )
 
 
@@ -220,18 +248,44 @@ def upsert_batch(
         )
         segments.commit_delta(delta, store_path, batch_id, bucket_col="_bucket")
         return
+    # r14 (guide §2.4/§7.2): ONE wide classify join replaces the old
+    # three-join shape (classify join -> changed_keys, then a fresh
+    # semi-join on incoming AND a closing semi-join on live). The old
+    # delta plan duplicated the classify subtree — incoming hash +
+    # store read + join — under both union branches, so every upsert
+    # executed the store read three times and sha2'd the batch twice.
+    # Now: live joins incoming once (old columns aliased _o_*), the
+    # slim batch-bounded result is lazily checkpointed, and BOTH the
+    # fresh rows (incoming side, reusing the already-computed
+    # _new_hash as snapshot_hash — bit-identical expression) and the
+    # closing rows (old side) project out of that one materialization.
     inc_hashed = incoming.withColumn("_new_hash", snapshot_hash(incoming))
     live = current.where(F.col("is_current") & ~F.col("is_deleted"))
-    old = live.select(F.col(key).alias("_k"), F.col("snapshot_hash").alias("_old_hash"))
-    joined = inc_hashed.join(old, inc_hashed[key] == old._k, "left")
-    changed_keys = joined.where(
-        F.col("_old_hash").isNull() | (F.col("_new_hash") != F.col("_old_hash"))
-    ).select(F.col(key))
-    fresh = with_temporal_fields(
-        incoming.join(changed_keys, key, "left_semi"), now
-    ).withColumn("_kind", F.lit("current"))
+    lcols = live.columns
+    old_pref = live.select([F.col(c).alias(f"_o_{c}") for c in lcols])
+    j = inc_hashed.join(
+        old_pref, inc_hashed[key] == F.col(f"_o_{key}"), "left"
+    ).localCheckpoint(eager=False)
+    is_new = F.col(f"_o_{key}").isNull()
+    # NULL-hash live rows (no store writes these, but the old
+    # changed_keys rule counted a null _old_hash as changed) stay
+    # classified as updated — exact parity with the three-join shape
+    is_upd = ~is_new & (
+        F.col(f"_o_snapshot_hash").isNull()
+        | (F.col("_new_hash") != F.col(f"_o_snapshot_hash"))
+    )
+    fresh = (
+        j.where(is_new | is_upd)
+        .select(*incoming.columns, F.col("_new_hash").alias("snapshot_hash"))
+        .withColumn("valid_from", F.lit(now).cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .withColumn("is_deleted", F.lit(False))
+        .withColumn("_kind", F.lit("current"))
+    )
     closing = (
-        live.join(changed_keys, key, "left_semi")
+        j.where(is_upd)
+        .select([F.col(f"_o_{c}").alias(c) for c in lcols])
         .withColumn("valid_to", F.lit(now).cast("timestamp"))
         .withColumn("is_current", F.lit(False))
         .withColumn("_kind", F.lit("closed"))

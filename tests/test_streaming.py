@@ -2534,3 +2534,95 @@ def test_bootstrap_then_stream_batch_zero(spark, tmp_path_factory):
         corpus_doc_count(spark, dboot).collect()
         == corpus_doc_count(spark, dref).collect()
     )
+
+
+def test_read_current_equals_window_merge(spark, tmp_path_factory):
+    """r14 optimization: read_current resolves latest-writer-wins via
+    tombstones.latest_writer_union (broadcast anti-joins, no store
+    shuffle) instead of the per-row window. Pin cell-exact equality
+    with the old window merge, recomputed here from the raw store
+    files, on a store with a compacted base + a post-compaction live
+    delta, re-upserted keys, new keys, and unchanged keys."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hubspot_neo4j_pipeline_spark.streaming import segments
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        _META_COLS,
+        _scd2_meta,
+        read_current,
+        upsert_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("rc_eq")) + "/store"
+    schema = "entity_key long, amount double, status string"
+    b0 = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a")], schema
+    )
+    b1 = spark.createDataFrame(  # 1 changed, 4 new, 2 unchanged
+        [(1, 11.0, "a"), (2, 20.0, "a"), (4, 40.0, "b")], schema
+    )
+    b2 = spark.createDataFrame(  # 1 changed AGAIN post-compaction, 5 new
+        [(1, 12.0, "c"), (5, 50.0, "b")], schema
+    )
+    upsert_batch(b0, store, key="entity_key", now="2024-01-01", batch_id=0, compact_every=2)
+    upsert_batch(b1, store, key="entity_key", now="2024-01-02", batch_id=1, compact_every=2)
+    upsert_batch(b2, store, key="entity_key", now="2024-01-03", batch_id=2, compact_every=2)
+    meta = _scd2_meta(store)
+    assert meta["base"] and segments.live_deltas(store, meta), (
+        "fixture must exercise base + live delta"
+    )
+
+    # the OLD merge, verbatim: union frames, row_number over _ubid desc
+    frames = [spark.read.parquet(os.path.join(store, meta["base"]))]
+    for _bid, path in sorted(segments.live_deltas(store, meta).items()):
+        frames.append(spark.read.parquet(path).where(F.col("_kind") == "current"))
+    allrows = frames[0]
+    for f in frames[1:]:
+        allrows = allrows.unionByName(f, allowMissingColumns=True)
+    w = Window.partitionBy(meta["key"]).orderBy(F.col("_ubid").desc())
+    ref = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", *_META_COLS)
+    )
+
+    got = read_current(spark, store)
+    assert got.columns == ref.columns
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in ref.collect()
+    )
+    # and the key update chain resolved to the NEWEST version
+    rows = {r["entity_key"]: r for r in got.collect()}
+    assert rows[1]["amount"] == 12.0 and rows[1]["status"] == "c"
+    assert set(rows) == {1, 2, 3, 4, 5}
+
+
+def test_scd2_read_current_does_not_shuffle(spark, tmp_path_factory):
+    """r14: the SCD2 current view joins the latest-writer stores'
+    no-shuffle contract — a multi-frame read (compacted base + live
+    delta) must contain no shuffle Exchange, no Sort, no Window; only
+    BroadcastExchange of the delta key sets."""
+    from hubspot_neo4j_pipeline_spark.streaming.incremental import (
+        read_current,
+        upsert_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("rc_plan")) + "/store"
+    schema = "entity_key long, amount double, status string"
+    for k, now in ((0, "2024-01-01"), (1, "2024-01-02"), (2, "2024-01-03")):
+        b = spark.createDataFrame(
+            [(i, float(10 * i + k), "s") for i in range(1 + k, 6 + k)], schema
+        )
+        upsert_batch(b, store, key="entity_key", now=now, batch_id=k, compact_every=2)
+    plan = read_current(spark, store)._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        ln.strip()[:100]
+        for ln in plan.splitlines()
+        if ("Exchange" in ln and "BroadcastExchange" not in ln)
+        or "Window" in ln
+        or ln.strip().startswith("Sort")
+    ]
+    assert bad == [], f"scd2 read_current shuffles: {bad}"
