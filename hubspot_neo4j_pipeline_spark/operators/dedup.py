@@ -149,6 +149,7 @@ def _dup_span_frame(
     k: int,
     min_count: int,
     gram_counts: DataFrame | None = None,
+    gram_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(_did, _ntok, _s, _e) — maximal duplicated token spans per doc;
     the shared core of `duplicated_spans` (report) and
@@ -157,8 +158,18 @@ def _dup_span_frame(
     maintained (h, n) frame (the streaming gram store) — duplicate
     grams then come from it instead of a fresh corpus count, which is
     how a stream scores INCOMING docs against everything already
-    ingested."""
-    rows = sliding_gram_rows(df, id_col, text_col, k)
+    ingested. ``gram_rows``: optional precomputed
+    ``sliding_gram_rows(df, ...)`` frame — callers that already built
+    the positional grams (the gram store's score path derives the
+    batch's partial counts from the same rows) pass it so the
+    tokenize + md5 pass runs once, not twice (guide §1.2: don't
+    compute things twice). Must be exactly the frame
+    ``sliding_gram_rows`` would return for the same arguments."""
+    rows = (
+        gram_rows
+        if gram_rows is not None
+        else sliding_gram_rows(df, id_col, text_col, k)
+    )
     if gram_counts is None:
         dup_h = (
             rows.groupBy("_h")
@@ -206,6 +217,7 @@ def duplicated_spans(
     k: int = DEFAULT_SHINGLE,
     min_count: int = 2,
     gram_counts: DataFrame | None = None,
+    gram_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring spans per document: every maximal
     token span covered by sliding k-grams that occur >= ``min_count``
@@ -239,7 +251,9 @@ def duplicated_spans(
     the duplicate-gram source instead of counting this frame, so the
     same operator scores a new batch against the full ingested corpus.
     """
-    spans = _dup_span_frame(df, id_col, text_col, k, min_count, gram_counts)
+    spans = _dup_span_frame(
+        df, id_col, text_col, k, min_count, gram_counts, gram_rows
+    )
     return spans.groupBy("_did", "_ntok").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),

@@ -276,6 +276,13 @@ def _with_batch_ids(
     any form, and identical rows produce identical payload text, so
     batches stay byte-deterministic.
     """
+    # NOTE (r14, guide §7.2): the sub-keyed frame feeds BOTH the rank
+    # branch and the offsets aggregate below, so the caller's input
+    # plan executes twice per action. A localCheckpoint here was
+    # measured WORSE for the node-payload path (offsets reads a
+    # column-PRUNED subtree — keys only — while the checkpoint
+    # materializes full payload rows); emitters whose input is
+    # expensive checkpoint at their own level instead.
     sub = _subkeyed(df, group_cols, order_cols, batch_size)
     wl = Window.partitionBy(*group_cols, "_pfx").orderBy(*order_cols)
     wo = (
@@ -595,12 +602,14 @@ def dry_run_temporal_payloads(
     ordered = [key] + [c for c in cols if c != key]
     keystr = F.col(key).cast("string")
     changed = classified.where(F.col("change_type") == "updated").select(key)
+    # consumed by BOTH the history and update branches of the union —
+    # checkpoint so the semi-join + rank runs once per action
     upd = _with_batch_ids(
         incoming.join(changed, key, "left_semi").select(*ordered),
         [],
         [key],
         batch_size,
-    )
+    ).localCheckpoint(eager=False)
     hist_params = F.to_json(
         F.struct(keystr.alias("hubspot_id"), F.lit(valid_to).alias("valid_to"))
     )
@@ -747,6 +756,9 @@ def dry_run_relationship_change_payloads(
         F.col("rel_type").alias("type"),
         F.col("properties"),
     )
+    # chunk-level rows (one per BATCH_SIZE chunk) consumed by BOTH the
+    # creates and deletes branches of the union below — checkpoint so
+    # the batching aggregate runs once per action (guide §7.2)
     grouped = batched.groupBy("change_type", "batch_id").agg(
         F.count("*").alias("n_changes"),
         _json_array(
@@ -755,7 +767,7 @@ def dry_run_relationship_change_payloads(
             F.col("from_id").alias("_k2"),
             F.col("to_id").alias("_k3"),
         ).alias("params_json"),
-    )
+    ).localCheckpoint(eager=False)
     create_cypher = F.when(
         F.col("change_type") == "added",
         F.lit(relationship_change_cypher("added")),

@@ -102,6 +102,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 (guide §3.1/§9): allow shuffled-hash join where its size
+        # conditions hold instead of always sort-merge, and let AQE
+        # rewrite a planned sort-merge to shuffled-hash at runtime when
+        # every post-shuffle partition is under 64 MB. Both paths are
+        # size-gated (planner estimate / AQE actuals), so they scale to
+        # arbitrary inputs — an oversized build side keeps sort-merge.
+        # Measured on the SMJ-heavy rows (min-of-3, both A/B orders):
+        # neo4j_dryrun_temporal 2.22->1.66 s, ann_ivf_topk_trained
+        # 2.39->2.12 s, semantic_dedup -5-10%, no regressions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "67108864",
+        )
+        # r14 (guide §6): zstd parquet for everything the engine writes
+        # (store deltas/bases, sink shards) — markedly better ratio than
+        # snappy at similar read speed; local store round-trips measure
+        # wash-to-slightly-faster, at 100 TB the smaller store bytes are
+        # the point.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

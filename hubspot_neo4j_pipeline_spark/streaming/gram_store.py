@@ -379,17 +379,28 @@ def score_batch_against_store(
     (corpus ∪ batch) would use for the batch's grams. After the batch
     is ingested, ``duplicated_spans(batch, gram_counts=
     read_gram_store(...))`` alone gives the same counts."""
-    from ..operators.dedup import duplicated_spans
+    from ..operators.dedup import DEFAULT_SHINGLE, duplicated_spans, sliding_gram_rows
 
+    # r14 (guide §1.2): the batch's positional grams feed BOTH the
+    # partial-count union below and the span frame inside
+    # duplicated_spans — build them once, lazily checkpointed, instead
+    # of tokenizing + md5-hashing the batch twice. Batch-bounded by the
+    # micro-batch contract.
+    rows = sliding_gram_rows(
+        batch_docs, id_col, text_col, k or DEFAULT_SHINGLE
+    ).localCheckpoint(eager=False)
+    batch_partial = rows.groupBy(F.col("_h").alias("h")).agg(
+        F.count("*").alias("n")
+    )
     counts = (
         read_gram_store(batch_docs.sparkSession, store_path)
-        .unionByName(_partial_counts(batch_docs, id_col, text_col, k))
+        .unionByName(batch_partial)
         .groupBy("h")
         .agg(F.sum("n").cast("long").alias("n"))
     )
     return duplicated_spans(
         batch_docs, id_col, text_col, k=k or 5, min_count=min_count,
-        gram_counts=counts,
+        gram_counts=counts, gram_rows=rows,
     )
 
 

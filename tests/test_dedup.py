@@ -245,3 +245,29 @@ def test_remove_duplicated_spans_hand_computed(spark):
     assert out[2].cleaned_text == "w1 w2 w3" and out[2].tokens_removed == 7
     assert out[4].cleaned_text == "entirely unique words only here today friend"
     assert out[4].tokens_removed == 0 and out[4].n_tokens == 7
+
+
+def test_duplicated_spans_gram_rows_param_equal(spark):
+    """r14: passing a precomputed sliding_gram_rows frame (the gram
+    store's shared-scan score path) must be cell-identical to the
+    self-derived path."""
+    from hubspot_neo4j_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+        sliding_gram_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h a b c d e f g h"),
+            (2, "a b c d e f g h x y z w q r s t"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    base = duplicated_spans(docs, "doc_id", "text")
+    rows = sliding_gram_rows(docs, "doc_id", "text").localCheckpoint(eager=False)
+    shared = duplicated_spans(docs, "doc_id", "text", gram_rows=rows)
+    assert base.columns == shared.columns
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shared.collect())
+    )
