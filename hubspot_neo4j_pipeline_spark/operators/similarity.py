@@ -665,10 +665,24 @@ def kmeans_seeds(
     # one corpus pass for the min-id init; thereafter centroids are
     # driver-local Python and each round adds exactly one more pass
     centroids = {r["cell"]: list(r["se"]) for r in seeds.collect()}
+    # r14: centroid frames ship as pandas/Arrow batches coalesced to
+    # one slice — a driver-list createDataFrame parallelizes k rows
+    # into defaultParallelism Python-RDD slices, paying a Python-worker
+    # round-trip per slice every time the broadcast side materializes
+    # (flagship's r14 defect class). Bounded k x dim doubles.
+    import pandas as pd
+
+    def _centroid_frame():
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(c, centroids[c]) for c in sorted(centroids)],
+                columns=[f.name for f in schema.fields],
+            ),
+            schema,
+        ).coalesce(1)
+
     for _ in range(max(iters, 0)):
-        seeds = spark.createDataFrame(
-            [(c, centroids[c]) for c in sorted(centroids)], schema
-        )
+        seeds = _centroid_frame()
         assigned = ivf_assign(df, seeds, id_col, vec_col, n_probe=1)
         means = (
             assigned.select("cell", F.posexplode("e").alias("pos", "val"))
@@ -679,9 +693,7 @@ def kmeans_seeds(
             .select("cell", F.transform("s", lambda x: x["m"]).alias("se"))
         )
         centroids.update({r["cell"]: list(r["se"]) for r in means.collect()})
-    return spark.createDataFrame(
-        [(c, centroids[c]) for c in sorted(centroids)], schema
-    )
+    return _centroid_frame()
 
 
 QUANT_SCALE = 1 << 20  # fixed-point scale for oracle-exact training

@@ -371,8 +371,27 @@ def _golden_merge(spark: SparkSession):
     # no load_table in this query, so pin the UTC session explicitly —
     # the timestamp literals must mean the same instant as the oracle's
     ensure_session_confs(spark)
-    current = with_temporal_fields(spark.createDataFrame(_G_BASELINE, _G_COLS), _G_T0)
-    incoming = spark.createDataFrame(_G_MODIFIED, _G_COLS)
+    # r14: pandas/Arrow + coalesce(1) for the 6-row golden frames — a
+    # createDataFrame over a plain Python list parallelizes into
+    # defaultParallelism PYTHON-RDD slices, and scd2_merge's multi-
+    # branch output re-ran the Python-worker round-trip per slice per
+    # branch (the flagship's r14 defect class; same fix). Schema is
+    # pinned so dtypes match the old list inference exactly.
+    import pandas as pd
+
+    schema = (
+        "hubspot_id string, name string, owner_id string, "
+        "stage string, active boolean"
+    )
+    current = with_temporal_fields(
+        spark.createDataFrame(
+            pd.DataFrame(_G_BASELINE, columns=_G_COLS), schema
+        ).coalesce(1),
+        _G_T0,
+    )
+    incoming = spark.createDataFrame(
+        pd.DataFrame(_G_MODIFIED, columns=_G_COLS), schema
+    ).coalesce(1)
     return scd2_merge(current, incoming, key="hubspot_id", now=_G_T1)
 
 
