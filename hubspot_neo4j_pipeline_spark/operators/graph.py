@@ -142,13 +142,29 @@ def pagerank_quantized(
     irrelevant to ranking; the double variant remains the production
     default. Scale: identical shuffle structure to ``pagerank`` (one
     join pair per round, lineage truncated per round)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # r14 (guide §2.4/§5): the graph-static frames are consumed by
+    # EVERY round — without the checkpoints each of the n_iter round
+    # plans re-derives e (source scans + union), vertices (distinct —
+    # a shuffle) and out_deg (groupBy — a shuffle) from scratch, so the
+    # upstream edge plan executed n_iter+1 times. Lazy localCheckpoint
+    # materializes each once on first use; rounds then read the
+    # persisted blocks (connected_components' `sym` pattern). Exact
+    # same values: every step is int64 arithmetic, associative and
+    # order-free.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     vertices = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
     teleport = (scale * (damping_den - damping_num)) // damping_den
     ranks = vertices.select(
         "id", F.lit(scale).cast("long").alias("rank_q")
@@ -204,13 +220,25 @@ def pagerank(
     deterministic up to float addition order, so this is test-verified
     (numpy, 1e-9 tolerance), not DuckDB-oracle-matched.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # r14: same static-frame checkpoints as pagerank_quantized — each
+    # round otherwise re-derives e/vertices/out_deg from the upstream
+    # edge plan (n_iter+1 executions of it). Float rank values are
+    # unchanged within the documented test tolerance (per-key sum
+    # order may differ across layouts, as always for doubles).
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     vertices = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
     ranks = vertices.select("id", F.lit(1.0).alias("rank"))
     for _ in range(n_iter):
         contribs = (

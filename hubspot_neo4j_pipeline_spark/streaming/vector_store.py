@@ -115,8 +115,15 @@ def _with_buckets(
             "vec_id", "e", F.lit(0.0).alias("_n"),
             F.expr("cast(array() as array<bigint>)").alias("buckets"),
         ).where(F.lit(False))
+    # r14: pandas/Arrow for the 1-row plane frame — the plain-list
+    # createDataFrame parallelizes even ONE row into
+    # defaultParallelism Python-RDD slices, so every broadcast
+    # materialization paid 32 Python-worker round-trips (~0.3 s vs
+    # ~0.03 s measured; doubles cross Arrow bit-intact).
+    import pandas as pd
+
     planes_row = v.sparkSession.createDataFrame(
-        [(planes,)], "ps array<array<double>>"
+        pd.DataFrame({"ps": [planes]}), "ps array<array<double>>"
     )
     return (
         v.join(F.broadcast(planes_row))
@@ -155,6 +162,14 @@ def vector_store_update_batch(
     )
     planes, ppt = _pinned_planes(meta)
     if planes is None:
+        # r14 (guide §1.2): the plane-derivation path consumes v THREE
+        # times (count, plane collect, delta write) — materialize it
+        # once so the second and third pass read checkpointed blocks
+        # instead of re-running the dedup aggregate. Later batches
+        # (planes pinned) execute v exactly once and skip this — the
+        # hot micro-batch path pays nothing. Same pattern as
+        # vector_store_bootstrap.
+        v = v.localCheckpoint(eager=True)
         ppt = auto_planes_per_table(v.count())
         rows = v.orderBy("vec_id").limit(n_tables * ppt).collect()
         planes = [list(r["e"]) for r in rows]  # bounded: n_planes x dim
