@@ -174,3 +174,29 @@ def test_pagerank_quantized_tracks_double_variant(spark):
             mass[d] += rq[s] // out_deg[s]
         rq = {v: teleport + (85 * mass[v]) // 100 for v in nodes}
     assert q == rq
+
+
+def test_pagerank_executes_edge_plan_once(spark):
+    """r14 (guide §2.4/§5): the static graph frames (e, vertices,
+    out_deg) are localCheckpointed, so the upstream edge plan must run
+    EXACTLY once no matter how many rounds iterate — before the fix
+    each round's plan re-derived all three from the source (n_iter+1
+    executions). Pinned with an accumulator inside a pass-through
+    mapInPandas on the edge frame: every edge row crosses the Python
+    stage once iff the plan executed once."""
+    from hubspot_neo4j_pipeline_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long").coalesce(1)
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = edges.mapInPandas(count_rows, "src long, dst long")
+    pagerank_quantized(counted, n_iter=3).collect()
+    assert acc.value == len(edge_list), acc.value
