@@ -102,11 +102,28 @@ def _prune_stale(root: str, max_age_s: int = 3600, keep: str | None = None) -> N
         pass
 
 
+# _scratch prune throttle (r14, guide §5 — driver work): newest_mtime
+# os.walks EVERY other application's scratch tree, and _scratch runs
+# inside every sink-family query, so each query paid ~0.1-0.35 s of
+# driver-side directory walking that grows with accumulated scratch
+# (measured 0.345 s with 10 live app dirs / 98 MB — ~6 s across one
+# bench pass, and a box-state-dependent noise source). Staleness is
+# judged against a 1 h age gate, so re-checking more than once per
+# PRUNE_INTERVAL_S per process cannot change what gets pruned by the
+# time it matters; the first sink query of a process still prunes.
+PRUNE_INTERVAL_S = 300.0
+_last_prune = [0.0]
+
+
 def _scratch(spark: SparkSession, query: str, sf_dir: str) -> str:
+    import time as _time
+
     # applicationId in the path: two data dirs sharing a basename, or
     # two concurrent runs of the same query+SF, must not race each
     # other's overwrite-then-read-back
-    _prune_stale(_SCRATCH, keep=spark.sparkContext.applicationId)
+    if _time.monotonic() - _last_prune[0] >= PRUNE_INTERVAL_S or not _last_prune[0]:
+        _prune_stale(_SCRATCH, keep=spark.sparkContext.applicationId)
+        _last_prune[0] = _time.monotonic()
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     app_dir = os.path.join(_SCRATCH, spark.sparkContext.applicationId)
     os.makedirs(app_dir, exist_ok=True)
