@@ -47,8 +47,22 @@ def read_meta(store_path: str) -> dict:
 def write_meta(store_path: str, meta: dict) -> None:
     """Atomic commit: tmp file + os.replace — readers see the old or
     the new pointer, never a torn one. This replace is the ONLY
-    mutation that changes what a reader resolves."""
-    tmp = os.path.join(store_path, META + ".tmp")
+    mutation that changes what a reader resolves.
+
+    The tmp name is unique per writer (pid + thread id): concurrent
+    INDEPENDENT ingests (streaming/backfill.py, guide §2.6) may pin
+    identical meta values from two driver threads at once, and a
+    shared tmp name would let one writer os.replace the file out from
+    under the other mid-commit (measured: FileNotFoundError under a
+    2-thread backfill). Unique tmps make every replace self-contained;
+    last writer wins, and concurrent pinners write identical dicts by
+    construction (pin values derive from store params and batch
+    schema, not from wall order)."""
+    import threading
+
+    tmp = os.path.join(
+        store_path, f"{META}.tmp-{os.getpid()}-{threading.get_ident()}"
+    )
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(store_path, META))
@@ -91,6 +105,13 @@ def sweep(store_path: str, meta: dict) -> None:
             shutil.rmtree(full, ignore_errors=True)
         elif name.startswith("_tmp-"):
             shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(META + ".tmp"):
+            # a crash between write_meta's dump and replace strands a
+            # per-writer tmp file (never reader-resolvable)
+            try:
+                os.remove(full)
+            except OSError:
+                pass
 
 
 def already_ingested(store_path: str, batch_id: int) -> bool:
