@@ -174,16 +174,69 @@ def _manifest_counts(df, tmp: str, bucket_col: str) -> tuple[list[int], int]:
     return sorted(r[0] for r in per_bucket), int(sum(r[1] for r in per_bucket))
 
 
+# Driver-side delta commit (r14 round-2, the round-1 "not yet
+# optimized" #1; guide §5 — the driver can own driver-bounded work).
+# A micro-batch delta is typically a few thousand slim rows, but the
+# Spark write job still pays write-task launch + the Hadoop committer
+# (_temporary dirs, per-task + job commit renames) + the manifest's
+# re-read of the written files — measured ~0.1-0.3 s of fixed cost per
+# commit at sf0.1 against a 0.5-0.7 s total. When the PLANNER estimates
+# the delta small, the driver collects it as one Arrow table (same
+# single plan execution the write job pays), writes one parquet file
+# with pyarrow, and derives the manifest from the in-memory table —
+# zero extra I/O. Gates, conservative in both directions:
+#   * planner estimate (optimizedPlan().stats().sizeInBytes) must be
+#     under DRIVER_COMMIT_MAX_EST — estimates on these post-aggregate
+#     plans measured within ~5x of actual Arrow bytes, and an eagerly
+#     checkpointed input (the SCD2 upsert path) reports "unknown"
+#     (huge), so bulk and unknown-size deltas keep the distributed
+#     write;
+#   * the collected table's ACTUAL bytes must be under
+#     DRIVER_COMMIT_MAX_ACTUAL or the Spark path re-executes (rare
+#     misestimate; correctness never depends on the gate).
+# Byte compatibility is pinned by test_driver_commit_parity: for every
+# store's delta shape (strings/longs/decimals/timestamps/bool/arrays)
+# the pyarrow-written file reads back through spark.read.parquet with
+# identical dtypes and rows as a Spark-written one.
+DRIVER_COMMIT_MAX_EST = 16 * 1024 * 1024
+DRIVER_COMMIT_MAX_ACTUAL = 128 * 1024 * 1024
+
+
+def _try_driver_table(df):
+    """The delta as a pyarrow table IF the planner thinks it is small,
+    else None. Any failure (stats API drift, Arrow conversion of an
+    exotic type, result-size cap) falls back to the Spark write."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est > DRIVER_COMMIT_MAX_EST:
+            return None
+        tbl = df.toArrow()
+        if tbl.nbytes > DRIVER_COMMIT_MAX_ACTUAL:
+            return None
+        return tbl
+    except Exception:
+        return None
+
+
 def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = None) -> None:
     """Write ``df`` as delta segment b<batch_id>: parquet into a _tmp
     dir, then one atomic os.rename. A crashed previous attempt's _tmp
     is cleared first (it was never reader-visible).
 
+    Small deltas (planner-estimated — see _try_driver_table) execute
+    the plan ONCE into a driver Arrow table and commit as a single
+    pyarrow-written file, skipping the write job's committer overhead
+    and the manifest re-read; large or unknown-size deltas take the
+    distributed write exactly as before.
+
     ``bucket_col`` (r10, bucket-partial compaction): name of an
     integer bucket column carried by ``df``. When given, the distinct
     bucket ids present in the batch are collected from the
     just-written tmp parquet (a slim re-read, never a recompute of the
-    batch plan) into a ``_delta_manifest.json`` INSIDE the delta dir —
+    batch plan) — or straight from the driver table on the small-delta
+    path — into a ``_delta_manifest.json`` INSIDE the delta dir —
     written before the rename, so the manifest commits atomically with
     the data. Compactions use the union of live manifests to merge
     only touched buckets and carry the rest of the base over by
@@ -192,13 +245,36 @@ def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = No
     tmp = os.path.join(store_path, f"_tmp-b{batch_id}")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
-    if bucket_col is not None:
-        # one slim pass over the just-written parquet gives BOTH the
-        # touched-bucket list (partial compaction) and the delta's row
-        # count (r11: scale-adaptive bucket sizing) — see
-        # _manifest_counts for the small-delta driver shortcut
-        touched, rows = _manifest_counts(df, tmp, bucket_col)
+    manifest: tuple[list[int], int] | None = None
+    tbl = _try_driver_table(df)
+    if tbl is not None:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(tmp)
+        pq.write_table(
+            tbl, os.path.join(tmp, "part-00000-driver.parquet"),
+            compression="zstd",
+        )
+        if bucket_col is not None:
+            manifest = (
+                sorted(
+                    int(v)
+                    for v in pc.unique(tbl.column(bucket_col)).to_pylist()
+                    if v is not None
+                ),
+                tbl.num_rows,
+            )
+    else:
+        df.write.mode("overwrite").parquet(tmp)
+        if bucket_col is not None:
+            # one slim pass over the just-written parquet gives BOTH
+            # the touched-bucket list (partial compaction) and the
+            # delta's row count (r11: scale-adaptive bucket sizing) —
+            # see _manifest_counts for the small-delta driver shortcut
+            manifest = _manifest_counts(df, tmp, bucket_col)
+    if manifest is not None:
+        touched, rows = manifest
         with open(os.path.join(tmp, MANIFEST), "w") as fh:
             json.dump(
                 {"bucket_col": bucket_col, "touched": touched, "rows": rows},
