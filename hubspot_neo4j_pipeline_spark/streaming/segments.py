@@ -202,15 +202,30 @@ DRIVER_COMMIT_MAX_EST = 16 * 1024 * 1024
 DRIVER_COMMIT_MAX_ACTUAL = 128 * 1024 * 1024
 
 
-def _try_driver_table(df):
-    """The delta as a pyarrow table IF the planner thinks it is small,
-    else None. Any failure (stats API drift, Arrow conversion of an
-    exotic type, result-size cap) falls back to the Spark write."""
+def plan_size_estimate(df) -> int | None:
+    """Catalyst's optimized-plan output-size estimate in bytes, or
+    None when the API is unavailable. An UNKNOWN size (LogicalRDD
+    inputs — checkpoints, driver frames) surfaces as a huge number, so
+    comparing against a small threshold naturally fails the gate. Used
+    by stores whose final delta plan joins a driver frame (the vector
+    store's pinned-planes row): they estimate on the parquet-rooted
+    subplan BEFORE that join and pass ``est_bytes`` to commit_delta."""
     try:
-        est = int(
+        return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        if est > DRIVER_COMMIT_MAX_EST:
+    except Exception:
+        return None
+
+
+def _try_driver_table(df, est_bytes: int | None = None):
+    """The delta as a pyarrow table IF the planner (or the caller's
+    ``est_bytes`` override) thinks it is small, else None. Any failure
+    (stats API drift, Arrow conversion of an exotic type, result-size
+    cap) falls back to the Spark write."""
+    try:
+        est = est_bytes if est_bytes is not None else plan_size_estimate(df)
+        if est is None or est > DRIVER_COMMIT_MAX_EST:
             return None
         tbl = df.toArrow()
         if tbl.nbytes > DRIVER_COMMIT_MAX_ACTUAL:
@@ -220,7 +235,13 @@ def _try_driver_table(df):
         return None
 
 
-def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = None) -> None:
+def commit_delta(
+    df,
+    store_path: str,
+    batch_id: int,
+    bucket_col: str | None = None,
+    est_bytes: int | None = None,
+) -> None:
     """Write ``df`` as delta segment b<batch_id>: parquet into a _tmp
     dir, then one atomic os.rename. A crashed previous attempt's _tmp
     is cleared first (it was never reader-visible).
@@ -229,7 +250,9 @@ def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = No
     the plan ONCE into a driver Arrow table and commit as a single
     pyarrow-written file, skipping the write job's committer overhead
     and the manifest re-read; large or unknown-size deltas take the
-    distributed write exactly as before.
+    distributed write exactly as before. ``est_bytes`` lets a caller
+    whose final plan hides its size behind a driver-frame join supply
+    the estimate itself (see plan_size_estimate).
 
     ``bucket_col`` (r10, bucket-partial compaction): name of an
     integer bucket column carried by ``df``. When given, the distinct
@@ -246,7 +269,7 @@ def commit_delta(df, store_path: str, batch_id: int, bucket_col: str | None = No
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     manifest: tuple[list[int], int] | None = None
-    tbl = _try_driver_table(df)
+    tbl = _try_driver_table(df, est_bytes)
     if tbl is not None:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq

@@ -160,6 +160,13 @@ def vector_store_update_batch(
     v = _vec_rows(
         batch.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("e"))
     )
+    # r14 round-2: the delta plan joins the pinned-planes driver frame,
+    # which hides the plan's size from the planner (LogicalRDD reports
+    # unknown), so the small-delta driver commit would never fire.
+    # Estimate on the parquet-rooted subplan BEFORE that join instead;
+    # x4 covers the added buckets/norm/meta columns (the vector payload
+    # dominates a row, so the margin is generous).
+    v_est = segments.plan_size_estimate(v)
     planes, ppt = _pinned_planes(meta)
     if planes is None:
         # r14 (guide §1.2): the plane-derivation path consumes v THREE
@@ -183,7 +190,10 @@ def vector_store_update_batch(
             "int"
         ),
     )
-    segments.commit_delta(delta, store_path, batch_id, bucket_col="_bucket")
+    segments.commit_delta(
+        delta, store_path, batch_id, bucket_col="_bucket",
+        est_bytes=None if v_est is None else v_est * 4,
+    )
     if len(segments.live_deltas(store_path)) >= compact_every:
         vector_store_compact(batch.sparkSession, store_path, n_buckets)
 

@@ -97,7 +97,7 @@ def test_driver_commit_parity(spark, tmp_path_factory, shape, monkeypatch):
     ), "small delta should take the driver path"
 
     spk = str(tmp_path_factory.mktemp(f"spk_{shape}"))
-    monkeypatch.setattr(segments, "_try_driver_table", lambda df: None)
+    monkeypatch.setattr(segments, "_try_driver_table", lambda df, est=None: None)
     segments.commit_delta(df, spk, 0, bucket_col=bucket_col)
     spk_dir = os.path.join(spk, "deltas", "b0")
     assert not os.path.exists(os.path.join(spk_dir, "part-00000-driver.parquet"))

@@ -1,12 +1,10 @@
-"""Phase-level breakdown of segments.commit_delta across the
-incremental store round-trip queries (r14 round-2 candidate #1):
-how much of each delta commit is the Spark write job vs the manifest
-read vs the rename, and how much commit_delta contributes to each
-query end-to-end.
-
-Monkey-patches an instrumented clone of segments.commit_delta (same
-semantics), runs the selected registered queries unchanged with the
-noop sink, prints one JSON line per query plus a global phase rollup.
+"""Per-call commit_delta attribution across the incremental store
+round-trip queries: wraps the REAL segments.commit_delta (no cloned
+logic — r14 round 2 added a driver-side Arrow fast path, and a clone
+would silently measure the wrong code), records wall per call, which
+path each commit took (driver single-file vs distributed write), and
+committed bytes; then runs the selected registered queries unchanged
+with the noop sink. One JSON line per query.
 
 Usage: python tools/profile_commit_delta.py [sf_dir] [q1,q2,...]
 """
@@ -14,7 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -38,57 +35,37 @@ def main() -> int:
     spark = get_spark()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
-    phases: dict[str, float] = {}
-    ncalls = [0]
-    delta_bytes = [0]
+    stats = {"sec": 0.0, "calls": 0, "driver_path": 0, "bytes": 0}
+    real = segments.commit_delta
 
-    def instrumented_commit_delta(df, store_path, batch_id, bucket_col=None):
+    def wrapped(df, store_path, batch_id, bucket_col=None, **kw):
         t0 = time.perf_counter()
-        os.makedirs(os.path.join(store_path, segments.DELTAS), exist_ok=True)
-        tmp = os.path.join(store_path, f"_tmp-b{batch_id}")
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        t1 = time.perf_counter()
-        df.write.mode("overwrite").parquet(tmp)
-        t2 = time.perf_counter()
-        if bucket_col is not None:
-            touched, rows = segments._manifest_counts(df, tmp, bucket_col)
-            with open(os.path.join(tmp, segments.MANIFEST), "w") as fh:
-                json.dump(
-                    {"bucket_col": bucket_col, "touched": touched, "rows": rows},
-                    fh,
-                )
-        t3 = time.perf_counter()
-        os.rename(tmp, os.path.join(store_path, segments.DELTAS, f"b{batch_id}"))
-        t4 = time.perf_counter()
-        dest = os.path.join(store_path, segments.DELTAS, f"b{batch_id}")
-        for root, _d, files in os.walk(dest):
-            for f in files:
-                if f.endswith(".parquet"):
-                    delta_bytes[0] += os.path.getsize(os.path.join(root, f))
-        phases["prep"] = phases.get("prep", 0.0) + (t1 - t0)
-        phases["spark_write"] = phases.get("spark_write", 0.0) + (t2 - t1)
-        phases["manifest"] = phases.get("manifest", 0.0) + (t3 - t2)
-        phases["rename"] = phases.get("rename", 0.0) + (t4 - t3)
-        ncalls[0] += 1
+        try:
+            return real(df, store_path, batch_id, bucket_col=bucket_col, **kw)
+        finally:
+            stats["sec"] += time.perf_counter() - t0
+            stats["calls"] += 1
+            dest = os.path.join(store_path, segments.DELTAS, f"b{batch_id}")
+            for root, _d, files in os.walk(dest):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        stats["bytes"] += os.path.getsize(os.path.join(root, f))
+                    if f == "part-00000-driver.parquet":
+                        stats["driver_path"] += 1
 
-    segments.commit_delta = instrumented_commit_delta
-    # stores that imported the symbol directly
+    segments.commit_delta = wrapped
     from hubspot_neo4j_pipeline_spark.streaming import gram_store
 
-    gram_store._commit_delta = instrumented_commit_delta
+    gram_store._commit_delta = wrapped
 
     from hubspot_neo4j_pipeline_spark.plans import get_queries
 
     queries = get_queries()
     for name in names:
         fn = queries[name]
-        # warm rep first (page cache, codegen), then measured rep
-        for rep in range(2):
-            for k in list(phases):
-                del phases[k]
-            ncalls[0] = 0
-            delta_bytes[0] = 0
+        for _rep in range(2):  # warm rep first, report the second
+            for k in stats:
+                stats[k] = 0 if isinstance(stats[k], int) else 0.0
             t0 = time.perf_counter()
             spark.sparkContext.setJobDescription(f"profile:{name}")
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -99,10 +76,10 @@ def main() -> int:
                 {
                     "query": name,
                     "total_sec": round(total, 3),
-                    "commit_delta_calls": ncalls[0],
-                    "delta_bytes": delta_bytes[0],
-                    "phases_sec": {k: round(v, 3) for k, v in phases.items()},
-                    "commit_delta_total": round(sum(phases.values()), 3),
+                    "commit_delta_calls": stats["calls"],
+                    "commit_delta_sec": round(stats["sec"], 3),
+                    "driver_path_commits": stats["driver_path"],
+                    "delta_bytes": stats["bytes"],
                 }
             )
         )
