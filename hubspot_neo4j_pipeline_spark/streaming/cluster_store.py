@@ -163,32 +163,42 @@ def read_cluster_assignments(spark: SparkSession, store_path: str) -> DataFrame:
 
 def _driver_union_find(edge_rows: list) -> dict:
     """Min-label union-find over a bounded, collected condensed edge
-    list — path-compressed, deterministic (the root is always the
-    minimum node id, matching hash-min CC and the recursive-CTE
-    oracle)."""
-    parent: dict = {}
-    nodes: set = set()
+    list — deterministic (root = minimum node id, matching hash-min CC
+    and the recursive-CTE oracle). Implementation shared with the
+    one-shot ``operators/graph.components_min_label`` since r15."""
+    from ..operators.graph import min_label_union_find
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = r, parent[x]
-        return r
+    return min_label_union_find(edge_rows)
 
-    for a, b in edge_rows:
-        nodes.add(a)
-        nodes.add(b)
-        ra, rb = find(a), find(b)
-        if ra == rb:
-            continue
-        lo, hi = (ra, rb) if ra < rb else (rb, ra)
-        parent[hi] = lo
-    # every node gets a row — roots map to themselves — matching the
-    # distributed kernel's output shape (and the store's documented
-    # "every paired doc has an assignment" semantic)
-    return {n: find(n) for n in nodes}
+
+class PendingFold:
+    """Handle between ``cluster_store_condense_batch`` and
+    ``cluster_store_commit_condensed`` (r15, guide §2.6): after the
+    condense step the batch's upstream ``pairs`` plan has been fully
+    EXECUTED into an eager localCheckpoint, so nothing the commit step
+    does still references the pair source's files. A caller may
+    therefore overlap the commit with work that mutates OTHER stores —
+    in particular the LSH ingest/compaction of the same micro-batch,
+    the hazard that blocked whole-step overlap in r14 (an LSH
+    compaction sweeping delta dirs a mid-flight pairs plan still
+    read). The commit touches only ``store_path``."""
+
+    __slots__ = (
+        "spark",
+        "store_path",
+        "batch_id",
+        "compact_every",
+        "n_buckets",
+        "id_type",
+        "assign",
+        "cond",
+        "driver_cc_max_edges",
+        "noop",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw.get(k))
 
 
 def cluster_store_update_batch(
@@ -211,13 +221,49 @@ def cluster_store_update_batch(
     upstream plan feeding ``pairs`` executes exactly once. Same
     replay / crash / compaction contract as the sibling stores
     (segments.py); min-merge additionally makes even a replay-guard
-    bypass harmless."""
+    bypass harmless.
+
+    Implemented as condense-then-commit (r15): this convenience
+    wrapper is exactly ``cluster_store_commit_condensed(
+    cluster_store_condense_batch(...))`` — callers that want to
+    overlap the commit with independent other-store work call the two
+    phases themselves (state parity pinned by
+    ``test_forked_fold_state_equals_sequential``)."""
+    cluster_store_commit_condensed(
+        cluster_store_condense_batch(
+            pairs,
+            store_path,
+            batch_id=batch_id,
+            id_a=id_a,
+            id_b=id_b,
+            compact_every=compact_every,
+            n_buckets=n_buckets,
+            driver_cc_max_edges=driver_cc_max_edges,
+        )
+    )
+
+
+def cluster_store_condense_batch(
+    pairs: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    compact_every: int = COMPACT_EVERY,
+    n_buckets: int = CLUSTER_STORE_BUCKETS,
+    driver_cc_max_edges: int = 200_000,
+) -> PendingFold:
+    """Phase 1 of the fold: replay guard, meta pins, endpoint
+    condensation against the current assignments, and the ONE eager
+    execution of the upstream ``pairs`` plan into a localCheckpoint.
+    Returns the handle ``cluster_store_commit_condensed`` finishes;
+    see ``PendingFold`` for what may safely overlap the commit."""
     spark = pairs.sparkSession
     os.makedirs(store_path, exist_ok=True)
     if batch_id is None:
         batch_id = segments.next_batch_id(store_path)
     elif segments.already_ingested(store_path, batch_id):
-        return  # replayed micro-batch
+        return PendingFold(noop=True)  # replayed micro-batch
     meta = segments.read_meta(store_path)
     n_buckets = segments.pin_n_buckets(store_path, meta, n_buckets)
     # ids must stay one orderable type store-wide: min(comp) is numeric
@@ -268,6 +314,36 @@ def cluster_store_update_batch(
     # blocks, never recomputes). limit(N+1) caps driver memory; an
     # overflowing batch re-plans distributed over the same checkpoint.
     cond = edges.distinct().localCheckpoint(eager=True)
+    return PendingFold(
+        spark=spark,
+        store_path=store_path,
+        batch_id=batch_id,
+        compact_every=compact_every,
+        n_buckets=n_buckets,
+        id_type=id_type,
+        assign=assign,
+        cond=cond,
+        driver_cc_max_edges=driver_cc_max_edges,
+        noop=False,
+    )
+
+
+def cluster_store_commit_condensed(pending: PendingFold) -> None:
+    """Phase 2 of the fold: connectivity solve over the checkpointed
+    condensed edges (driver union-find under the bound, distributed
+    hash-min CC past it), the relabel join, the atomic delta commit,
+    and the compaction trigger. Touches only the cluster store."""
+    if pending.noop:
+        return
+    spark = pending.spark
+    store_path = pending.store_path
+    batch_id = pending.batch_id
+    compact_every = pending.compact_every
+    n_buckets = pending.n_buckets
+    id_type = pending.id_type
+    assign = pending.assign
+    cond = pending.cond
+    driver_cc_max_edges = pending.driver_cc_max_edges
     head = cond.limit(driver_cc_max_edges + 1).collect()
     relabel_changed = None  # (node, new_comp) for old labels that moved
     fresh_delta = None  # (doc_id, comp) rows needing no store join

@@ -63,6 +63,26 @@ def main() -> int:
             "cluster_store_update_batch",
             timed(cluster_store, "cluster_store_update_batch", "cluster_fold"),
         ),
+        # r15 condense-then-fork split: the harness calls the two
+        # phases directly (fold_commit runs CONCURRENTLY with
+        # lsh_ingest, so stage sums may exceed wall time — that
+        # overlap is the point)
+        (
+            cluster_store,
+            "cluster_store_condense_batch",
+            timed(
+                cluster_store, "cluster_store_condense_batch", "fold_condense"
+            ),
+        ),
+        (
+            cluster_store,
+            "cluster_store_commit_condensed",
+            timed(
+                cluster_store,
+                "cluster_store_commit_condensed",
+                "fold_commit",
+            ),
+        ),
         (
             lsh_store,
             "lsh_store_update_batch",
