@@ -92,6 +92,84 @@ def connected_components(
     return labels
 
 
+def min_label_union_find(edge_rows: list) -> dict:
+    """Min-label union-find over a bounded, collected edge list —
+    path-compressed, deterministic (the root is always the minimum
+    node id, matching hash-min CC and the recursive-CTE oracles).
+    Shared by the streaming cluster store's condensed-graph solve and
+    ``components_min_label``'s one-shot solve (r15 — hoisted here from
+    streaming/cluster_store so both keep ONE implementation)."""
+    parent: dict = {}
+    nodes: set = set()
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent[hi] = lo
+    # every node gets a row — roots map to themselves — matching the
+    # distributed kernel's output shape
+    return {n: find(n) for n in nodes}
+
+
+def components_min_label(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    driver_max_edges: int = 200_000,
+) -> DataFrame:
+    """(id, comp = min vertex id reachable) — the exact contract of
+    ``connected_components``, solved with a bounded DRIVER union-find
+    when the edge list is small, the distributed kernel past the
+    bound (r15, guide §1.2 — choose the cheapest correct algorithm).
+
+    Why: the iterative kernel costs, per round, one eager-checkpoint
+    job (two shuffles) plus a convergence-probe job — ~6-12 fixed-cost
+    Spark jobs for a verified near-dup pair set that is id-pairs only
+    and typically thousands of rows (the pair caps bound it at any
+    corpus scale). The streaming cluster store has used this exact
+    bounded-collect + distributed-fallback shape since r11
+    (``driver_cc_max_edges``); this is the one-shot form. The edge
+    list is eagerly checkpointed BEFORE the bounding collect so the
+    upstream pair plan executes exactly once even when the fallback
+    re-plans over it — and the collect reads checkpointed blocks.
+    Equality with the kernel is pinned by
+    ``test_components_min_label_equals_kernel`` (bound forced to 0)
+    and by the registered CC-family oracles at three scales."""
+    spark = edges.sparkSession
+    id_type = dict(edges.dtypes)[src]
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    cond = e.localCheckpoint(eager=True)
+    head = cond.limit(driver_max_edges + 1).collect()
+    if len(head) > driver_max_edges:
+        out = connected_components(cond, src="a", dst="b")
+        return out.select(F.col("id"), F.col("comp"))
+    if not head:
+        return spark.createDataFrame(
+            [], f"id {id_type}, comp {id_type}"
+        ).coalesce(1)
+    mapping = min_label_union_find([(r["a"], r["b"]) for r in head])
+    import pandas as pd
+
+    # pandas/Arrow + coalesce(1): the r14 driver-frame rule — a plain
+    # list would parallelize into defaultParallelism Python-RDD slices
+    frame = pd.DataFrame(sorted(mapping.items()), columns=["id", "comp"])
+    return spark.createDataFrame(
+        frame, f"id {id_type}, comp {id_type}"
+    ).coalesce(1)
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:
@@ -102,7 +180,7 @@ def dedup_clusters(
     keep-list is ``docs.join(clusters_members, 'left_anti')`` plus one
     canonical id per cluster.
     """
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    comp = components_min_label(pairs, src=id_a, dst=id_b)
     return comp.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count("*").alias("n_members"),
         F.min("id").alias("min_member"),

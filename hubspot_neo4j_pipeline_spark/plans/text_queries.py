@@ -669,10 +669,10 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def doc_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
+    from ..operators.graph import components_min_label
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(_dup_pairs(docs), src="id_a", dst="id_b").select(
+    comp = components_min_label(_dup_pairs(docs), src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("_cluster")
     )
     return docs.select("doc_id").join(comp, "doc_id", "left").select(
@@ -721,10 +721,10 @@ def doc_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def doc_dedup_quality_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
+    from ..operators.graph import components_min_label
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(_dup_pairs(docs), src="id_a", dst="id_b").select(
+    comp = components_min_label(_dup_pairs(docs), src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("_cluster")
     )
     members = (
@@ -862,10 +862,10 @@ def doc_dup_clusters_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def doc_dedup_keeplist_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
+    from ..operators.graph import components_min_label
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(
+    comp = components_min_label(
         _dup_pairs_sliced(docs, VERIFY_SLICE_K), src="id_a", dst="id_b"
     ).select(F.col("id").alias("doc_id"), F.col("comp").alias("_cluster"))
     return docs.select("doc_id").join(comp, "doc_id", "left").select(
@@ -908,10 +908,10 @@ def doc_dedup_keeplist_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dedup_quality_keeplist_slice(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.graph import connected_components
+    from ..operators.graph import components_min_label
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(
+    comp = components_min_label(
         _dup_pairs_sliced(docs, VERIFY_SLICE_K), src="id_a", dst="id_b"
     ).select(F.col("id").alias("doc_id"), F.col("comp").alias("_cluster"))
     members = (
@@ -974,10 +974,10 @@ def doc_dedup_quality_keeplist_slice(
     ),
 )
 def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
+    from ..operators.graph import components_min_label
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(_dup_pairs(docs), src="id_a", dst="id_b").select(
+    comp = components_min_label(_dup_pairs(docs), src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), F.col("comp").alias("_cluster")
     )
     members = docs.select("doc_id").join(comp, "doc_id", "left").select(
@@ -1026,10 +1026,10 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def cluster_safe_split_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
+    from ..operators.graph import components_min_label
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(
+    comp = components_min_label(
         _dup_pairs_sliced(docs, VERIFY_SLICE_K), src="id_a", dst="id_b"
     ).select(F.col("id").alias("doc_id"), F.col("comp").alias("_cluster"))
     members = docs.select("doc_id").join(comp, "doc_id", "left").select(

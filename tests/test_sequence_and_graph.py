@@ -97,6 +97,61 @@ def test_connected_components_converges_on_long_chain(spark):
     assert comp.where(F.col("comp") != 0).count() == 0
 
 
+def test_components_min_label_equals_kernel(spark):
+    """The bounded driver union-find solve (r15) and the distributed
+    hash-min kernel must produce IDENTICAL labelings — forcing the
+    bound to 0 exercises the fallback on the same input, so the scale
+    path is never a correctness fork (the cluster store's rule)."""
+    from hubspot_neo4j_pipeline_spark.operators.graph import (
+        components_min_label,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    # random clustered graph incl. a chain, a clique, self-loops, dups
+    edges = (
+        [(i, i + 1) for i in range(25)]
+        + [(100 + a, 100 + b) for a in range(6) for b in range(a)]
+        + [(500, 500), (600, 601), (600, 601)]
+        + [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    via_driver = {
+        (r["id"], r["comp"])
+        for r in components_min_label(df).collect()
+    }
+    via_kernel = {
+        (r["id"], r["comp"])
+        for r in components_min_label(df, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_kernel and len(via_driver) > 0
+
+
+def test_components_min_label_string_ids(spark):
+    from hubspot_neo4j_pipeline_spark.operators.graph import (
+        components_min_label,
+    )
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    rows = {r["id"]: r["comp"] for r in components_min_label(df).collect()}
+    assert rows == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert dict(components_min_label(df).dtypes) == {
+        "id": "string", "comp": "string",
+    }
+
+
+def test_components_min_label_empty(spark):
+    from hubspot_neo4j_pipeline_spark.operators.graph import (
+        components_min_label,
+    )
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert components_min_label(df).count() == 0
+
+
 def test_dedup_clusters_shape(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
