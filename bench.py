@@ -86,21 +86,32 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if v >= 0]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": round(sum(ok), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "n_failed": len(timings) - len(ok),
-                "calibration_sec": cal,
-                "rep_counts": rep_counts,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall",
+            "value": round(sum(ok), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "n_failed": len(timings) - len(ok),
+            "calibration_sec": cal,
+            "rep_counts": rep_counts,
+        }
     )
+    print(line)
+    # sidecar copy of the SAME line (r15, r14 VERDICT item 8): the r14
+    # driver lost its round-over-round comparison because a 2000-char
+    # capture tail truncated the printed JSON mid-stream; a file the
+    # size of the line itself can never be tail-truncated. Printed
+    # contract and measurement unchanged; best-effort (a read-only
+    # checkout must not fail the bench).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -57,7 +57,15 @@ def write_meta(store_path: str, meta: dict) -> None:
     2-thread backfill). Unique tmps make every replace self-contained;
     last writer wins, and concurrent pinners write identical dicts by
     construction (pin values derive from store params and batch
-    schema, not from wall order)."""
+    schema, not from wall order).
+
+    ``CHECK_CONVERGENT_META`` (r15, r14 VERDICT hardening): the
+    identical-dicts convention above is load-bearing — a future store
+    pinning batch-DEPENDENT meta through a concurrent backfill would
+    corrupt silently. With the flag on (tests), the committed pointer
+    is read back and must equal the dict this writer just wrote; any
+    divergent concurrent pinner trips the assertion in one of the two
+    writers."""
     import threading
 
     tmp = os.path.join(
@@ -66,6 +74,20 @@ def write_meta(store_path: str, meta: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(store_path, META))
+    if CHECK_CONVERGENT_META:
+        committed = read_meta(store_path)
+        assert committed == json.loads(json.dumps(meta)), (
+            "non-convergent concurrent write_meta: committed "
+            f"{committed!r} != written {meta!r} — concurrent pinners "
+            "must write identical dicts (streaming/backfill.py)"
+        )
+
+
+# Debug assertion for the concurrent-pinner convention in write_meta —
+# off in production (an extra read per commit), switched on by the
+# test suite (tests/conftest.py) so every store tour the tests run
+# verifies the convention end-to-end.
+CHECK_CONVERGENT_META = False
 
 
 def committed_deltas(store_path: str) -> dict[int, str]:
@@ -95,19 +117,32 @@ def live_deltas(store_path: str, meta: dict | None = None) -> dict[int, str]:
 def sweep(store_path: str, meta: dict) -> None:
     """Remove leftovers a crash between commit and cleanup can strand:
     consumed deltas, base dirs meta doesn't point to, orphan _tmp
-    ingest dirs. Safe any time — nothing here is reader-resolvable."""
+    ingest dirs. Nothing here is reader-resolvable, but sweep must NOT
+    run concurrently with an in-flight ingest of the same store (the
+    documented no-compaction-during-ingest discipline,
+    streaming/backfill.py): it would tear a mid-write ``_tmp-`` dir.
+    Meta tmp files are additionally pid-guarded below, so even a
+    misplaced concurrent sweep cannot yank a live writer's tmp out
+    from under its os.replace (r15, r14 ADVICE)."""
     for bid, path in committed_deltas(store_path).items():
         if bid <= meta["consumed_through"]:
             shutil.rmtree(path, ignore_errors=True)
+    own_prefix = f"{META}.tmp-{os.getpid()}-"
     for name in os.listdir(store_path):
         full = os.path.join(store_path, name)
         if name.startswith("base-") and name != (meta["base"] or ""):
             shutil.rmtree(full, ignore_errors=True)
         elif name.startswith("_tmp-"):
             shutil.rmtree(full, ignore_errors=True)
-        elif name.startswith(META + ".tmp"):
+        elif name.startswith(META + ".tmp") and not name.startswith(
+            own_prefix
+        ):
             # a crash between write_meta's dump and replace strands a
-            # per-writer tmp file (never reader-resolvable)
+            # per-writer tmp file (never reader-resolvable). The name
+            # encodes the writer's pid: tmps of THIS process are
+            # skipped — they may belong to an in-flight write_meta on
+            # another driver thread; a dead process's tmps (different
+            # pid) are always fair game.
             try:
                 os.remove(full)
             except OSError:
@@ -227,6 +262,16 @@ def _try_driver_table(df, est_bytes: int | None = None):
         est = est_bytes if est_bytes is not None else plan_size_estimate(df)
         if est is None or est > DRIVER_COMMIT_MAX_EST:
             return None
+        # NOTE: toArrow() materializes the full delta on the driver
+        # BEFORE the actual-size check below, so a pathological
+        # underestimate (<16 MB estimate on a genuinely large delta)
+        # is bounded only by spark.driver.maxResultSize (default 1 GB)
+        # until the 128 MB cap rejects it post-collect. MAX_EST is
+        # sized ~8x under MAX_ACTUAL precisely so the observed ~5x
+        # estimate error keeps est*5 under the cap; a maxResultSize
+        # abort lands in this except and falls back to the
+        # distributed write (fallback pinned by
+        # test_driver_commit_fallback_on_misestimate).
         tbl = df.toArrow()
         if tbl.nbytes > DRIVER_COMMIT_MAX_ACTUAL:
             return None
@@ -269,26 +314,36 @@ def commit_delta(
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     manifest: tuple[list[int], int] | None = None
+    wrote_driver = False
     tbl = _try_driver_table(df, est_bytes)
     if tbl is not None:
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+        # the whole driver path — write AND manifest derivation — is
+        # guarded (r15, r14 ADVICE): an Arrow-compute failure in the
+        # manifest used to abort the commit with a stranded _tmp dir
+        # instead of falling back like every other driver-path failure
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
 
-        os.makedirs(tmp)
-        pq.write_table(
-            tbl, os.path.join(tmp, "part-00000-driver.parquet"),
-            compression="zstd",
-        )
-        if bucket_col is not None:
-            manifest = (
-                sorted(
-                    int(v)
-                    for v in pc.unique(tbl.column(bucket_col)).to_pylist()
-                    if v is not None
-                ),
-                tbl.num_rows,
+            os.makedirs(tmp)
+            pq.write_table(
+                tbl, os.path.join(tmp, "part-00000-driver.parquet"),
+                compression="zstd",
             )
-    else:
+            if bucket_col is not None:
+                manifest = (
+                    sorted(
+                        int(v)
+                        for v in pc.unique(tbl.column(bucket_col)).to_pylist()
+                        if v is not None
+                    ),
+                    tbl.num_rows,
+                )
+            wrote_driver = True
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            manifest = None
+    if not wrote_driver:
         df.write.mode("overwrite").parquet(tmp)
         if bucket_col is not None:
             # one slim pass over the just-written parquet gives BOTH

@@ -77,15 +77,35 @@ def _delta_frames(spark):
             F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(32)).cast("int"),
         )
     )
+    # window-store-shaped (r15, r14 ADVICE): a genuine DATE column —
+    # the pyarrow date32 vs Spark DATE writer-parity surface — plus
+    # the store's day timestamp, long counts and decimal totals
+    win_delta = (
+        spark.range(12)
+        .select(
+            F.to_date(
+                F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 9 + 1).cast("string"), 2, "0"))
+            ).alias("day"),
+            F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,cast(id % 9 as int))").alias("day_ts"),
+            (F.col("id") % 5).alias("user_id"),
+            (F.col("id") + 1).cast("long").alias("n"),
+            (F.lit(10.5) * F.col("id")).cast("decimal(18,2)").alias("total_value"),
+        )
+        .withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col("user_id").cast("string")), F.lit(32)).cast("int"),
+        )
+    )
     return {
         "hash": (hash_delta, "_bucket"),
         "gram": (gram_delta, "bucket"),
         "scd2": (scd2_delta, "_bucket"),
         "vector": (vec_delta, "_bucket"),
+        "window": (win_delta, "_bucket"),
     }
 
 
-@pytest.mark.parametrize("shape", ["hash", "gram", "scd2", "vector"])
+@pytest.mark.parametrize("shape", ["hash", "gram", "scd2", "vector", "window"])
 def test_driver_commit_parity(spark, tmp_path_factory, shape, monkeypatch):
     df, bucket_col = _delta_frames(spark)[shape]
 
@@ -127,6 +147,50 @@ def test_driver_commit_respects_estimate_gate(spark, tmp_path_factory, monkeypat
     d = os.path.join(store, "deltas", "b0")
     assert not os.path.exists(os.path.join(d, "part-00000-driver.parquet"))
     assert segments.delta_manifest(d)["rows"] == df.count()
+
+
+def test_driver_commit_fallback_on_misestimate(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Stats-hostile input (r15, r14 VERDICT hardening): when the
+    planner's estimate passes the gate but the ACTUAL collected bytes
+    exceed the hard cap — the underestimate case — the commit must
+    fall back to the distributed write and stay correct, leaving no
+    stranded _tmp dir."""
+    df, bucket_col = _delta_frames(spark)["hash"]
+    # force "actual over cap" for ANY delta: every collect is rejected
+    monkeypatch.setattr(segments, "DRIVER_COMMIT_MAX_ACTUAL", 0)
+    store = str(tmp_path_factory.mktemp("misest"))
+    segments.commit_delta(df, store, 0, bucket_col=bucket_col)
+    d = os.path.join(store, "deltas", "b0")
+    assert not os.path.exists(os.path.join(d, "part-00000-driver.parquet"))
+    back = spark.read.parquet(d)
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+    assert segments.delta_manifest(d)["rows"] == df.count()
+    assert not any(n.startswith("_tmp") for n in os.listdir(store))
+
+
+def test_driver_commit_fallback_on_write_failure(
+    spark, tmp_path_factory, monkeypatch
+):
+    """A failure INSIDE the guarded driver path (write or manifest
+    derivation — r15, r14 ADVICE: the manifest step used to sit
+    outside the guard and strand the _tmp dir) must discard the tmp
+    and fall through to the Spark write."""
+    import pyarrow.parquet as pq
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated pyarrow failure")
+
+    monkeypatch.setattr(pq, "write_table", boom)
+    df, bucket_col = _delta_frames(spark)["hash"]
+    store = str(tmp_path_factory.mktemp("wfail"))
+    segments.commit_delta(df, store, 0, bucket_col=bucket_col)
+    d = os.path.join(store, "deltas", "b0")
+    assert os.path.isdir(d)
+    assert not os.path.exists(os.path.join(d, "part-00000-driver.parquet"))
+    assert segments.delta_manifest(d)["rows"] == df.count()
+    assert not any(n.startswith("_tmp") for n in os.listdir(store))
 
 
 def test_driver_commit_empty_delta(spark, tmp_path_factory):
