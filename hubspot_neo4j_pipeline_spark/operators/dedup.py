@@ -814,35 +814,53 @@ def hamming_near_pairs(
         sizes = chunks.groupBy("chunk_id", "chunk").agg(
             F.count("*").alias("_cdf")
         )
-        sized = chunks.join(sizes, ["chunk_id", "chunk"])
-        cold = sized.where(F.col("_cdf") <= hot_chunk_df).select(
-            id_col,
-            "simhash",
-            "chunk_id",
-            "chunk",
-            F.lit(-1).alias("sub_id"),
-            F.lit(0).cast("long").alias("sub_val"),
-        )
-        mask_cases = " ".join(
-            f"when chunk_id = {i} and sub_id = {j} then cast(simhash as bigint) & {m}L"
-            for i in range(n_chunks)
-            for j, m in enumerate(_refine_masks(n_bits, bounds, i, n_chunks))
-        )
-        hot = (
-            sized.where(F.col("_cdf") > hot_chunk_df)
-            .select(
+        # r15 adaptive gate (guide §1.2): ONE max-df probe over the
+        # cached slim chunk rows decides whether any bucket actually
+        # exceeds hot_chunk_df. When none does — the normal case for
+        # healthy signature entropy (measured: zero hot buckets at
+        # sf0.1 for all three registered callers, yet the refinement
+        # machinery cost ~1.2 s of size-join/union/4-key plan
+        # overhead per query to refine nothing) — the plain
+        # (chunk_id, chunk) keys feed the SAME in-expansion-verify
+        # grouped path below. Hot inputs engage the refinement
+        # exactly as before; the kept pair set is identical across
+        # modes by the pigeonhole contract (pinned by the
+        # refined-vs-plain equality tests).
+        max_df_row = sizes.agg(F.max("_cdf").alias("m")).first()
+        if max_df_row["m"] is not None and max_df_row["m"] > hot_chunk_df:
+            sized = chunks.join(sizes, ["chunk_id", "chunk"])
+            cold = sized.where(F.col("_cdf") <= hot_chunk_df).select(
                 id_col,
                 "simhash",
                 "chunk_id",
                 "chunk",
-                F.explode(F.array(*[F.lit(j) for j in range(n_chunks)])).alias(
-                    "sub_id"
-                ),
+                F.lit(-1).alias("sub_id"),
+                F.lit(0).cast("long").alias("sub_val"),
             )
-            .withColumn("sub_val", F.expr(f"case {mask_cases} end"))
-        )
-        chunks = cold.unionByName(hot)
-        join_keys = ["chunk_id", "chunk", "sub_id", "sub_val"]
+            mask_cases = " ".join(
+                f"when chunk_id = {i} and sub_id = {j} then cast(simhash as bigint) & {m}L"
+                for i in range(n_chunks)
+                for j, m in enumerate(
+                    _refine_masks(n_bits, bounds, i, n_chunks)
+                )
+            )
+            hot = (
+                sized.where(F.col("_cdf") > hot_chunk_df)
+                .select(
+                    id_col,
+                    "simhash",
+                    "chunk_id",
+                    "chunk",
+                    F.explode(
+                        F.array(*[F.lit(j) for j in range(n_chunks)])
+                    ).alias("sub_id"),
+                )
+                .withColumn("sub_val", F.expr(f"case {mask_cases} end"))
+            )
+            chunks = cold.unionByName(hot)
+            join_keys = ["chunk_id", "chunk", "sub_id", "sub_val"]
+        else:
+            join_keys = ["chunk_id", "chunk"]
     else:
         join_keys = ["chunk_id", "chunk"]
     # in-bucket pair expansion (one shuffle, i < j only) instead of a
