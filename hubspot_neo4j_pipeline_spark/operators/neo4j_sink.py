@@ -453,8 +453,16 @@ def dry_run_edge_payloads(
     flags = base.groupBy("group_key").agg(
         F.max(F.col("from_email").isNotNull()).alias("email_matched")
     )
+    # r15 (guide §2.4): the flag joins the per-BATCH aggregate below
+    # (one slim row per batch), not the full edge frame —
+    # _with_batch_ids executes its input plan once per rank/offsets
+    # branch, so a pre-batching row-level join re-paid the flags
+    # agg+join per branch (measured 2.69 -> 1.68 s on the batched
+    # frame at sf0.1 with the join moved off the row path). The flag
+    # is constant per group_key, so grouping without it and
+    # re-attaching it group-level is value-identical.
     batched = _with_batch_ids(
-        base.join(F.broadcast(flags), "group_key"),
+        base,
         ["group_key"],
         ["to_id", "from_id", "from_email"],
         batch_size,
@@ -469,7 +477,7 @@ def dry_run_edge_payloads(
         F.col("properties"),
     )
     grouped = batched.groupBy(
-        "group_key", "rel_type", "from_type", "to_type", "email_matched", "batch_id"
+        "group_key", "rel_type", "from_type", "to_type", "batch_id"
     ).agg(
         F.count("*").alias("n_rels"),
         _json_array(
@@ -478,7 +486,7 @@ def dry_run_edge_payloads(
             F.col("from_id").alias("_k2"),
             F.col("from_email").alias("_k3"),
         ).alias("params_json"),
-    )
+    ).join(F.broadcast(flags), "group_key")
     # the same templates as edge_merge_cypher, built as column exprs
     # (tests pin the column-built text == the Python-built text)
     std = F.concat(
