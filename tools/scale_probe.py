@@ -160,6 +160,26 @@ ALLOWED_RATIOS_100X: dict[str, float] = {
     # survivor set BEFORE the pair-dedup shuffle): sf10 32.4 -> 12.0 s.
     # Bound = fresh measured ratio x ~1.6 headroom.
     "doc_simhash_pairs": 12.0,
+    # r15: the CC/keeplist family's first 100x probe rows (they sit on
+    # the sf10 ORACLE exclusion list — the recursive-CTE closure is the
+    # DuckDB-side quadratic — so only 10x rows existed before). Their
+    # ratios read high MECHANICALLY: the r15 driver union-find cut the
+    # sf0.1 base 35-50% (fixed job overhead removed), while the sf10
+    # wall is pair-GENERATION-dominated and unchanged vs the r14 code
+    # (interleaved sf10 A/B: doc_dedup_keeplist 49.7 s r14 vs
+    # 44.4-50.6 s r15; cluster_safe_split_slice 26.5 vs 26.2-26.9 —
+    # OPTIMIZATION_r15.md). Pair counts at 100x grow like the
+    # shared-shingle arm of dedup_method_agreement (its 100x bound:
+    # 20x on a 2x-slower base). Bounds = r15 measured ratio x ~1.4
+    # headroom, the file's standard derivation.
+    "doc_dup_clusters": 42.0,        # measured 30.2x
+    "doc_dup_clusters_slice": 24.0,  # measured 15.9x
+    "doc_dedup_keeplist": 55.0,      # measured 39.0x
+    "doc_dedup_keeplist_slice": 42.0,  # measured 30.2x
+    "doc_dedup_quality_keeplist": 40.0,  # measured 28.5x
+    "doc_dedup_quality_keeplist_slice": 28.0,  # measured 20.0x
+    "cluster_safe_split": 28.0,      # measured 20.3x
+    "cluster_safe_split_slice": 32.0,  # measured 22.4x
 }
 
 # Zipf-skew bounds (r13, r12 VERDICT task 5): base sf0.1 (uniform) ->
